@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Exact (order-independent) aggregation helpers.
+  *
+  * Floating-point sums depend on reduction order, which differs
+  * between partitions/engines. Casting measures to DECIMAL before
+  * aggregating makes every sum exact and therefore bit-identical to
+  * the DuckDB oracle regardless of partitioning — crucial both for
+  * the correctness gate and for deterministic results at cluster
+  * scale. The final cast back to DOUBLE is a deterministic function
+  * of the exact decimal, so both engines emit the same double.
+  *
+  * Decimal aggregation stays inside Spark's partial-aggregation
+  * (map-side combine) path, so this costs no extra shuffle.
+  */
+object Exact {
+  /** 6 fractional digits comfortably covers the 2-decimal money /
+    * discount columns; 18 total digits keeps products within
+    * Spark's 38-digit cap (no silent scale truncation). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Exact sum of a double measure, emitted as double.
+    *
+    * The ROUND(_, 6) before the double cast matters: it is an
+    * identity on this data (inputs have ≤6 decimal places, so sums
+    * do too) but it caps the decimal scale so the scaled integer
+    * numerator stays below 2^53 — making the decimal→double
+    * conversion a single correctly-rounded step in BOTH engines.
+    * Without it, DuckDB's int128/10^s conversion of scale-12/18
+    * sums double-rounds and drifts 1 ulp from Spark. */
+  def dsum(c: Column): Column = round(sum(dec(c)), 6).cast(DoubleType)
+
+  /** Exact sum of an already-decimal expression, emitted as double. */
+  def dsumRaw(c: Column): Column = round(sum(c), 6).cast(DoubleType)
+
+  /** extendedprice * (1 - discount) as an exact decimal product. */
+  def discPrice(ep: Column, disc: Column): Column =
+    dec(ep) * (lit(1) - dec(disc))
+
+  /** extendedprice * (1 - discount) * (1 + tax), factored so no
+    * intermediate exceeds decimal(38, _) in either engine. */
+  def charge(ep: Column, disc: Column, tax: Column): Column = {
+    val factor = ((lit(1) - dec(disc)).cast(DecimalType(12, 6)) *
+      (lit(1) + dec(tax)).cast(DecimalType(12, 6))).cast(DecimalType(18, 12))
+    dec(ep) * factor
+  }
+
+  /** SQL fragments for the DuckDB oracle, mirroring the casts above. */
+  object sql {
+    def sdec(c: String): String = s"CAST($c AS DECIMAL(18,6))"
+    def sdsum(c: String): String = s"CAST(ROUND(SUM(${sdec(c)}), 6) AS DOUBLE)"
+    /** Wrap an aggregate so its decimal→double cast single-rounds. */
+    def sd(aggExpr: String): String = s"CAST(ROUND($aggExpr, 6) AS DOUBLE)"
+    def sdiscPrice(ep: String, disc: String): String =
+      s"${sdec(ep)} * (1 - ${sdec(disc)})"
+    def scharge(ep: String, disc: String, tax: String): String =
+      s"${sdec(ep)} * CAST(CAST((1 - ${sdec(disc)}) AS DECIMAL(12,6)) * " +
+        s"CAST((1 + ${sdec(tax)}) AS DECIMAL(12,6)) AS DECIMAL(18,12))"
+  }
+}

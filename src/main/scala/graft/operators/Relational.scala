@@ -1,0 +1,400 @@
+package graft.operators
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational query surface of the engine (SURVEY.md §2B).
+  *
+  * The reference product is a queryable SQL table (compounds in
+  * SQLite — see /root/reference/pubchem2sqlite/utils.py:230); these
+  * queries re-express that query surface Spark-first over the test
+  * star schema: aggregate, join, window, sessionize, rollup, as-of.
+  *
+  * Scale notes (100 TB lens):
+  *  - dimension tables are broadcast explicitly (region/nation/
+  *    supplier/customer are small at TPC-H ratios);
+  *  - every aggregate uses partial aggregation (plain groupBy on
+  *    decimal measures — no extra shuffle vs double sums);
+  *  - windows partition by high-cardinality keys (suppkey/custkey/
+  *    user_id), so state per partition stays bounded;
+  *  - all filters are plain column predicates → parquet pushdown.
+  */
+object Relational {
+  import Exact.{dec, dsum, discPrice, charge}
+
+  private def D(s: String) = to_timestamp(lit(s))
+
+  // ---- q1_agg: TPC-H Q1-shaped multi-measure aggregate ----
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= D("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsumRaw(discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        Exact.dsumRaw(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Sql: String = {
+    import Exact.sql._
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sdsum("l_quantity")} AS sum_qty,
+       |  ${sdsum("l_extendedprice")} AS sum_base_price,
+       |  ${sd(s"SUM(${sdiscPrice("l_extendedprice", "l_discount")})")} AS sum_disc_price,
+       |  ${sd(s"SUM(${scharge("l_extendedprice", "l_discount", "l_tax")})")} AS sum_charge,
+       |  ${sdsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${sdsum("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // ---- q3_join_agg: shipping-priority style 3-way join ----
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < D("1998-01-01"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > D("1997-06-30"))
+    // customer is a dim at TPC-H ratios (1/10 of orders, filtered to
+    // one segment) → broadcast; orders⨝lineitem shuffles on orderkey.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Exact.dsumRaw(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql: String = {
+    import Exact.sql._
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${sd(s"SUM(${sdiscPrice("l_extendedprice", "l_discount")})")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1997-06-30'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+  }
+
+  // ---- q5_multijoin: 6-table star join, broadcast dims ----
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= D("1996-01-01") && col("o_orderdate") < D("1997-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.dsumRaw(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql: String = {
+    import Exact.sql._
+    s"""SELECT n_name,
+       |  ${sd(s"SUM(${sdiscPrice("l_extendedprice", "l_discount")})")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+  }
+
+  // ---- q6_filter: selective predicate + agg (pushdown showcase) ----
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_shipdate") >= D("1997-01-01") && col("l_shipdate") < D("1998-01-01") &&
+          col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+          col("l_quantity") < 24)
+      .agg(
+        Exact.dsumRaw(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q6Sql: String = {
+    import Exact.sql._
+    s"""SELECT
+       |  ${sd(s"SUM(${sdec("l_extendedprice")} * ${sdec("l_discount")})")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount >= 0.045 AND l_discount <= 0.075
+       |  AND l_quantity < 24""".stripMargin
+  }
+
+  // ---- q_semi_anti: EXISTS / NOT EXISTS via left_semi / left_anti ----
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+    val semi = cust
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("status"))
+    val anti = cust
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_big_order").as("status"))
+    semi.unionByName(anti).orderBy(col("c_custkey"))
+  }
+
+  private val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name, 'has_big_order' AS status FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_big_order' AS status FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q_distinct: distinct-count aggregates ----
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qDistinctSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q_window: ranking window (top-3 orders per customer) ----
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- q_window_running: running-sum frame window ----
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_suppkey") <= 20)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val qWindowRunningSql: String = {
+    import Exact.sql._
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  CAST(SUM(${sdec("l_quantity")}) OVER (
+       |    PARTITION BY l_suppkey
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+       |FROM lineitem WHERE l_suppkey <= 20
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  }
+
+  // ---- q_topk: global ordered top-k (TakeOrderedAndProject) ----
+  def qTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  private val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---- q_events_sessionize: gap-based sessionization (batch) ----
+  // Streaming twin: graft.streaming.Sessionize (flatMapGroupsWithState).
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val qEventsSessionizeSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+       |           OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |), s AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- q_events_tumbling: tumbling-window aggregation (batch) ----
+  // Integer bucket arithmetic (no float division) so the bucket is
+  // bit-identical across engines. Streaming twin in graft.streaming.
+  val WindowUs: Long = 300L * 1000 * 1000 // 5 minutes
+
+  def qEventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    ev.withColumn("bucket_us", us - pmod(us, lit(WindowUs)))
+      .groupBy(col("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("bucket_us"), col("event_type"))
+  }
+
+  private val qEventsTumblingSql: String = {
+    import Exact.sql._
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % $WindowUs) AS bucket_us,
+       |  event_type, COUNT(*) AS n_events, ${sdsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- q_cube_rollup: rollup with grouping sets ----
+  def qCubeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_items"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  private val qCubeRollupSql: String = {
+    import Exact.sql._
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       |  ${sdsum("l_quantity")} AS sum_qty, COUNT(*) AS n_items
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+  }
+
+  // ---- q_events_pivot: pivot / conditional aggregation ----
+  // Implemented with .pivot() on a known value set — at scale the
+  // explicit value list avoids the extra distinct-collect job.
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def qEventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .withColumnRenamed("click", "n_click").withColumnRenamed("error", "n_error")
+      .withColumnRenamed("purchase", "n_purchase").withColumnRenamed("signup", "n_signup")
+      .withColumnRenamed("view", "n_view")
+      .orderBy(col("user_id"))
+  }
+
+  private val qEventsPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q_orders_asof: as-of join composed from union + window ----
+  // For each 'purchase' event, the latest preceding (or simultaneous)
+  // 'click' event of the same user. Spark has no ASOF JOIN operator;
+  // the scalable composition is union + last(ignoreNulls) over an
+  // ordered window — one shuffle on user_id, no range explosion.
+  def qOrdersAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(1).as("tag"))
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("click_event_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_event_id"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qOrdersAsofSql: String =
+    """SELECT a.event_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, a.value,
+      |  b.event_id AS click_event_id, b.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q1_agg", Some(q1Sql), q1Agg),
+    GraftQuery("q3_join_agg", Some(q3Sql), q3JoinAgg),
+    GraftQuery("q5_multijoin", Some(q5Sql), q5MultiJoin),
+    GraftQuery("q6_filter", Some(q6Sql), q6Filter),
+    GraftQuery("q_semi_anti", Some(qSemiAntiSql), qSemiAnti),
+    GraftQuery("q_distinct", Some(qDistinctSql), qDistinct),
+    GraftQuery("q_window", Some(qWindowSql), qWindow),
+    GraftQuery("q_window_running", Some(qWindowRunningSql), qWindowRunning),
+    GraftQuery("q_topk", Some(qTopkSql), qTopk),
+    GraftQuery("q_events_sessionize", Some(qEventsSessionizeSql), qEventsSessionize),
+    GraftQuery("q_events_tumbling", Some(qEventsTumblingSql), qEventsTumbling),
+    GraftQuery("q_cube_rollup", Some(qCubeRollupSql), qCubeRollup),
+    GraftQuery("q_events_pivot", Some(qEventsPivotSql), qEventsPivot),
+    GraftQuery("q_orders_asof", Some(qOrdersAsofSql), qOrdersAsof))
+}

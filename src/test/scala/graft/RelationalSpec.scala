@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    Registry.all.foreach { q =>
+      val df = q.run(spark, dir)
+      assert(df.count() > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys with matching names") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle-only keys: ${os.diff(qs)}")
+  }
+
+  test("q1 aggregates are exact and deterministic across partitionings") {
+    val a = operators.Relational.q1Agg(spark, dir).collect()
+    val b = operators.Relational.q1Agg(spark, dir)
+      .repartition(7).collect() // different partitioning, same result
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
+  test("q_topk returns exactly 25 ordered rows") {
+    val rows = operators.Relational.qTopk(spark, dir).collect()
+    assert(rows.length == 25)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("sessionize: session bounds are consistent") {
+    val rows = operators.Relational.qEventsSessionize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getTimestamp(3).after(r.getTimestamp(4)),
+        s"session_start after session_end: $r")
+    }
+  }
+}
