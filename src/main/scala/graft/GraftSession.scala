@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured session.
+  *
+  * Scale-relevant settings live here so every entry point (Verify,
+  * Bench, specs, library users) gets the same execution profile:
+  *  - AQE on, with skew-join handling and partition coalescing — at
+  *    cluster scale this is what re-plans shuffle joins as broadcast
+  *    when a side is genuinely small and splits skewed partitions;
+  *  - shuffle partitions sized to the local core count (on a real
+  *    cluster this would be per-job; AQE coalescing makes the exact
+  *    number less critical);
+  *  - `nanosAsLong` set once at session construction (events.parquet
+  *    is TIMESTAMP(NANOS)); setting it per-read would be a racy
+  *    global-conf mutation.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

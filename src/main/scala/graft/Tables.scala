@@ -24,9 +24,14 @@ object Tables {
     * map to its µs TimestampType. Read nanos as long and convert with
     * integer division (`div`, not `/` — double division would lose
     * precision at 1e18 ns magnitudes). Values are µs-exact in the
-    * generated data, so this equals DuckDB's ns→µs cast. */
+    * generated data, so this equals DuckDB's ns→µs cast.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session construction by [[GraftSession]]. Only set here as a
+    * fallback when absent — not mutated per call (see ADVICE r1). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

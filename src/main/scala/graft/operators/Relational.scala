@@ -28,8 +28,12 @@ object Relational {
   private def D(s: String) = to_timestamp(lit(s))
 
   // ---- q1_agg: TPC-H Q1-shaped multi-measure aggregate ----
-  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    q1AggFrom(Tables.lineitem(spark, dir))
+
+  /** Same plan over an arbitrary lineitem input — lets specs verify
+    * partition-order independence by repartitioning the INPUT. */
+  def q1AggFrom(li: DataFrame): DataFrame = {
     li.filter(col("l_shipdate") <= D("2000-12-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -64,10 +68,10 @@ object Relational {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < D("1998-01-01"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > D("1997-06-30"))
-    // customer is a dim at TPC-H ratios (1/10 of orders, filtered to
-    // one segment) → broadcast; orders⨝lineitem shuffles on orderkey.
+    // customer scales linearly with sf, so no explicit broadcast —
+    // AQE auto-broadcasts when (and only when) it is genuinely small.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(Exact.dsumRaw(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -98,9 +102,13 @@ object Relational {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= D("1996-01-01") && col("o_orderdate") < D("1997-01-01"))
     val li = Tables.lineitem(spark, dir)
+    // region/nation are bounded dims (25/5 rows at any sf) → broadcast
+    // explicitly. customer/supplier scale linearly → shuffle joins;
+    // AQE converts them to broadcast only when genuinely below the
+    // threshold, so the plan survives a 100× scale-up.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -272,8 +280,8 @@ object Relational {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
        |), s AS (
        |  SELECT user_id, ts,
-       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM g)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -358,7 +366,14 @@ object Relational {
     val ev = Tables.events(spark, dir)
     val left = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(1).as("tag"))
+    // Dedup the click side to one row per (user_id, ts) — keep the
+    // max event_id — so tie semantics on duplicate right-side
+    // timestamps are defined identically here and in the oracle
+    // (engines otherwise diverge on which duplicate an as-of picks).
     val right = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"),
+        max_by(col("value"), col("event_id")).as("value"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(0).as("tag"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("tag"), col("event_id"))
@@ -378,7 +393,9 @@ object Relational {
     """SELECT a.event_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, a.value,
       |  b.event_id AS click_event_id, b.value AS click_value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, MAX(event_id) AS event_id, MAX_BY(value, event_id) AS value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) b
       |  ON a.user_id = b.user_id AND a.ts >= b.ts
       |ORDER BY a.event_id""".stripMargin
 

@@ -4,12 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(4)
 }
 
 class RelationalSpec extends AnyFunSuite {
@@ -33,10 +28,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracle-only keys: ${os.diff(qs)}")
   }
 
-  test("q1 aggregates are exact and deterministic across partitionings") {
+  test("q1 aggregates are exact and deterministic across input partitionings") {
     val a = operators.Relational.q1Agg(spark, dir).collect()
-    val b = operators.Relational.q1Agg(spark, dir)
-      .repartition(7).collect() // different partitioning, same result
+    // Repartition the INPUT so the aggregation itself runs over a
+    // different partition order — the decimal sums must not drift.
+    val b = operators.Relational
+      .q1AggFrom(Tables.lineitem(spark, dir).repartition(7)).collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
