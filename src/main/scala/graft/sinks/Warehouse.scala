@@ -1,0 +1,102 @@
+package graft.sinks
+
+import graft.sources.{LayoutSpec, Sdf}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB sink: a parquet warehouse with an idempotent,
+  * file-granularity ingest manifest.
+  *
+  * Mirrors the reference's incremental bookkeeping — the `sdf_file`
+  * table (/root/reference/pubchem2sqlite/utils.py:222) and
+  * `get_sdf_files_not_in_db` (utils.py:272) — but cluster-safe: the
+  * manifest is itself a small parquet table, the "files not yet
+  * loaded" set is a local anti-filter over the driver-side file
+  * listing (thousands of filenames, not data rows), and compound
+  * rows are appended partition-parallel.
+  *
+  * Divergence from the reference, on purpose: lowest/highest CID are
+  * computed from the DATA (min/max of extracted cid per file), not
+  * parsed out of the filename (utils.py:330) — filename-derived
+  * ranges silently break on any non-PubChem naming scheme.
+  */
+object Warehouse {
+  final case class IngestResult(filesLoaded: Seq[String], rowsLoaded: Long)
+
+  def compoundsDir(warehouseDir: String): String = s"$warehouseDir/compounds"
+  def manifestDir(warehouseDir: String): String = s"$warehouseDir/_manifest"
+
+  /** Manifest rows: filename, lowest_cid, highest_cid, date_added,
+    * n_compounds — the sdf_file schema (utils.py:222-227). */
+  def manifest(spark: SparkSession, warehouseDir: String): DataFrame = {
+    val path = new Path(manifestDir(warehouseDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(path.toString)
+    else spark.emptyDataFrame
+  }
+
+  private def loadedFilenames(spark: SparkSession, warehouseDir: String): Set[String] = {
+    val m = manifest(spark, warehouseDir)
+    if (m.columns.contains("filename"))
+      m.select("filename").collect().map(_.getString(0)).toSet
+    else Set.empty
+  }
+
+  /** List input files matching the glob (driver-side metadata op —
+    * O(#files), same as the reference's glob at utils.py:308). */
+  def listSdfFiles(spark: SparkSession, glob: String): Seq[String] = {
+    val path = new Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(path)).map(_.toSeq.map(_.getPath.toString)).getOrElse(Nil)
+  }
+
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Ingest every not-yet-loaded file under `glob` into the
+    * warehouse: extract per `layout`, append to compounds/, append
+    * per-file stats to the manifest. Re-running with the same inputs
+    * is a no-op (the skip set is filename-based, matching
+    * `get_sdf_files_not_in_db` utils.py:282). */
+  def ingest(spark: SparkSession, glob: String, warehouseDir: String,
+             layout: LayoutSpec = LayoutSpec.default): IngestResult = {
+    val all = listSdfFiles(spark, glob)
+    val done = loadedFilenames(spark, warehouseDir)
+    val todo = all.filterNot(f => done.contains(basename(f))).sorted
+    if (todo.isEmpty) return IngestResult(Nil, 0L)
+
+    // One distributed read over exactly the pending files. Keeping
+    // src_file through extraction lets both the manifest stats and
+    // the append happen in a single pass over the data.
+    val read = Sdf.read(spark, todo)
+    val extracted = Sdf.filterNotNull(
+      read.select(Seq(col("src_file")) ++
+        layout.columns.map(c => Sdf.extractColumn(col("sdf"), c)): _*),
+      layout)
+    extracted.cache()
+    try {
+      val pk = layout.columns.find(_.primaryKey).map(_.name).getOrElse(layout.columns.head.name)
+      extracted.drop("src_file").write.mode("append")
+        .parquet(compoundsDir(warehouseDir))
+      // Every PROCESSED file gets a manifest row — even one whose
+      // rows were all NOT_NULL-filtered (n_compounds = 0). Otherwise
+      // such a file would be re-read on every ingest, forever.
+      import spark.implicits._
+      val processed = todo.map(basename).toDF("filename")
+      val stats = extracted
+        .groupBy(element_at(split(col("src_file"), "/"), -1).as("filename"))
+        .agg(min(col(pk)).as("lowest_cid"), max(col(pk)).as("highest_cid"),
+          count(lit(1)).as("n_compounds"))
+      processed.join(stats, Seq("filename"), "left")
+        .na.fill(0L, Seq("n_compounds"))
+        .withColumn("date_added", date_format(current_date(), "yyyy-MM-dd"))
+        .select("filename", "lowest_cid", "highest_cid", "date_added", "n_compounds")
+        .write.mode("append").parquet(manifestDir(warehouseDir))
+      val rows = extracted.count()
+      IngestResult(todo.map(basename), rows)
+    } finally extracted.unpersist()
+  }
+
+  def compounds(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.read.parquet(compoundsDir(warehouseDir))
+}

@@ -36,8 +36,12 @@ object Sdf {
     * trailing newline after the last record) are dropped — the
     * reference's regex-[0] would fail on them anyway.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", "$$$$").text(path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, Seq(path))
+
+  /** Multi-path variant (e.g. the warehouse's pending-file list). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.option("lineSep", "$$$$").text(paths: _*)
     raw.select(
         regexp_replace(
           regexp_replace(

@@ -24,5 +24,17 @@ object SdfQueries {
       Sdf.extract(Sdf.read(s, TestSdfGlob), LayoutSpec.default)
         .orderBy(col("cid"))),
     GraftQuery("compounds_pipeline", None, (s, _) =>
-      Sdf.compounds(s, TestSdfGlob).orderBy(col("cid"))))
+      Sdf.compounds(s, TestSdfGlob).orderBy(col("cid"))),
+    // Runs the idempotent incremental ingest twice into a fresh
+    // temp warehouse and returns the manifest — the second call must
+    // be a no-op (reference sdf_file skip semantics, utils.py:272).
+    GraftQuery("warehouse_ingest", None, (s, _) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+      graft.sinks.Warehouse.ingest(s, TestSdfGlob, wh)
+      val second = graft.sinks.Warehouse.ingest(s, TestSdfGlob, wh)
+      require(second.filesLoaded.isEmpty, "re-ingest must skip loaded files")
+      graft.sinks.Warehouse.manifest(s, wh)
+        .select("filename", "lowest_cid", "highest_cid", "n_compounds")
+        .orderBy(col("filename"))
+    }))
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sinks.{JdbcSink, Warehouse}
+import graft.sources.{ColumnSpec, LayoutSpec, Sdf}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sdfDir = sources.SdfQueries.TestSdfDir
+
+  test("warehouse ingest is incremental and idempotent") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_spec").toString
+
+    val first = Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
+    assert(first.filesLoaded == Seq("cmps_00_02.sdf") && first.rowsLoaded == 3)
+    assert(Warehouse.compounds(spark, wh).count() == 3)
+
+    // widening the glob loads only the two files not yet in the manifest
+    val second = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(second.filesLoaded == Seq("cmps_03_05.sdf", "cmps_06_07.sdf"))
+    assert(Warehouse.compounds(spark, wh).count() == 8)
+
+    // re-running the full glob is a no-op
+    val third = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(third.filesLoaded.isEmpty && third.rowsLoaded == 0)
+    assert(Warehouse.compounds(spark, wh).count() == 8)
+
+    val m = Warehouse.manifest(spark, wh).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(m == Map(
+      "cmps_00_02.sdf" -> ((31038L, 31040L, 3L)),
+      "cmps_03_05.sdf" -> ((34516L, 34518L, 3L)),
+      "cmps_06_07.sdf" -> ((46773L, 46774L, 2L))))
+  }
+
+  test("jdbc sink: Derby round-trip with post-load indexes") {
+    val url = "jdbc:derby:memory:graftspec;create=true"
+    val compounds = Sdf.compounds(spark, s"$sdfDir/*.sdf")
+    JdbcSink.write(compounds, url, "compounds", LayoutSpec.default)
+
+    val back = spark.read.jdbc(url, "compounds", new java.util.Properties)
+    assert(back.count() == 8)
+    assert(back.columns.toSeq == LayoutSpec.default.columns.map(_.name))
+
+    // the WITH_INDEX columns got their post-load indexes
+    val idx = JdbcSink.withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery(
+        "SELECT CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES WHERE ISINDEX")
+      Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1).toLowerCase).toSet
+    }
+    LayoutSpec.default.indexedColumns.foreach { c =>
+      assert(idx.contains(s"idx_$c".toLowerCase), s"missing index idx_$c in $idx")
+    }
+  }
+
+  test("jdbc sink dedups on primary key deterministically") {
+    import spark.implicits._
+    val layout = LayoutSpec(Seq(
+      ColumnSpec("cid", Seq("T"), "integer", primaryKey = true),
+      ColumnSpec("name", Seq("N"), "varchar")))
+    val df = Seq((1L, "b"), (1L, "a"), (2L, "z")).toDF("cid", "name")
+    val out = JdbcSink.dedupByPrimaryKey(df, layout)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "z"))) // lexicographically smallest row wins
+  }
+}
