@@ -1,7 +1,137 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2C9-C12) over the `documents` table.
+  *
+  * All metrics are pure codegen'd Column expressions — regex counts
+  * plus integer→double divisions, both bit-deterministic across
+  * engines, so every query here has an exact DuckDB oracle. Each is
+  * a single projection over the scan (no shuffle at all except the
+  * final presentation sort), so throughput at 100 TB is scan-bound.
+  */
 object TextOps {
-  def queries: Seq[GraftQuery] = Seq.empty
+
+  /** Count of regex matches in a string column. */
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // `\S+`-token and BPE-ish segmentations; identical RE2/Java syntax.
+  private val WsToken = "\\S+"
+  private val BpeToken = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nMatches(col("text"), WsToken).cast("long").as("n_ws_tokens"),
+      nMatches(col("text"), BpeToken).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private lazy val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$WsToken')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '$BpeToken')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality signals: length, punctuation/digit/stopword ratios,
+    * mean word length. Ratios are long/long → IEEE double division —
+    * a single correctly-rounded op in both engines. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nChars = length(col("text")).cast("long")
+    val nWords = nMatches(col("text"), WsToken).cast("long")
+    val nPunct = nMatches(col("text"), "[^A-Za-z0-9\\s]").cast("long")
+    val nDigit = nMatches(col("text"), "[0-9]").cast("long")
+    val nStop = nMatches(col("text"), StopRe("en")).cast("long")
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    d.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nDigit / nChars).as("digit_ratio"),
+      (nStop / nWords).as("stopword_ratio"),
+      (nNonSpace / nWords).as("mean_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val textQualitySql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_m,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) AS punct_ratio,
+       |  len(regexp_extract_all(text, '[0-9]')) / length(text) AS digit_ratio,
+       |  len(regexp_extract_all(text, '${StopRe("en")}')) / len(regexp_extract_all(text, '$WsToken')) AS stopword_ratio,
+       |  length(regexp_replace(text, '\\s', '', 'g')) / len(regexp_extract_all(text, '$WsToken')) AS mean_word_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic
+    * — small, public, high-frequency function words per language. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "you"),
+    "es" -> Seq("el", "la", "los", "que", "en", "un", "es", "por", "con", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "en", "un", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这", "中"))
+
+  /** Case-insensitive whole-word alternation for a profile; CJK gets
+    * no \b (RE2/Java word boundaries are ASCII-centric). */
+  def StopRe(lang: String): String = {
+    val words = Profiles.find(_._1 == lang).get._2
+    if (lang == "zh") s"(${words.mkString("|")})"
+    else s"(?i)\\b(${words.mkString("|")})\\b"
+  }
+
+  /** Language ID: per-language stopword hit counts; prediction is the
+    * first language (alphabetical) reaching the max count — the
+    * tie-break is explicit so both engines agree. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hits = Profiles.map { case (l, _) =>
+      nMatches(col("text"), StopRe(l)).cast("long").as(s"${l}_hits")
+    }
+    val withHits = d.select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
+    val maxHits = greatest(Profiles.map(p => col(s"${p._1}_hits")): _*)
+    val pred = Profiles.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+      when(acc.isNotNull, acc).when(col(s"${l}_hits") === maxHits, lit(l))
+    }
+    withHits.withColumn("lang_pred", pred)
+      .select("doc_id", "lang", "lang_pred", "de_hits", "en_hits", "es_hits", "fr_hits", "zh_hits")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val textLangidSql: String = {
+    val hitExprs = Profiles.map { case (l, _) =>
+      s"  len(regexp_extract_all(text, '${StopRe(l)}')) AS ${l}_hits"
+    }.mkString(",\n")
+    val maxExpr = s"greatest(${Profiles.map(p => s"${p._1}_hits").mkString(", ")})"
+    val caseExpr = Profiles.map { case (l, _) =>
+      s"WHEN ${l}_hits = $maxExpr THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |SELECT doc_id, lang,
+       |$hitExprs
+       |FROM documents)
+       |SELECT doc_id, lang, CASE $caseExpr END AS lang_pred,
+       |  de_hits, en_hits, es_hits, fr_hits, zh_hits
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** 64-bit FNV-1a document fingerprint via the native Catalyst
+    * expression (graft.functions.Fnv1a64 — codegen'd, no UDF).
+    * Not SQL-expressible in DuckDB → rows-only; value-pinning lives
+    * in TextOpsSpec. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("fnv1a64(text)").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_tokens", Some(textTokensSql), textTokens),
+    GraftQuery("text_quality", Some(textQualitySql), textQuality),
+    GraftQuery("text_langid", Some(textLangidSql), textLangid),
+    GraftQuery("text_fingerprint", None, textFingerprint))
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  import operators.Dedup
+
+  test("minhash-lsh finds exactly the exact-jaccard pairs on test data") {
+    // At this corpus the planted near-dups are far above threshold
+    // (J >= 0.92) and everything else is far below (J < 0.5), so
+    // 16x4 banded LSH must reach full recall — and precision is
+    // guaranteed by the exact verification step.
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("minhash signatures are deterministic across partitionings") {
+    val docs = Tables.documents(spark, dir)
+    val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignatures(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("simhash: identical docs collide, near-dups are close, disjoint docs are far") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words about spark shuffles partitions and codegen"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)))
+  }
+
+  test("dedup_exact groups duplicate content") {
+    import spark.implicits._
+    val docs = Seq((10L, "same text"), (11L, "same text"), (12L, "other text"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("embedding cosine is symmetric-bounded and the exact pairs clear the threshold") {
+    val pairs = Dedup.dedupEmbedding(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Dedup.CosineThreshold && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("no dedup candidate generation uses a cartesian product (except the documented baseline)") {
+    val plans = Seq(
+      "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard(spark, dir),
+      "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh(spark, dir),
+      "dedup_simhash" -> Dedup.dedupSimhash(spark, dir))
+    plans.foreach { case (name, df) =>
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct") && !physical.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains an all-pairs join:\n$physical")
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.Fnv1a64
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("langid identifies real multilingual samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is happy that you came for tea"),
+      ("de", "der hund und die katze sind nicht mit dem kind zu hause, ich bin da"),
+      ("es", "el perro y la casa que están en un pueblo por la mañana con una flor"),
+      ("fr", "le chien et les chats sont dans un jardin pour la nuit, c'est que des fleurs"),
+      ("zh", "我们在这里的时候，他是不知道了中文的问题"))
+      .toDF("lang", "text")
+    val hits = operators.TextOps.Profiles.map { case (l, _) =>
+      size(regexp_extract_all(col("text"), lit(operators.TextOps.StopRe(l)), lit(0))).as(s"${l}_hits")
+    }
+    val maxHits = greatest(operators.TextOps.Profiles.map(p => col(s"${p._1}_hits")): _*)
+    val pred = operators.TextOps.Profiles.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, _)) => when(acc.isNotNull, acc).when(col(s"${l}_hits") === maxHits, lit(l))
+    }
+    val out = samples.select(Seq(col("lang")) ++ hits: _*).withColumn("pred", pred)
+      .select("lang", "pred").collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (lang, predicted) => assert(predicted == lang, s"$lang predicted as $predicted") }
+  }
+
+  test("fnv1a64 expression matches the pure-Scala hash and public test vectors") {
+    // public FNV-1a 64-bit vectors
+    assert(Fnv1a64.hash("") == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hash("a") == 0xaf63dc4c8601ec8cL)
+
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val inputs = Seq("", "a", "hello world", "ümläut 中文", null)
+    val df = inputs.toDF("s").select(col("s"), expr("fnv1a64(s)").as("h"))
+    df.collect().foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getLong(1) == Fnv1a64.hash(r.getString(0)), s"mismatch for '${r.getString(0)}'")
+    }
+    // identical result with codegen disabled (interpreted path)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = inputs.toDF("s").select(expr("fnv1a64(s)")).collect()
+      val gen = df.select("h").collect()
+      assert(interp.map(_.toString).toSeq == gen.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("text_quality ratios are well-formed on real data") {
+    val rows = operators.TextOps.textQuality(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val punct = r.getDouble(2); val digit = r.getDouble(3)
+      assert(punct >= 0 && punct <= 1)
+      assert(digit >= 0 && digit <= 1)
+      assert(r.getDouble(5) > 0) // mean word length
+    }
+  }
+
+  test("text_tokens: bpe segmentation counts >= whitespace counts") {
+    val rows = operators.TextOps.textTokens(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+}
