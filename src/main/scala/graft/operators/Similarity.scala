@@ -1,7 +1,176 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2C6-C8).
+  *
+  * Three tiers:
+  *  - `ann_topk_brute` — exact cosine top-k for a BOUNDED query set
+  *    (the recall oracle; the query side is broadcast, so the cost
+  *    is one pass over the corpus per batch of queries — linear, not
+  *    quadratic, in corpus size);
+  *  - `ann_topk_lsh` — random-hyperplane signatures, banded bucket
+  *    join: the corpus is touched only through bucket-matched
+  *    candidates;
+  *  - `ann_ivf` — k-means-lite centroids (the only `collect` is
+  *    k x dim doubles — constant size), inverted cell lists,
+  *    queries probe their nearest cells only.
+  */
 object Similarity {
-  def queries: Seq[GraftQuery] = Seq.empty
+
+  val QueryCount = 16 // bounded query set: vec_id < 16
+  val TopK = 10
+
+  /** Queries as a broadcast-shaped frame (q_id, qv, qn). */
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  private def topkWindow(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---- ann_topk_brute: exact top-k, bounded query side broadcast ----
+  def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val scored = e.join(broadcast(queriesOf(e)), col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+    topkWindow(scored)
+  }
+
+  private val annTopkBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, p) -> a + p)) AS nrm
+       |  FROM e
+       |), s AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |    round(list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]),
+       |          (x, y) -> x + y) / (q.nrm * b.nrm), 6) AS score
+       |  FROM n q JOIN n b ON q.vec_id < $QueryCount AND q.vec_id <> b.vec_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM s) t
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  // ---- ann_topk_lsh: random-hyperplane LSH, banded bucket join ----
+  val LshBits = 16
+  val LshBands = 4 // 4 bands x 4 bits
+
+  /** Sign signature against `LshBits` Rademacher hyperplanes whose
+    * weights derive from xxhash64(j*64+d) — deterministic, no stored
+    * plane matrix, computed in one projection. */
+  def lshSignature(e: DataFrame): DataFrame =
+    e.withColumn("sig", expr(
+      s"""transform(sequence(0, ${LshBits - 1}), j ->
+         |  IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
+         |       (x, d) -> x * IF((xxhash64(j * 64 + d) & 1) = 1, 1D, -1D)),
+         |     0D, (a, p) -> a + p) > 0D, 1, 0))""".stripMargin))
+
+  private def banded(sigDf: DataFrame, idCol: String): DataFrame = {
+    val rows = LshBits / LshBands
+    sigDf.select(col(idCol), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
+      .withColumn("bval", expr(s"aggregate(slice(sig, band * $rows + 1, $rows), 0, (acc, b) -> acc * 2 + b)"))
+      .drop("sig")
+  }
+
+  def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = lshSignature(Dedup.embeddingsWithNorm(spark, dir))
+    val corpusBuckets = banded(e, "vec_id")
+    val queryBuckets = banded(
+      e.filter(col("vec_id") < QueryCount).withColumnRenamed("vec_id", "q_id")
+        .select(col("q_id"), col("sig")), "q_id")
+    // Candidates: same (band, bucket) as the query — bucket-join, no
+    // all-pairs scan. distinct() before the expensive exact cosine.
+    val cand = queryBuckets.join(corpusBuckets, Seq("band", "bval"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    val qs = vecs.withColumnRenamed("vec_id", "q_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+    val scored = cand
+      .join(broadcast(qs), Seq("q_id"))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+    topkWindow(scored)
+  }
+
+  // ---- ann_ivf: k-means-lite inverted file ----
+  val IvfCells = 16
+  val IvfProbes = 4
+  val IvfIters = 2
+
+  /** Squared-L2 between two array<double> column refs. */
+  private def sqDist(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+
+  /** Assign each vector to its nearest centroid. `centroids` is a
+    * k-row frame (cid, cv) — always broadcast. */
+  def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    assign(e, centroids)
+
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    e.join(broadcast(centroids))
+      .withColumn("dist", sqDist("v", "cv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
+  /** k-means-lite: deterministic seeds (first k vec_ids), `iters`
+    * Lloyd steps. The per-iteration collect is k x dim doubles —
+    * constant-size, the one driver-side collect the design budget
+    * allows (SURVEY §2E). */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val updated = assign(e, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCid = updated.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      centroids = byCid.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
+    }
+    centroids
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val centroids = kmeansCentroids(spark, e, IvfCells, IvfIters)
+    val lists = assign(e, centroids) // inverted lists: (vec_id, ..., cid)
+    // each query probes its IvfProbes nearest cells
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probes = queriesOf(e).join(broadcast(centroids))
+      .withColumn("dist", sqDist("qv", "cv"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+    val scored = probes.join(lists, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+    topkWindow(scored)
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("ann_topk_brute", Some(annTopkBruteSql), annTopkBrute),
+    GraftQuery("ann_topk_lsh", None, annTopkLsh),
+    GraftQuery("ann_ivf", None, annIvf))
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  import operators.Similarity
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val brute = pairs(Similarity.annTopkBrute(spark, dir))
+
+  test("brute top-k returns exactly k neighbors per query") {
+    assert(brute.size == Similarity.QueryCount * Similarity.TopK)
+  }
+
+  test("lsh recall against brute force clears the floor") {
+    val lsh = pairs(Similarity.annTopkLsh(spark, dir))
+    val recall = (lsh & brute).size.toDouble / brute.size
+    // Synthetic embeddings have weak neighborhood structure (max
+    // cosine ~0.5), so hyperplane LSH with 4x4-bit bands lands well
+    // below IVF. 0.25 is the guardrail against regressions; measured
+    // ~0.37 on this data.
+    assert(recall >= 0.25, s"lsh recall $recall < 0.25")
+  }
+
+  test("ivf recall against brute force clears the floor") {
+    val ivf = pairs(Similarity.annIvf(spark, dir))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // measured ~0.87 with 16 cells / 4 probes / 2 Lloyd iterations
+    assert(recall >= 0.7, s"ivf recall $recall < 0.7")
+  }
+
+  test("ivf centroids are k x dim and cells partition the corpus usefully") {
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val n = e.count()
+    val centroids = Similarity.kmeansCentroids(spark, e, Similarity.IvfCells, Similarity.IvfIters)
+    val cents = centroids.collect()
+    assert(cents.length == Similarity.IvfCells)
+    assert(cents.forall(_.getSeq[Double](1).length == 64))
+    // probing IvfProbes of IvfCells cells must examine well under the
+    // whole corpus, or IVF degrades to brute force
+    val cellSizes = Similarity.assignCells(e, centroids)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    assert(cellSizes.sum == n)
+    val probed = cellSizes.sorted.reverse.take(Similarity.IvfProbes).sum
+    assert(probed < n * 0.8, s"largest ${Similarity.IvfProbes} cells hold $probed of $n vectors")
+  }
+
+  test("lsh signatures are deterministic") {
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val a = Similarity.lshSignature(e).select("vec_id", "sig").orderBy("vec_id").collect()
+    val b = Similarity.lshSignature(e.repartition(5)).select("vec_id", "sig").orderBy("vec_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
