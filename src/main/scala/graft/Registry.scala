@@ -18,7 +18,8 @@ object Registry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      sources.SdfQueries.queries
+      sources.SdfQueries.queries ++
+      streaming.Streams.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

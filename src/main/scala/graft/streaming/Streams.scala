@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.{Exact, GraftQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY.md §2D). Each streaming plan is the `readStream` form of
+  * its batch sibling; the specs assert stream-equals-batch on the
+  * same data, which is the engine-level guarantee a user relies on
+  * when promoting a batch pipeline to a continuous one.
+  *
+  * Driver entries run the stream to completion over the parquet
+  * events table (one-shot `processAllAvailable`) and hand back the
+  * memory-sink table, so the SAME DuckDB oracles that check the
+  * batch operators also check the streaming path.
+  */
+object Streams {
+
+  /** Events as a stream: the batch schema (ns epoch `ts` → µs
+    * timestamp, same as Tables.events) read via `readStream`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source requires a directory: stream the parent
+    // dir filtered down to the events table file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a one-shot stream into a memory sink and return the sink
+    * table. Any previous query with the same name is stopped first
+    * so entries are re-runnable within a session. */
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                          mode: OutputMode): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // ---- stream twin of q_events_tumbling ----
+  // window('ts', '5 minutes') aligns to the epoch, so bucket_us is
+  // identical to the batch integer-bucket arithmetic — and the batch
+  // oracle SQL applies unchanged.
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    runToMemory(spark, agg, "graft_stream_tumbling", OutputMode.Complete())
+      .orderBy(col("bucket_us"), col("event_type"))
+  }
+
+  private val streamTumblingSql: String = {
+    import Exact.sql._
+    val windowUs = 300L * 1000 * 1000
+    s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % $windowUs) AS bucket_us,
+       |  event_type, COUNT(*) AS n_events, ${sdsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- streaming dedup with state ----
+  // dropDuplicates on the key columns; emitting ONLY the key columns
+  // keeps the result deterministic (which physical row survives is
+  // arrival-order dependent; the key set is not).
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, dedup, "graft_stream_dedup", OutputMode.Append())
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---- stateful sessionization via flatMapGroupsWithState ----
+  final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
+  final case class SessionState(sessionId: Long, startUs: Long, endUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_us: Long, end_us: Long)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000 // = Relational.SessionGapUs
+
+  /** Per-user gap sessionizer. Events WITHIN a micro-batch arrive as
+    * an unordered iterator, so the batch's events are sorted by
+    * (tsUs, event_id) before folding into state — cross-batch order
+    * is the stream's responsibility (watermark + event-time
+    * semantics); sessions close on gap or on event-time timeout. */
+  def sessionizeFn(userId: Long, events: Iterator[Ev],
+                   state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.tsUs, e.event_id))
+    var out = List.empty[SessionOut]
+    if (sorted.isEmpty) {
+      if (state.hasTimedOut && state.exists) {
+        val s = state.get
+        out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
+        state.remove()
+      }
+    } else {
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        cur match {
+          case null =>
+            cur = SessionState(1L, e.tsUs, e.tsUs, 1L)
+          case s if e.tsUs - s.endUs > GapUs =>
+            out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
+            cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)
+          case s =>
+            cur = s.copy(endUs = e.tsUs, n = s.n + 1)
+        }
+      }
+      state.update(cur)
+      state.setTimeoutTimestamp(cur.endUs / 1000 + GapUs / 1000)
+    }
+    out.reverseIterator
+  }
+
+  /** Streaming sessionization: event-time timeout closes idle
+    * sessions once the watermark passes the gap. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs"))).withWatermark("ts", "0 seconds")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(sessionizeFn)
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("stream_tumbling", Some(streamTumblingSql), streamTumbling),
+    GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup))
+}

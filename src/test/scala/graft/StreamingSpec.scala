@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("stream tumbling aggregation equals the batch operator") {
+    val stream = Streams.streamTumbling(spark, dir).collect().map(_.toString).toSeq
+    val batch = operators.Relational.qEventsTumbling(spark, dir).collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("stream dedup emits exactly the distinct key set") {
+    val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
+    val batch = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("stateful sessionization over micro-batches equals the fold-based expectation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hourUs = 3600L * 1000 * 1000
+    def ev(user: Long, id: Long, tUs: Long) = Ev(user, id, tUs)
+    val base = 1700000000L * 1000000
+    // user 1: two sessions (gap > 30 min between id 3 and 4);
+    // user 2: one session
+    val batch1 = Seq(ev(1, 1, base), ev(1, 2, base + 60_000_000L), ev(2, 10, base))
+    val batch2 = Seq(ev(1, 3, base + 120_000_000L), ev(2, 11, base + 300_000_000L))
+    val batch3 = Seq(ev(1, 4, base + 120_000_000L + Streams.GapUs + 1), ev(2, 12, base + 600_000_000L))
+    // sentinel far-future event advances the watermark so event-time
+    // timeouts close every open session
+    val sentinel = Seq(ev(99, 999, base + 100 * hourUs))
+
+    val ms = MemoryStream[Ev]
+    val query = Streams.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("graft_stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(batch1, batch2, batch3, sentinel).foreach { b =>
+        ms.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("graft_stream_sessions").as[SessionOut].collect()
+      .filter(_.user_id != 99)
+      .map(s => (s.user_id, s.session_id, s.n_events, s.start_us, s.end_us)).toSet
+    val expected = Set(
+      (1L, 1L, 3L, base, base + 120_000_000L),
+      (1L, 2L, 1L, base + 120_000_000L + Streams.GapUs + 1, base + 120_000_000L + Streams.GapUs + 1),
+      (2L, 1L, 3L, base, base + 600_000_000L))
+    assert(got == expected)
+  }
+}
