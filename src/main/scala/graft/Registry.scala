@@ -19,7 +19,8 @@ object Registry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       sources.SdfQueries.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      multimodal.Multimodal.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
