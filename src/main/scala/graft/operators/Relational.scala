@@ -157,17 +157,20 @@ object Relational {
        |  AND l_quantity < 24""".stripMargin
   }
 
-  // ---- q_semi_anti: EXISTS / NOT EXISTS via left_semi / left_anti ----
+  // ---- q_semi_anti: EXISTS / NOT EXISTS semantics in ONE scan ----
+  // A semi+anti union would scan customer and orders twice; a single
+  // left join against the distinct matching keys + a null tag halves
+  // the work (VERDICT r1). Output is identical to EXISTS/NOT EXISTS.
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
-    val semi = cust
-      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("status"))
-    val anti = cust
-      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), lit("no_big_order").as("status"))
-    semi.unionByName(anti).orderBy(col("c_custkey"))
+    val bigCust = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey")).distinct()
+    cust.join(bigCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("o_custkey").isNotNull, lit("has_big_order"))
+          .otherwise(lit("no_big_order")).as("status"))
+      .orderBy(col("c_custkey"))
   }
 
   private val qSemiAntiSql: String =

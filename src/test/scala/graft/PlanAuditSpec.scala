@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY.md §2E): the 100 TB properties the
+  * small-SF correctness runs can't see. Each assertion pins a plan
+  * shape that must survive a 100x scale-up — filters reaching the
+  * parquet scan, pruned read schemas, no broadcast of linearly
+  * scaling tables, partial aggregation, top-k without a global sort.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Pre-AQE physical plan — static broadcasts (hints) are visible
+    * here; AQE's runtime re-plans are not, which is the point: only
+    * bounded dims may be STATICALLY broadcast. */
+  private def staticPlan(df: DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q6: filters are pushed to the parquet scan and the schema is pruned") {
+    val plan = formatted(operators.Relational.q6Filter(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_shipdate"),
+      s"no shipdate pushdown:\n$plan")
+    // projection pruning: the 16-column lineitem scan must read only
+    // the 4 referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = formatted(operators.Relational.q1Agg(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+  }
+
+  /** Build a plan as if every table were too big to auto-broadcast —
+    * the 100 TB situation. Only explicit broadcast() hints survive. */
+  private def planAtScale(df: => DataFrame): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try staticPlan(df) finally spark.conf.set(key, old)
+  }
+
+  test("q5 at scale: only the hinted bounded dims (nation, region) broadcast") {
+    val plan = planAtScale(operators.Relational.q5MultiJoin(spark, dir))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts == 2, s"expected exactly the 2 hinted broadcasts, got $broadcasts:\n$plan")
+    // customer/supplier/orders joins fall back to shuffle joins
+    assert(plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) >= 3,
+      s"linear-table joins are not shuffle joins at scale:\n$plan")
+  }
+
+  test("q3 at scale: no broadcast at all (customer scales linearly)") {
+    val plan = planAtScale(operators.Relational.q3JoinAgg(spark, dir))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q3 broadcasts a linearly-scaling table at scale:\n$plan")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = staticPlan(operators.Relational.qTopk(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_semi_anti scans customer and orders once each") {
+    val plan = formatted(operators.Relational.qSemiAnti(spark, dir))
+    assert("customer\\.parquet".r.findAllIn(plan).size <= 1, s"customer scanned twice:\n$plan")
+    assert("orders\\.parquet".r.findAllIn(plan).size <= 1, s"orders scanned twice:\n$plan")
+  }
+
+  test("text ops are selection-only plans (no shuffle before the presentation sort)") {
+    val plan = staticPlan(operators.TextOps.textQuality(spark, dir))
+    // a single Exchange for the final orderBy is fine; aggregation/join
+    // shuffles are not
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"), plan)
+  }
+
+  test("documents scan for dedup_exact prunes to the text column") {
+    val plan = formatted(operators.Dedup.dedupExact(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned documents scan: $readSchema")
+  }
+}

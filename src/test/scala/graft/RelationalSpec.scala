@@ -37,6 +37,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("approx distinct variant tracks exact countDistinct within 5%") {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.orders(spark, dir)
+    val row = ord.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.01).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("q_topk returns exactly 25 ordered rows") {
     val rows = operators.Relational.qTopk(spark, dir).collect()
     assert(rows.length == 25)
