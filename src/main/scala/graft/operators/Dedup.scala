@@ -28,7 +28,11 @@ object Dedup {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  val ShingleN = 8
+  // 16-char shingles (~3 words): discriminative enough that posting
+  // lists stay short on small-vocabulary corpora. 8-char shingles
+  // measured 13k distinct values over 1.35M occurrences at sf0.1 —
+  // ~100-doc posting lists that defeat any candidate prefilter.
+  val ShingleN = 16
   val JaccardThreshold = 0.8
 
   // ---- dedup_exact: content-hash dedup, one shuffle ----
@@ -42,26 +46,52 @@ object Dedup {
     """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
-  // ---- dedup_ngram_jaccard: exact set-Jaccard via inverted index ----
-  // Candidates = pairs sharing >= 1 shingle (superset of pairs with
-  // J >= t for any t > 0, so the result is exactly the all-pairs
-  // answer) — but generated by a shuffle join on the shingle, never
-  // a crossJoin.
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), ShingleN)).as("g"))
+  /** Exploded distinct shingles: (doc_id, g). The base relation for
+    * candidate generation and exact-overlap verification. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleN)).as("g"))
+
+  /** Exact |A∩B| for the given candidate pairs via a join on the
+    * exploded shingles — no arrays shuffled, only matching rows. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.g") === col("y.g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----
+  // A naive inverted-index join explodes on high-frequency shingles
+  // (every pair sharing "the quic" becomes a candidate — O(n²) rows
+  // on same-domain corpora). The PPJoin prefix filter keeps exactness
+  // at a fraction of the cost: order each doc's shingles by global
+  // rarity and index only the first |x| - ceil(t*|x|) + 1 of them —
+  // any pair with J >= t provably shares a PREFIX shingle, and rare
+  // shingles have tiny postings lists, so the candidate join stays
+  // linear-ish at any corpus size.
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(Tables.documents(spark, dir))
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val ranked = sh.join(freq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("g"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ceil(col("n") * JaccardThreshold) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh)
   }
 
   private val dedupNgramJaccardSql: String =
@@ -83,23 +113,31 @@ object Dedup {
   val MinhashPerms = 64
   val LshBands = 16 // 16 bands x 4 rows
 
-  /** (doc_id, sh, sig): 64-perm MinHash signature, computed in ONE
-    * projection pass — a literal seed sequence and two nested
-    * `transform`s, no per-permutation re-scan of the data. */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), ShingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${MinhashPerms - 1}), k -> array_min(transform(sh, s -> xxhash64(k, s))))"))
+  /** (doc_id, sig): 64-perm MinHash signature via explode +
+    * 64 min-aggregates. Each shingle is materialized ONCE and hashed
+    * 64 times inside a partially-aggregated (map-side combined)
+    * groupBy — one shuffle of 64 longs per doc.
+    *
+    * (The tempting one-projection nested-`transform` form is a trap:
+    * Catalyst's projection collapse inlines the shingle-array
+    * expression into the per-seed lambda, recomputing the shingling
+    * 64x per document — measured 100x slower at sf0.1.) */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val aggs = (0 until MinhashPerms).map(k => min(xxhash64(lit(k), col("g"))).as(s"mh_$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
+  }
 
   /** Candidate pairs from banded buckets, verified with EXACT
     * Jaccard on the shingle sets — only candidates pay the
     * verification cost. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashPerms / LshBands
-    val sigs = minhashSignatures(Tables.documents(spark, dir))
-    val bands = sigs.select(col("doc_id"),
-        explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
+    val docs = Tables.documents(spark, dir)
+    val bands = minhashSignatures(docs)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
     val cand = bands.as("a")
@@ -108,36 +146,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = sigs.select(col("doc_id"), col("sh"))
-    cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (size(col("x.sh")) + size(col("y.sh")) - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, shingleRows(docs))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
   val SimhashBands = 4 // 4 bands x 16 bits: catches hamming <= 3
   val HammingMax = 3
 
-  /** (doc_id, sim): 64-bit SimHash over whitespace-token xxhash64s,
-    * folded in one aggregate expression. */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      """aggregate(
-        |  zip_with(
-        |    aggregate(
-        |      transform(regexp_extract_all(text, '\\S+', 0), t -> xxhash64(t)),
-        |      array_repeat(CAST(0 AS BIGINT), 64),
-        |      (acc, h) -> zip_with(acc, sequence(0, 63),
-        |                           (a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1))),
-        |    sequence(0, 63),
-        |    (s, i) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-        |  CAST(0 AS BIGINT), (acc, v) -> acc | v)""".stripMargin).as("sim"))
+  /** (doc_id, sim): 64-bit SimHash over whitespace-token xxhash64s.
+    * Explode + 64 conditional-sum aggregates (map-side combined, one
+    * shuffle of 64 longs per doc) instead of per-row nested-array
+    * folds — same output, none of the per-token array allocation. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b_$i"))
+    val sim = (0 until 64)
+      .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
+  }
 
   /** Pigeonhole band join: pairs within hamming <= 3 must agree on
     * at least one of the 4 16-bit bands; exact popcount(xor) filters
@@ -164,19 +195,33 @@ object Dedup {
   // ---- dedup_embedding: exact cosine pairs (brute-force baseline) ----
   val CosineThreshold = 0.4
 
+  /** Left-associative Σ va[i]*vb[i] as a zip_with + left fold —
+    * the same IEEE op sequence as the oracle's list_reduce, so
+    * results are bit-identical across engines.
+    *
+    * (An unrolled flat 64-term `element_at` chain was tried and is
+    * ~4x SLOWER: the giant expression tree blows past codegen method
+    * limits and deoptimizes. The higher-order fold stays compact.) */
+  def dot(va: String, vb: String): Column =
+    expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (a, p) -> a + p)")
+
+  /** Σ (va[i]-vb[i])², same fold form. */
+  def sqDist(va: String, vb: String): Column =
+    expr(s"aggregate(zip_with($va, $vb, (x, y) -> (x - y) * (x - y)), 0D, (a, p) -> a + p)")
+
   /** (vec_id, v, nrm): embeddings as doubles with L2 norms. The
-    * element-wise double promotion + left-fold makes the cosine a
-    * fixed IEEE op sequence — bit-identical to the oracle. */
+    * element-wise double promotion + left-to-right summation makes
+    * the cosine a fixed IEEE op sequence — bit-identical to the
+    * oracle. */
   def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, p) -> a + p))"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, p) -> a + p)")))
 
   /** va/vb are SQL column references (e.g. "a.v"), resolved in the
     * calling plan; norms are passed as Columns. */
   def cosine(va: String, vb: String, na: Column, nb: Column): Column =
-    expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (a, p) -> a + p)")
-      .divide(na * nb)
+    dot(va, vb).divide(na * nb)
 
   /** EXACT all-pairs cosine dedup — intentionally quadratic: this is
     * the bounded verification baseline for the ANN scale paths

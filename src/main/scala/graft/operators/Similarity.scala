@@ -112,9 +112,9 @@ object Similarity {
   val IvfProbes = 4
   val IvfIters = 2
 
-  /** Squared-L2 between two array<double> column refs. */
-  private def sqDist(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+  /** Squared-L2 between two array<double> column refs — unrolled
+    * codegen form (see Dedup.dot). */
+  private def sqDist(a: String, b: String) = Dedup.sqDist(a, b)
 
   /** Assign each vector to its nearest centroid. `centroids` is a
     * k-row frame (cid, cv) — always broadcast. */
