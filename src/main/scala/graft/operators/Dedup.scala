@@ -195,28 +195,33 @@ object Dedup {
   // ---- dedup_embedding: exact cosine pairs (brute-force baseline) ----
   val CosineThreshold = 0.4
 
-  /** Left-associative Σ va[i]*vb[i] as a zip_with + left fold —
-    * the same IEEE op sequence as the oracle's list_reduce, so
-    * results are bit-identical across engines.
+  /** Left-associative Σ va[i]*vb[i] via the native codegen'd kernel
+    * (graft.functions.VecDotExpr) — the same IEEE op sequence as the
+    * oracle's list_reduce, so results are bit-identical across
+    * engines, but a plain Java loop instead of Spark's interpreted
+    * higher-order functions.
     *
-    * (An unrolled flat 64-term `element_at` chain was tried and is
-    * ~4x SLOWER: the giant expression tree blows past codegen method
-    * limits and deoptimizes. The higher-order fold stays compact.) */
+    * (Two alternatives measured worse: aggregate(zip_with(...)) is
+    * CodegenFallback — interpreted lambda per element, ~10x slower
+    * on the pair join; an unrolled flat 64-term element_at chain
+    * blows past codegen method limits and deoptimizes, ~4x slower.) */
   def dot(va: String, vb: String): Column =
-    expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (a, p) -> a + p)")
+    expr(s"vec_dot($va, $vb)")
 
-  /** Σ (va[i]-vb[i])², same fold form. */
+  /** Σ (va[i]-vb[i])², same kernel treatment. */
   def sqDist(va: String, vb: String): Column =
-    expr(s"aggregate(zip_with($va, $vb, (x, y) -> (x - y) * (x - y)), 0D, (a, p) -> a + p)")
+    expr(s"vec_sqdist($va, $vb)")
 
   /** (vec_id, v, nrm): embeddings as doubles with L2 norms. The
     * element-wise double promotion + left-to-right summation makes
     * the cosine a fixed IEEE op sequence — bit-identical to the
     * oracle. */
-  def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame =
+  def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, p) -> a + p)")))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+  }
 
   /** va/vb are SQL column references (e.g. "a.v"), resolved in the
     * calling plan; norms are passed as Columns. */

@@ -51,6 +51,33 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("vec_dot/vec_sqdist kernels are bit-identical to the SQL fold forms") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (Seq(1.5, -2.25, 3.125, 0.1), Seq(0.5, 4.0, -1.25, 0.3)),
+      (Seq(0.0, 0.0), Seq(0.0, -0.0)),
+      (Seq(1e-300, 1e300, -1e300), Seq(1e300, 1.0, 1.0))).toDF("a", "b")
+    val rows = vecs.select(
+      expr("vec_dot(a, b)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"),
+      expr("vec_sqdist(a, b)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot mismatch: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"sqdist mismatch: $r")
+    }
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = vecs.select(expr("vec_dot(a, b)"), expr("vec_sqdist(a, b)")).collect()
+      val gen = rows.map(r => (r.getDouble(0), r.getDouble(2)))
+      assert(interp.map(r => (r.getDouble(0), r.getDouble(1))).toSeq == gen.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("text_quality ratios are well-formed on real data") {
     val rows = operators.TextOps.textQuality(spark, dir).collect()
     assert(rows.length == 500)
