@@ -134,7 +134,62 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(sessionizeFn)
   }
 
+  // ---- driver entry: oracle-checked streaming sessionization ----
+  // The events table is copied into a temp stream dir together with
+  // a far-future sentinel event; after the data batch, the watermark
+  // passes every real session's gap, so the event-time timeouts
+  // flush ALL sessions in the trailing no-data batch. The output is
+  // then comparable 1:1 with the BATCH sessionize oracle.
+  val SentinelUser = -1L
+
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
+    ev.write.mode("append").parquet(tmp)
+    val maxUs = ev.agg(max(col("tsUs"))).collect()(0).getLong(0)
+    Seq(Ev(SentinelUser, 0L, maxUs + 1000L * GapUs)).toDS()
+      .select(col("user_id"), col("event_id"), col("tsUs"))
+      .write.mode("append").parquet(tmp)
+
+    val schema = spark.read.parquet(tmp).schema
+    val sessions = sessionize(
+      spark.readStream.schema(schema).parquet(tmp).as[Ev])
+    spark.streams.active.filter(_.name == "graft_stream_sessionize").foreach(_.stop())
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_stream_sessionize").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_stream_sessionize")
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Identical to the batch sessionize oracle — the stream must
+    * reproduce the batch answer exactly. */
+  private val streamSessionizeSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+       |           OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > $GapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       |), s AS (
+       |  SELECT user_id, ts,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("stream_tumbling", Some(streamTumblingSql), streamTumbling),
-    GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup))
+    GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup),
+    GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))
 }
