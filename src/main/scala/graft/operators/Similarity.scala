@@ -89,10 +89,17 @@ object Similarity {
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = lshSignature(Dedup.embeddingsWithNorm(spark, dir))
     val corpusBuckets = banded(e, "vec_id")
+    val rows = LshBits / LshBands
+    // Multi-probe: each query also probes the hamming-1 neighbors of
+    // its bucket in every band (flip one of the band's bits). 5x the
+    // probe keys — still a bucket join over a corpus-size-independent
+    // number of keys per query — for roughly double the recall.
     val queryBuckets = banded(
       e.filter(col("vec_id") < QueryCount).withColumnRenamed("vec_id", "q_id")
         .select(col("q_id"), col("sig")), "q_id")
-    // Candidates: same (band, bucket) as the query — bucket-join, no
+      .withColumn("bval", explode(expr(
+        s"array_union(array(bval), transform(sequence(0, ${rows - 1}), j -> CAST(bval ^ shiftleft(1, j) AS INT)))")))
+    // Candidates: same (band, bucket) as a probe — bucket-join, no
     // all-pairs scan. distinct() before the expensive exact cosine.
     val cand = queryBuckets.join(corpusBuckets, Seq("band", "bval"))
       .filter(col("q_id") =!= col("vec_id"))
