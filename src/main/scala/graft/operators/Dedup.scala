@@ -51,6 +51,18 @@ object Dedup {
   def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), ShingleN)).as("g"))
 
+  /** Persisted shingle relation. The dedup plans reference it from
+    * 3-4 branches that shuffle on DIFFERENT keys (g for candidate
+    * postings, doc_id for sizes/verification), so exchange reuse
+    * never applies and the shingling pass — the single most
+    * expensive projection — would be recomputed per branch. Spark's
+    * cache manager dedups by logical plan, so repeated operator
+    * calls in one session share the entry. At warehouse scale this
+    * cache becomes a materialized shingle TABLE (write once, reuse
+    * across the whole dedup campaign) rather than executor memory. */
+  def cachedShingleRows(docs: DataFrame): DataFrame =
+    shingleRows(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact |A∩B| for the given candidate pairs via a join on the
     * exploded shingles — no arrays shuffled, only matching rows. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
@@ -78,7 +90,7 @@ object Dedup {
   // linear-ish at any corpus size.
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(Tables.documents(spark, dir))
+    val sh = cachedShingleRows(Tables.documents(spark, dir))
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
     val ranked = sh.join(freq, "g")
       .withColumn("rn", row_number().over(
@@ -123,7 +135,7 @@ object Dedup {
     * expression into the per-seed lambda, recomputing the shingling
     * 64x per document — measured 100x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
+    val sh = cachedShingleRows(docs)
     val aggs = (0 until MinhashPerms).map(k => min(xxhash64(lit(k), col("g"))).as(s"mh_$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -146,7 +158,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingleRows(docs))
+    verifyJaccard(cand, cachedShingleRows(docs))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
