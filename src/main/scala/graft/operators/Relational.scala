@@ -402,7 +402,33 @@ object Relational {
       |  ON a.user_id = b.user_id AND a.ts >= b.ts
       |ORDER BY a.event_id""".stripMargin
 
+  // ---- q_setops: INTERSECT / EXCEPT over derived key sets ----
+  // Customers with a big order vs customers with a recent order:
+  // both sides are aggregations of the same scan; set semantics are
+  // distinct-based in both engines.
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val big = ord.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    val recent = ord.filter(col("o_orderdate") >= D("1997-06-01")).select(col("o_custkey"))
+    val both = big.intersect(recent).withColumn("tag", lit("both"))
+    val bigOnly = big.except(recent).withColumn("tag", lit("big_only"))
+    both.unionByName(bigOnly).orderBy(col("o_custkey"), col("tag"))
+  }
+
+  private val qSetopsSql: String =
+    """SELECT o_custkey, 'both' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+      |UNION ALL
+      |SELECT o_custkey, 'big_only' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+      |ORDER BY o_custkey, tag""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_setops", Some(qSetopsSql), qSetops),
     GraftQuery("q1_agg", Some(q1Sql), q1Agg),
     GraftQuery("q3_join_agg", Some(q3Sql), q3JoinAgg),
     GraftQuery("q5_multijoin", Some(q5Sql), q5MultiJoin),

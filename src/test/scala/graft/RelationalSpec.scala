@@ -28,6 +28,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracle-only keys: ${os.diff(qs)}")
   }
 
+  test("registry names are unique (Map would silently clobber duplicates)") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicates: ${names.diff(names.distinct)}")
+  }
+
   test("q1 aggregates are exact and deterministic across input partitionings") {
     val a = operators.Relational.q1Agg(spark, dir).collect()
     // Repartition the INPUT so the aggregation itself runs over a
