@@ -38,4 +38,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val AllNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every test table as a temp view so users get the
+    * reference's actual product — a queryable SQL surface — via
+    * `spark.sql(...)`, with the same Catalyst plans as the
+    * DataFrame API. */
+  def registerViews(s: SparkSession, d: String): Unit = AllNames.foreach {
+    case "events" => events(s, d).createOrReplaceTempView("events")
+    case n        => table(s, d, n).createOrReplaceTempView(n)
+  }
 }

@@ -99,4 +99,20 @@ object Warehouse {
 
   def compounds(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.read.parquet(compoundsDir(warehouseDir))
+
+  /** Publish the warehouse compounds as a BUCKETED catalog table:
+    * co-locates rows by primary key so key-equi joins and lookups
+    * against other tables bucketed the same way need NO shuffle —
+    * the 100 TB substitute for the reference's SQLite indexes.
+    * (Bucketed writes must go through the catalog; plain
+    * `.parquet()` paths cannot carry bucket metadata.) */
+  def publishBucketed(spark: SparkSession, warehouseDir: String, table: String,
+                      buckets: Int = 16, key: String = "cid"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    compounds(spark, warehouseDir)
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"$warehouseDir/bucketed_$table")
+      .saveAsTable(table)
+  }
 }

@@ -53,6 +53,30 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed publish: key-equi self-join plans with no shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_bucket").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    Warehouse.publishBucketed(spark, wh, "graft_compounds_bucketed", buckets = 4)
+    val a = spark.table("graft_compounds_bucketed")
+    val b = spark.table("graft_compounds_bucketed")
+      .select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("exact_mass").as("mass2"))
+    val joined = a.join(b, "cid")
+    assert(joined.count() == 8)
+    // bucketed-on-key scan feeds the join directly — no Exchange
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("sql view surface answers queries like the reference DB") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   test("jdbc sink dedups on primary key deterministically") {
     import spark.implicits._
     val layout = LayoutSpec(Seq(
