@@ -218,8 +218,13 @@ object Relational {
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   // ---- q_window_running: running-sum frame window ----
+  // Partitions on the UNFILTERED supplier key: cardinality grows
+  // with data size, so window state stays bounded per partition at
+  // any scale. (Round 1 filtered to 20 suppliers first — 20 window
+  // partitions holding everything at 100x, a skew bottleneck by
+  // construction; VERDICT r1.)
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).filter(col("l_suppkey") <= 20)
+    val li = Tables.lineitem(spark, dir)
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -236,7 +241,7 @@ object Relational {
        |    PARTITION BY l_suppkey
        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-       |FROM lineitem WHERE l_suppkey <= 20
+       |FROM lineitem
        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
   }
 
