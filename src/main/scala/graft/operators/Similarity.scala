@@ -115,9 +115,17 @@ object Similarity {
   }
 
   // ---- ann_ivf: k-means-lite inverted file ----
-  val IvfCells = 16
-  val IvfProbes = 4
+  // Cells scale as ~sqrt(n) (the classical IVF balance point:
+  // probe cost ~ probes * n/cells, centroid scan ~ cells), clamped
+  // to keep the broadcast centroid table bounded. Probes = cells/4
+  // keeps the probed fraction of the corpus constant (~25%).
+  val IvfCellsMin = 16
+  val IvfCellsMax = 4096
   val IvfIters = 2
+
+  def ivfCells(n: Long): Int =
+    math.max(IvfCellsMin, math.min(IvfCellsMax, math.sqrt(n.toDouble).toInt))
+  def ivfProbes(cells: Int): Int = math.max(4, cells / 4)
 
   /** Squared-L2 between two array<double> column refs — unrolled
     * codegen form (see Dedup.dot). */
@@ -161,14 +169,15 @@ object Similarity {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.embeddingsWithNorm(spark, dir)
-    val centroids = kmeansCentroids(spark, e, IvfCells, IvfIters)
+    val cells = ivfCells(e.count())
+    val centroids = kmeansCentroids(spark, e, cells, IvfIters)
     val lists = assign(e, centroids) // inverted lists: (vec_id, ..., cid)
-    // each query probes its IvfProbes nearest cells
+    // each query probes its nearest cells
     val qw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
     val probes = queriesOf(e).join(broadcast(centroids))
       .withColumn("dist", sqDist("qv", "cv"))
       .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= IvfProbes)
+      .filter(col("rn") <= ivfProbes(cells))
       .select(col("q_id"), col("qv"), col("qn"), col("cid"))
     val scored = probes.join(lists, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))

@@ -27,24 +27,30 @@ class SimilaritySpec extends AnyFunSuite {
   test("ivf recall against brute force clears the floor") {
     val ivf = pairs(Similarity.annIvf(spark, dir))
     val recall = (ivf & brute).size.toDouble / brute.size
-    // measured ~0.87 with 16 cells / 4 probes / 2 Lloyd iterations
     assert(recall >= 0.7, s"ivf recall $recall < 0.7")
+  }
+
+  test("ivf cell count scales with corpus size and stays bounded") {
+    assert(Similarity.ivfCells(100) == 16)       // floor
+    assert(Similarity.ivfCells(1000000) == 1000) // ~sqrt(n)
+    assert(Similarity.ivfCells(Long.MaxValue) == 4096) // broadcastable cap
   }
 
   test("ivf centroids are k x dim and cells partition the corpus usefully") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
-    val centroids = Similarity.kmeansCentroids(spark, e, Similarity.IvfCells, Similarity.IvfIters)
+    val cells = Similarity.ivfCells(n)
+    val centroids = Similarity.kmeansCentroids(spark, e, cells, Similarity.IvfIters)
     val cents = centroids.collect()
-    assert(cents.length == Similarity.IvfCells)
+    assert(cents.length == cells)
     assert(cents.forall(_.getSeq[Double](1).length == 64))
-    // probing IvfProbes of IvfCells cells must examine well under the
-    // whole corpus, or IVF degrades to brute force
+    // probing must examine well under the whole corpus, or IVF
+    // degrades to brute force
     val cellSizes = Similarity.assignCells(e, centroids)
       .groupBy("cid").count().collect().map(_.getLong(1))
     assert(cellSizes.sum == n)
-    val probed = cellSizes.sorted.reverse.take(Similarity.IvfProbes).sum
-    assert(probed < n * 0.8, s"largest ${Similarity.IvfProbes} cells hold $probed of $n vectors")
+    val probed = cellSizes.sorted.reverse.take(Similarity.ivfProbes(cells)).sum
+    assert(probed < n * 0.8, s"largest cells hold $probed of $n vectors")
   }
 
   test("lsh signatures are deterministic") {
