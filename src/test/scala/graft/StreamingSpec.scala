@@ -26,6 +26,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("watermark drops late rows from an append-mode windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val base = 1700000000L * 1000000
+    val ms = MemoryStream[(Long, Long)] // (event_id, tsUs)
+    val agg = ms.toDS().toDF("event_id", "tsUs")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("graft_watermark_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, base)); q.processAllAvailable()
+      // jump 2 hours ahead: watermark passes base's window end + 10 min
+      ms.addData((2L, base + 7200L * 1000000)); q.processAllAvailable()
+      // a late row in the long-closed first window must be DROPPED
+      ms.addData((3L, base + 1000)); q.processAllAvailable()
+      // advance far enough to emit the second window too
+      ms.addData((4L, base + 7200L * 2 * 1000000)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("graft_watermark_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket = (us: Long) => us - us % (300L * 1000000)
+    assert(got(bucket(base)) == 1L, s"late row was counted: $got")
+    assert(got(bucket(base + 7200L * 1000000)) == 1L)
+  }
+
   test("stateful sessionization over micro-batches equals the fold-based expectation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
