@@ -31,6 +31,10 @@ object GraftSession {
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native functions (fnv1a64, vec_dot, vec_sqdist) available in
+    // every graft session — public helpers like Dedup.dot must not
+    // depend on some other operator having registered them first
+    functions.GraftFunctions.register(s)
     s
   }
 }

@@ -30,7 +30,9 @@ object Tables {
     * session construction by [[GraftSession]]. Only set here as a
     * fallback when absent — not mutated per call (see ADVICE r1). */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    // fallback ONLY when truly unset — an explicit user `false` is
+    // respected (the read will then fail loudly, which is correct)
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

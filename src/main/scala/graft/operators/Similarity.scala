@@ -70,13 +70,16 @@ object Similarity {
   val LshBands = 4 // 4 bands x 4 bits
 
   /** Sign signature against `LshBits` Rademacher hyperplanes whose
-    * weights derive from xxhash64(j*64+d) — deterministic, no stored
-    * plane matrix, computed in one projection. */
+    * weights derive from xxhash64(j, d) — the two-argument hash
+    * keeps planes independent for ANY dimensionality (a `j*64+d`
+    * stride would alias plane j at dim 64 with plane j+1 at dim 0
+    * on >64-dim embeddings). Deterministic, no stored plane matrix,
+    * computed in one projection. */
   def lshSignature(e: DataFrame): DataFrame =
     e.withColumn("sig", expr(
       s"""transform(sequence(0, ${LshBits - 1}), j ->
          |  IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |       (x, d) -> x * IF((xxhash64(j * 64 + d) & 1) = 1, 1D, -1D)),
+         |       (x, d) -> x * IF((xxhash64(j, d) & 1) = 1, 1D, -1D)),
          |     0D, (a, p) -> a + p) > 0D, 1, 0))""".stripMargin))
 
   private def banded(sigDf: DataFrame, idCol: String): DataFrame = {
@@ -151,8 +154,13 @@ object Similarity {
     * allows (SURVEY §2E). */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    // seeds = first k vectors in vec_id order — NOT `vec_id < k`,
+    // which silently yields fewer (or zero) centroids on sparse or
+    // offset id spaces. The collect is k x dim, the bounded budget.
+    val seeds = e.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).as[Seq[Double]].collect()
+    var centroids = seeds.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cv")
     for (_ <- 1 to iters) {
       val updated = assign(e, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -76,7 +76,18 @@ object Warehouse {
     extracted.cache()
     try {
       val pk = layout.columns.find(_.primaryKey).map(_.name).getOrElse(layout.columns.head.name)
-      extracted.drop("src_file").write.mode("append")
+      // Compounds are PARTITIONED BY SOURCE FILENAME and written with
+      // dynamic partition overwrite: the manifest append (below)
+      // happens after the data write, so a crash between the two
+      // leaves the file un-manifested — and the re-run then
+      // OVERWRITES that file's partition instead of duplicating its
+      // rows. Per-file reprocessing also gets partition pruning.
+      extracted
+        .withColumn("src_filename", element_at(split(col("src_file"), "/"), -1))
+        .drop("src_file")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("src_filename")
         .parquet(compoundsDir(warehouseDir))
       // Every PROCESSED file gets a manifest row — even one whose
       // rows were all NOT_NULL-filtered (n_compounds = 0). Otherwise

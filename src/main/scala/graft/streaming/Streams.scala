@@ -93,16 +93,24 @@ object Streams {
     * an unordered iterator, so the batch's events are sorted by
     * (tsUs, event_id) before folding into state — cross-batch order
     * is the stream's responsibility (watermark + event-time
-    * semantics); sessions close on gap or on event-time timeout. */
+    * semantics); sessions close on gap or on event-time timeout.
+    *
+    * A timed-out session is emitted but its state is KEPT as a
+    * closed marker (n == 0) carrying the session counter — removing
+    * it would restart session_id at 1 for the user's next event and
+    * break the stream-equals-batch numbering guarantee. The marker
+    * sets no new timeout, so it costs one small state entry per
+    * user, exactly the cardinality the batch job's final aggregation
+    * holds anyway. */
   def sessionizeFn(userId: Long, events: Iterator[Ev],
                    state: GroupState[SessionState]): Iterator[SessionOut] = {
     val sorted = events.toSeq.sortBy(e => (e.tsUs, e.event_id))
     var out = List.empty[SessionOut]
     if (sorted.isEmpty) {
-      if (state.hasTimedOut && state.exists) {
+      if (state.hasTimedOut && state.exists && state.get.n > 0) {
         val s = state.get
         out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
-        state.remove()
+        state.update(s.copy(n = 0L)) // closed marker keeps the counter
       }
     } else {
       var cur = state.getOption.orNull
@@ -110,6 +118,8 @@ object Streams {
         cur match {
           case null =>
             cur = SessionState(1L, e.tsUs, e.tsUs, 1L)
+          case s if s.n == 0L => // previous session closed via timeout
+            cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)
           case s if e.tsUs - s.endUs > GapUs =>
             out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
             cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)

@@ -22,15 +22,22 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.length == 9001)
   }
 
-  test("salted join spreads a hot key over many shuffle partitions") {
+  test("salted join spreads a hot key of IDENTICAL rows over all sub-keys") {
     import spark.implicits._
-    val left = spark.range(0, 10000).select(lit(1L).as("k"), col("id").as("payload"))
+    // bit-identical rows — the case a row-hash salt cannot spread
+    val left = spark.range(0, 10000).select(lit(1L).as("k"), lit("same").as("payload"))
     val right = Seq((1L, "hot")).toDF("k", "name")
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(8L)))
-    val saltCount = salted.select("__salt").distinct().count()
+    val saltCount = left.withColumn("__salt", operators.Skew.saltCol(8, 42L))
+      .select("__salt").distinct().count()
     assert(saltCount == 8, s"expected the hot key split into 8 sub-keys, got $saltCount")
     assert(Skew.saltedJoin(left, right, "k", 8).count() == 10000)
+  }
+
+  test("salted join rejects inputs that already carry a __salt column") {
+    import spark.implicits._
+    val l = Seq((1L, 0L)).toDF("k", "__salt")
+    val r = Seq((1L, "x")).toDF("k", "name")
+    assertThrows[IllegalArgumentException](Skew.saltedJoin(l, r, "k", 4))
   }
 
   test("salted aggregation equals direct aggregation") {

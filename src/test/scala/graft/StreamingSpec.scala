@@ -73,12 +73,17 @@ class StreamingSpec extends AnyFunSuite {
     // timeouts close every open session
     val sentinel = Seq(ev(99, 999, base + 100 * hourUs))
 
+    // after the timeout flush, a NEW event for user 1 must continue
+    // the session numbering (session 3), not restart at 1
+    val postTimeout = Seq(ev(1, 5, base + 101 * hourUs))
+    val sentinel2 = Seq(ev(99, 998, base + 300 * hourUs))
+
     val ms = MemoryStream[Ev]
     val query = Streams.sessionize(ms.toDS())
       .writeStream.format("memory").queryName("graft_stream_sessions")
       .outputMode(OutputMode.Append()).start()
     try {
-      Seq(batch1, batch2, batch3, sentinel).foreach { b =>
+      Seq(batch1, batch2, batch3, sentinel, postTimeout, sentinel2).foreach { b =>
         ms.addData(b); query.processAllAvailable()
       }
     } finally query.stop()
@@ -89,6 +94,7 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Set(
       (1L, 1L, 3L, base, base + 120_000_000L),
       (1L, 2L, 1L, base + 120_000_000L + Streams.GapUs + 1, base + 120_000_000L + Streams.GapUs + 1),
+      (1L, 3L, 1L, base + 101 * hourUs, base + 101 * hourUs),
       (2L, 1L, 3L, base, base + 600_000_000L))
     assert(got == expected)
   }
