@@ -53,6 +53,24 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("re-ingest after a crash between data write and manifest append does not duplicate rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_crash").toString
+    Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
+    assert(Warehouse.compounds(spark, wh).count() == 3)
+    // simulate the crash window: data landed, manifest append lost
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmr); p.delete()
+    }
+    rmr(new java.io.File(Warehouse.manifestDir(wh)))
+    // re-run: the file is un-manifested, so it is re-processed — the
+    // dynamic partition overwrite must REPLACE its rows, not append
+    val again = Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
+    assert(again.filesLoaded == Seq("cmps_00_02.sdf"))
+    assert(Warehouse.compounds(spark, wh).count() == 3,
+      "partition overwrite failed: rows duplicated after crash recovery")
+    assert(Warehouse.manifest(spark, wh).count() == 1)
+  }
+
   test("bucketed publish: key-equi self-join plans with no shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_bucket").toString
     Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
