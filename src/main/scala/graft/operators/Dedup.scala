@@ -152,8 +152,11 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // persist: the self-join would otherwise run the 64-aggregate
+    // signature computation once per side
+    val bandsCached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandsCached.as("a")
+      .join(bandsCached.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

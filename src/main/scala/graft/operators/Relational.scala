@@ -432,8 +432,30 @@ object Relational {
       |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
       |ORDER BY o_custkey, tag""".stripMargin
 
+  // ---- q_median: exact grouped quantiles ----
+  // Spark `percentile` and DuckDB `quantile_cont` both compute the
+  // linearly-interpolated quantile at k = (n-1)*p over the sorted
+  // group — the same double arithmetic, so results hash-match.
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qMedianSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_setops", Some(qSetopsSql), qSetops),
+    GraftQuery("q_median", Some(qMedianSql), qMedian),
     GraftQuery("q1_agg", Some(q1Sql), q1Agg),
     GraftQuery("q3_join_agg", Some(q3Sql), q3JoinAgg),
     GraftQuery("q5_multijoin", Some(q5Sql), q5MultiJoin),

@@ -90,7 +90,10 @@ object Similarity {
   }
 
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: referenced by 4 branches (corpus/query buckets,
+    // candidate vectors, query vectors) shuffling on different keys
     val e = lshSignature(Dedup.embeddingsWithNorm(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBuckets = banded(e, "vec_id")
     val rows = LshBits / LshBands
     // Multi-probe: each query also probes the hamming-1 neighbors of
