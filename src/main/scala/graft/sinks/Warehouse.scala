@@ -111,6 +111,19 @@ object Warehouse {
   def compounds(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.read.parquet(compoundsDir(warehouseDir))
 
+  /** Drop-and-recreate semantics of the reference's
+    * `initialize_db(reset=True)` (utils.py:217-219): removes the
+    * compounds data and the ingest manifest so the next ingest
+    * starts from scratch. */
+  def reset(spark: SparkSession, warehouseDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(compoundsDir(warehouseDir), manifestDir(warehouseDir)).foreach { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Publish the warehouse compounds as a BUCKETED catalog table:
     * co-locates rows by primary key so key-equi joins and lookups
     * against other tables bucketed the same way need NO shuffle —

@@ -53,6 +53,16 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("reset drops compounds and manifest so ingest starts fresh (reference reset=True)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_reset").toString
+    Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
+    assert(Warehouse.compounds(spark, wh).count() == 3)
+    Warehouse.reset(spark, wh)
+    assert(Warehouse.manifest(spark, wh).columns.isEmpty) // empty frame
+    val re = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(re.filesLoaded.length == 3 && Warehouse.compounds(spark, wh).count() == 8)
+  }
+
   test("re-ingest after a crash between data write and manifest append does not duplicate rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_crash").toString
     Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
