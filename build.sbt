@@ -13,8 +13,12 @@ Test / fork := true
 run / fork := true
 // Suites share one SparkSession and several temporarily flip session
 // confs (codegen, maxPartitionBytes, autoBroadcastJoinThreshold);
-// parallel suite execution would race those mutations.
+// parallel suite execution would race those mutations. With
+// fork := true the governing setting is testForkedParallel (default
+// false — pinned here so a future change can't silently re-enable
+// the race); parallelExecution covers any non-forked path.
 Test / parallelExecution := false
+Test / testForkedParallel := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -113,15 +113,19 @@ object Warehouse {
 
   /** Drop-and-recreate semantics of the reference's
     * `initialize_db(reset=True)` (utils.py:217-219): removes the
-    * compounds data and the ingest manifest so the next ingest
-    * starts from scratch. */
-  def reset(spark: SparkSession, warehouseDir: String): Unit = {
+    * compounds data, the ingest manifest, AND any catalog tables
+    * published from this warehouse — the reference drops the
+    * compounds table outright, so published surfaces must not keep
+    * serving pre-reset rows. */
+  def reset(spark: SparkSession, warehouseDir: String,
+            publishedTables: Seq[String] = Nil): Unit = {
+    publishedTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(compoundsDir(warehouseDir), manifestDir(warehouseDir)).foreach { d =>
-      val p = new Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val base = new Path(warehouseDir)
+    val fs = base.getFileSystem(conf)
+    val dirs = Seq(compoundsDir(warehouseDir), manifestDir(warehouseDir)).map(new Path(_)) ++
+      publishedTables.map(t => new Path(s"$warehouseDir/bucketed_$t"))
+    dirs.foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 
   /** Publish the warehouse compounds as a BUCKETED catalog table:

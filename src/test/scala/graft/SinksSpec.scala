@@ -53,12 +53,15 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
-  test("reset drops compounds and manifest so ingest starts fresh (reference reset=True)") {
+  test("reset drops compounds, manifest, AND published tables (reference reset=True)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_reset").toString
     Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
     assert(Warehouse.compounds(spark, wh).count() == 3)
-    Warehouse.reset(spark, wh)
+    Warehouse.publishBucketed(spark, wh, "graft_reset_probe", buckets = 2)
+    Warehouse.reset(spark, wh, publishedTables = Seq("graft_reset_probe"))
     assert(Warehouse.manifest(spark, wh).columns.isEmpty) // empty frame
+    // the published surface must NOT keep serving pre-reset rows
+    assert(!spark.catalog.tableExists("graft_reset_probe"))
     val re = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
     assert(re.filesLoaded.length == 3 && Warehouse.compounds(spark, wh).count() == 8)
   }
