@@ -20,13 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct character n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct character n-gram shingles of a text column, via the
+    * native kernel (graft.functions.ShinglesExpr — the
+    * transform+array_distinct form interprets every substring
+    * through CodegenFallback lambdas; the kernel is one Java loop).
+    * Requires GraftFunctions registration (GraftSession does it;
+    * operator entry points re-register defensively). */
+  def shingles(textCol: String, n: Int): Column =
+    expr(s"graft_shingles($textCol, $n)")
 
   // 16-char shingles (~3 words): discriminative enough that posting
   // lists stay short on small-vocabulary corpora. 8-char shingles
@@ -48,8 +49,15 @@ object Dedup {
 
   /** Exploded distinct shingles: (doc_id, g). The base relation for
     * candidate generation and exact-overlap verification. */
-  def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), ShingleN)).as("g"))
+  def shingleRows(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // repartition BEFORE the CPU-heavy shingling: a small input
+    // (one parquet file = one partition) would otherwise pin the
+    // whole explode+dedup on a single core; the shuffle moves only
+    // the raw text, a fraction of the shingle volume it unlocks
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles("text", ShingleN)).as("g"))
+  }
 
   /** Persisted shingle relation. The dedup plans reference it from
     * 3-4 branches that shuffle on DIFFERENT keys (g for candidate
@@ -174,6 +182,7 @@ object Dedup {
     * folds — same output, none of the per-token array allocation. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
+      .repartition(col("doc_id")) // spread tokenization off the single input split
       .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>
