@@ -100,10 +100,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = cachedShingleRows(Tables.documents(spark, dir))
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
-    val ranked = sh.join(freq, "g")
+    // doc sizes via a partial-aggregated groupBy join — cheaper than
+    // a second count-over-partition window pass
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ranked = sh.join(freq, "g").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("g"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(col("n") * JaccardThreshold) + 1)
       .select(col("doc_id"), col("g"))
@@ -144,8 +146,15 @@ object Dedup {
     * 64x per document — measured 100x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = cachedShingleRows(docs)
-    val aggs = (0 until MinhashPerms).map(k => min(xxhash64(lit(k), col("g"))).as(s"mh_$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // One string hash per shingle, then 64 cheap fixed-width
+    // re-hashes xxhash64(h, k) — hashing the 16-char string 64x was
+    // the dominant signature cost; re-hashing the 8-byte long is a
+    // fraction of it. (An affine h*A_k+B_k permutation would be
+    // cheaper still but ANSI mode rejects wraparound multiply.)
+    val hashed = sh.withColumn("h", xxhash64(col("g")))
+    val aggs = (0 until MinhashPerms).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"mh_$k"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
   }
