@@ -99,18 +99,25 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = cachedShingleRows(Tables.documents(spark, dir))
-    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    // Candidate generation runs on the 64-bit shingle HASH: the
+    // prefix filter is complete under ANY consistent global shingle
+    // order (rarity order is just the best one), so hashing cannot
+    // lose pairs — and longs shuffle/sort/join far cheaper than
+    // 16-char strings. Exactness is untouched: verification below
+    // intersects the real shingle strings.
+    val shh = sh.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val freq = shh.groupBy(col("gh")).agg(count(lit(1)).as("f"))
     // doc sizes via a partial-aggregated groupBy join — cheaper than
     // a second count-over-partition window pass
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ranked = sh.join(freq, "g").join(sizes, "doc_id")
+    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ranked = shh.join(freq, "gh").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("g"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("gh"))))
     val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(col("n") * JaccardThreshold) + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("gh"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sh)
