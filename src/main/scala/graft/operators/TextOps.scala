@@ -129,7 +129,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide top word-bigram frequencies — the corpus-analysis
+    * primitive behind stopword lists and contamination checks.
+    * One explode + one partially-aggregated groupBy; the top-k is
+    * a TakeOrdered, not a global sort. */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(expr(
+        // guard: sequence(1, 0) would be DESCENDING [1,0], not empty
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array()" +
+          " ELSE transform(sequence(1, size(split(text, ' ')) - 1)," +
+          " i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))) END"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private lazy val textNgramFreqSql: String =
+    """WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), b AS (
+      |  SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS bigram
+      |  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+      |)
+      |SELECT bigram, COUNT(*) AS freq FROM b
+      |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_ngram_freq", Some(textNgramFreqSql), textNgramFreq),
     GraftQuery("text_tokens", Some(textTokensSql), textTokens),
     GraftQuery("text_quality", Some(textQualitySql), textQuality),
     GraftQuery("text_langid", Some(textLangidSql), textLangid),

@@ -41,4 +41,9 @@ object Tabular {
   /** JSON-lines → compounds table per layout. */
   def fromJson(spark: SparkSession, path: String, layout: LayoutSpec = LayoutSpec.default): DataFrame =
     extract(spark.read.json(path), layout)
+
+  /** ORC → compounds table per layout (columnar exchange format for
+    * warehouses that are not parquet-based). */
+  def fromOrc(spark: SparkSession, path: String, layout: LayoutSpec = LayoutSpec.default): DataFrame =
+    extract(spark.read.orc(path), layout)
 }

@@ -29,6 +29,7 @@ class TabularSpec extends AnyFunSuite {
       Sdf.tagValue(org.apache.spark.sql.functions.col("sdf"), "PUBCHEM_XLOGP3_AA").as("PUBCHEM_XLOGP3_AA"))
     asTags.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     asTags.write.mode("overwrite").json(s"$tmp/json")
+    asTags.write.mode("overwrite").orc(s"$tmp/orc")
 
     val direct = Sdf.compounds(spark, s"$sdfDir/*.sdf", layout)
       .collect().map(_.toString).sorted.toSeq
@@ -36,9 +37,12 @@ class TabularSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     val viaJson = Tabular.fromJson(spark, s"$tmp/json", layout)
       .collect().map(_.toString).sorted.toSeq
+    val viaOrc = Tabular.fromOrc(spark, s"$tmp/orc", layout)
+      .collect().map(_.toString).sorted.toSeq
     assert(direct.nonEmpty && direct.length == 8)
     assert(viaCsv == direct)
     assert(viaJson == direct)
+    assert(viaOrc == direct)
   }
 
   test("missing source columns fall through the tag priority list") {
