@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** PPJoin prefix extraction as a per-document kernel.
+  *
+  * The round-2 prefix construction ranked the EXPLODED shingle
+  * relation by global rarity: a corpus-wide shuffle+sort by shingle
+  * hash (for the frequency) and a second by doc_id (for the rank) —
+  * two full shuffles of the largest relation in the pipeline. Here
+  * global rarity comes from a count-min sketch (one bounded-size
+  * aggregate, broadcast to every task regardless of corpus size),
+  * and each document sorts its own shingles locally — prefix
+  * construction does ZERO corpus-wide shuffles.
+  *
+  * Correctness: the PPJoin prefix filter is complete under ANY
+  * globally consistent shingle order. Every document consults the
+  * SAME sketch, so (estimate, hash) is consistent; CMS overestimates
+  * only blur the order among rare shingles (slightly less optimal
+  * prefixes, never lost pairs) while reliably pushing the heavy
+  * hitters — the candidate-blowup killers — out of the prefixes.
+  */
+object PpjoinKernels {
+  /** Same value as Spark's `xxhash64(string)` (seed 42), so hashes
+    * agree with the exploded `cachedHashedShingleRows` relation the
+    * frequency sketch is built from. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUTF8String(s, 42L)
+
+  /** First L entries of the doc's shingles in (approx global freq,
+    * hash) order, L = n - ceil(t*n) + 1, as struct(gh, rn) rows.
+    * The 1e-9 slack under the ceil keeps double rounding from
+    * shrinking L at exact-integer products (a larger prefix only
+    * admits extra candidates — safe). */
+  def prefix(gs: ArrayData, sketch: CountMinSketch, t: Double): ArrayData = {
+    val n = gs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val l = n - math.ceil(t * n - 1e-9).toInt + 1
+    if (l <= 0) return new GenericArrayData(Array.empty[Any])
+    val keyed = new Array[(Long, Long)](n) // (estimate, hash)
+    var i = 0
+    while (i < n) {
+      val h = hash(gs.getUTF8String(i))
+      keyed(i) = (sketch.estimateCount(java.lang.Long.valueOf(h)), h)
+      i += 1
+    }
+    java.util.Arrays.sort(keyed, implicitly[Ordering[(Long, Long)]])
+    val take = math.min(l, n)
+    val out = new Array[Any](take)
+    var r = 0
+    while (r < take) {
+      out(r) = InternalRow(keyed(r)._2, r + 1)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_ppjoin_prefix(array<string>) → array<struct<gh, rn>>` —
+  * the sketch and threshold are plan-time constants (the operator
+  * registers a builder closing over the just-built sketch). */
+case class PpjoinPrefixExpr(child: Expression, sketch: CountMinSketch, t: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("gh", LongType, nullable = false),
+      StructField("rn", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ppjoin_prefix requires an array<string> argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PpjoinKernels.prefix(input.asInstanceOf[ArrayData], sketch, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the sketch ships with the task binary (CountMinSketchImpl is
+    // Serializable); one deserialized instance per executor, probed
+    // in-loop — no per-row setup
+    val sketchRef = ctx.addReferenceObj("graftPpjoinSketch", sketch,
+      classOf[CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.PpjoinKernels.prefix($c, $sketchRef, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpjoinPrefixExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ppjoin_prefix"
+}

@@ -26,11 +26,58 @@ object TextKernels {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** Adjacent word bigrams over a single-space split — identical
+    * output to `transform(sequence(1, size(ws) - 1), i ->
+    * concat(element_at(ws, i), ' ', element_at(ws, i + 1)))` with
+    * `ws = split(text, ' ')`: empty tokens from repeated spaces are
+    * kept, exactly like Java split(-1) and DuckDB string_split.
+    * Because adjacent tokens are separated by exactly one space,
+    * each bigram is a contiguous byte range of the input (token i,
+    * the space, token i+1) — emitted as a substring, no per-bigram
+    * concat. A space byte (0x20) never occurs inside a UTF-8
+    * multibyte sequence, so the byte scan is charset-safe. */
+  def wordBigrams(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (b(i) == ' ') spaces += 1; i += 1 }
+    if (spaces == 0) return new GenericArrayData(Array.empty[Any])
+    // token start offsets: 0 plus one past every space
+    val starts = new Array[Int](spaces + 1)
+    var t = 1
+    i = 0
+    while (i < n) { if (b(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    val out = new Array[Any](spaces) // tokens - 1 bigrams
+    var j = 0
+    while (j < spaces) {
+      val st = starts(j)
+      val en = if (j + 2 <= spaces) starts(j + 2) - 1 else n
+      out(j) = UTF8String.fromBytes(b, st, en - st)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Analysis-time string-input check shared by the text kernels —
+  * a `StringType` pattern (not equality) so non-default-collation
+  * string columns under Spark 4 collations are accepted too. */
+trait StringInputCheck { self: UnaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got $other")
+    }
 }
 
 /** `graft_shingles(string, n) → array<string>` — n fixed at plan
   * time (a foldable argument in the SQL form). */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression with StringInputCheck {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -44,4 +91,24 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_word_bigrams(string) → array<string>` — the hot projection
+  * of text_ngram_freq as one Java loop (the transform/element_at SQL
+  * form re-evaluates the `split` inside the per-element lambda after
+  * Catalyst's projection collapse — the same trap documented on the
+  * MinHash signatures, Dedup.scala). */
+case class WordBigramsExpr(child: Expression) extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_word_bigrams"
 }

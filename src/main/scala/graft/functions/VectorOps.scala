@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native codegen'd vector kernels over `array<double>`.
   *
@@ -34,12 +35,45 @@ object VectorOps {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
     acc
   }
+
+  /** Sign signature against `nbits` Rademacher hyperplanes. The
+    * plane weights reproduce the SQL form's derivation EXACTLY:
+    * sign(j, d) = low bit of xxhash64(j, d), where Spark's two-arg
+    * xxhash64 over ints is XXH64.hashInt(d, XXH64.hashInt(j, 42L)).
+    * The per-plane dot accumulates left-to-right in double — the
+    * same IEEE op sequence as the aggregate(zip_with(...)) fold this
+    * kernel replaces, so signatures (and LSH buckets) are unchanged
+    * bit-for-bit. */
+  def lshSign(v: ArrayData, nbits: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](nbits)
+    var j = 0
+    while (j < nbits) {
+      val hj = XXH64.hashInt(j, 42L)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val s = if ((XXH64.hashInt(d, hj) & 1L) == 1L) 1.0 else -1.0
+        acc += v.getDouble(d) * s
+        d += 1
+      }
+      out(j) = if (acc > 0.0) 1 else 0
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 abstract class VectorKernel extends BinaryExpression {
   override def dataType: DataType = DoubleType
   /** static method on VectorOps implementing the kernel */
   def kernel: String
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>) arguments, got ($l, $r)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     kernel match {
@@ -65,4 +99,31 @@ case class VecSqDistExpr(left: Expression, right: Expression) extends VectorKern
   override def prettyName: String = "vec_sqdist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDistExpr =
     copy(left = l, right = r)
+}
+
+/** `vec_lsh_sign(array<double>, nbits) → array<int>` — the LSH
+  * signature projection as a native kernel; `nbits` fixed at plan
+  * time. The aggregate(zip_with(...)) SQL form is CodegenFallback —
+  * nbits x dim interpreted lambda calls per corpus row, the hot
+  * projection of ann_topk_lsh. */
+case class VecLshSignExpr(child: Expression, nbits: Int) extends UnaryExpression {
+  require(nbits > 0 && nbits <= 64, "nbits must be in 1..64")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_lsh_sign requires an array<double> argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.lshSign(input.asInstanceOf[ArrayData], nbits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshSign($c, $nbits)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshSignExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_lsh_sign"
 }

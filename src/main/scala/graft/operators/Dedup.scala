@@ -47,9 +47,14 @@ object Dedup {
     """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
-  /** Exploded distinct shingles: (doc_id, g). The base relation for
-    * candidate generation and exact-overlap verification. */
-  def shingleRows(docs: DataFrame): DataFrame = {
+  /** Exploded 64-bit-hashed distinct shingles: (doc_id, gh). The
+    * base relation for candidate generation — hash-only, because
+    * longs shuffle/sort/join far cheaper than 16-char strings and
+    * every candidate-side consumer (postings, MinHash perms, PPJoin
+    * prefixes) is complete under any consistent shingle identity.
+    * Verification intersects the real shingle STRINGS via
+    * [[shingleArrays]], so exactness is untouched. */
+  def hashedShingleRows(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // repartition BEFORE the CPU-heavy shingling: a small input
     // (one parquet file = one partition) would otherwise pin the
@@ -57,32 +62,55 @@ object Dedup {
     // the raw text, a fraction of the shingle volume it unlocks
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles("text", ShingleN)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
   }
 
-  /** Persisted shingle relation. The dedup plans reference it from
-    * 3-4 branches that shuffle on DIFFERENT keys (g for candidate
-    * postings, doc_id for sizes/verification), so exchange reuse
-    * never applies and the shingling pass — the single most
+  /** Persisted hashed-shingle relation. The dedup plans reference it
+    * from 3-4 branches that shuffle on DIFFERENT keys (gh for
+    * candidate postings, doc_id for sizes/prefix ranks), so exchange
+    * reuse never applies and the shingling pass — the single most
     * expensive projection — would be recomputed per branch. Spark's
     * cache manager dedups by logical plan, so repeated operator
     * calls in one session share the entry. At warehouse scale this
     * cache becomes a materialized shingle TABLE (write once, reuse
     * across the whole dedup campaign) rather than executor memory. */
-  def cachedShingleRows(docs: DataFrame): DataFrame =
-    shingleRows(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def cachedHashedShingleRows(docs: DataFrame): DataFrame =
+    hashedShingleRows(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Exact |A∩B| for the given candidate pairs via a join on the
-    * exploded shingles — no arrays shuffled, only matching rows. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** Per-doc distinct shingle ARRAY (not exploded): (doc_id, gs) —
+    * the verification-side relation. One row per document keeps the
+    * exact-verify joins document-cardinality (candidate pairs x two
+    * array lookups) instead of shingle-cardinality: the round-2
+    * exploded-string verify shuffled the full 1.4M-row shingle
+    * relation on (doc_id, g) to score 257 candidate pairs. */
+  def shingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), shingles("text", ShingleN).as("gs"))
+  }
+
+  /** Exact Jaccard for the candidate pairs: join the two doc-level
+    * shingle arrays and intersect the real strings. Both arrays are
+    * distinct by construction, so size(array_intersect) IS |A∩B|.
+    *
+    * The shingle kernel runs ONLY on documents that appear in a
+    * candidate pair (semi-join prune first): verification cost is
+    * proportional to the candidate set, not the corpus. `cand` must
+    * be persisted by the caller — it feeds the id prune AND the pair
+    * join, and its lineage is the whole candidate-generation plan. */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // repartition AFTER the prune, BEFORE the kernel: the semi join
+    // broadcasts `ids` into the narrow scan, which would leave the
+    // shingling and the intersects below on the scan's (single-file)
+    // partitioning — serialized on one core
+    val arrs = shingleArrays(docs.join(ids, Seq("doc_id"), "left_semi").repartition(col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.g") === col("y.g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(arrs.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(arrs.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.gs"), col("y.gs"))))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (size(col("x.gs")) + size(col("y.gs")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -97,30 +125,60 @@ object Dedup {
   // shingles have tiny postings lists, so the candidate join stays
   // linear-ish at any corpus size.
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = cachedShingleRows(Tables.documents(spark, dir))
-    // Candidate generation runs on the 64-bit shingle HASH: the
-    // prefix filter is complete under ANY consistent global shingle
-    // order (rarity order is just the best one), so hashing cannot
-    // lose pairs — and longs shuffle/sort/join far cheaper than
-    // 16-char strings. Exactness is untouched: verification below
-    // intersects the real shingle strings.
-    val shh = sh.select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val freq = shh.groupBy(col("gh")).agg(count(lit(1)).as("f"))
-    // doc sizes via a partial-aggregated groupBy join — cheaper than
-    // a second count-over-partition window pass
-    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ranked = shh.join(freq, "gh").join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("gh"))))
-    val prefix = ranked
-      .filter(col("rn") <= col("n") - ceil(col("n") * JaccardThreshold) + 1)
-      .select(col("doc_id"), col("gh"))
+    val docs = Tables.documents(spark, dir)
+    // Global shingle rarity as a count-min sketch: ONE bounded-size
+    // aggregate (eps 1e-4, ~1 MB — broadcastable at any corpus
+    // size), collected once like the IVF centroids. Rarity ranks
+    // then come from a per-document local sort inside the
+    // graft_ppjoin_prefix kernel — prefix construction does ZERO
+    // corpus-wide shuffles (round 2 shuffled the full exploded
+    // shingle relation twice, by hash for frequency and by doc for
+    // rank). CMS estimates are globally CONSISTENT, which is all the
+    // prefix filter's completeness needs; see PpjoinKernels.
+    val shh = cachedHashedShingleRows(docs)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      shh.select(expr("count_min_sketch(gh, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ppjoin_prefix",
+      args => graft.functions.PpjoinPrefixExpr(args.head, sketch, JaccardThreshold),
+      "built-in")
+    // Candidate generation runs on the 64-bit shingle HASH (longs
+    // join far cheaper than 16-char strings; completeness holds
+    // under any consistent shingle identity). Exactness is
+    // untouched: verification below intersects the real strings.
+    val prefix = shingleArrays(docs.repartition(col("doc_id")))
+      .select(col("doc_id"), size(col("gs")).as("n"),
+        explode(expr("graft_ppjoin_prefix(gs)")).as("p"))
+      .select(col("doc_id"), col("p.gh").as("gh"), col("p.rn").as("rn"), col("n"))
+      // persisted: the self-join references prefix from both sides,
+      // and AQE's broadcast-build threads would otherwise re-run the
+      // shingle+sketch kernel chain serially per reference
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin candidate pruning (Xiao et al.), both filters directly
+    // in the join condition so pruned rows never reach the distinct:
+    //  - length filter: J >= t forces min(n_a,n_b) >= t * max(n_a,n_b)
+    //    (J <= n_small/n_large when the small set is fully contained);
+    //  - positional filter: for a shared prefix shingle at global-
+    //    order positions (rn_a, rn_b), overlap <= 1 + min(n_a - rn_a,
+    //    n_b - rn_b); J >= t needs overlap >= ceil(t/(1+t)*(n_a+n_b)).
+    //    A qualifying pair's FIRST shared prefix shingle always
+    //    passes the bound, so filtering per matched row + distinct
+    //    keeps candidate generation complete.
+    // The 1e-9 slack keeps double rounding from over-pruning at
+    // exact-integer boundaries (e.g. t*(n_a+n_b) landing on an int):
+    // a slightly LOW threshold only admits extra candidates.
+    val t = JaccardThreshold
+    val alpha = ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) >= lit(t) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
+        lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh)
+      // persisted: verification consumes cand twice (id prune + pair
+      // join) and its lineage is the whole prefix-join plan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(cand, docs)
   }
 
   private val dedupNgramJaccardSql: String =
@@ -152,15 +210,15 @@ object Dedup {
     * expression into the per-seed lambda, recomputing the shingling
     * 64x per document — measured 100x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = cachedShingleRows(docs)
-    // One string hash per shingle, then 64 cheap fixed-width
-    // re-hashes xxhash64(h, k) — hashing the 16-char string 64x was
-    // the dominant signature cost; re-hashing the 8-byte long is a
+    // One string hash per shingle (gh, shared with the PPJoin path's
+    // cached relation), then 64 cheap fixed-width re-hashes
+    // xxhash64(gh, k) — hashing the 16-char string 64x was the
+    // dominant signature cost; re-hashing the 8-byte long is a
     // fraction of it. (An affine h*A_k+B_k permutation would be
     // cheaper still but ANSI mode rejects wraparound multiply.)
-    val hashed = sh.withColumn("h", xxhash64(col("g")))
+    val hashed = cachedHashedShingleRows(docs)
     val aggs = (0 until MinhashPerms).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"mh_$k"))
+      min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
@@ -185,7 +243,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, cachedShingleRows(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(cand, docs)
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----

@@ -74,18 +74,27 @@ object Similarity {
     * keeps planes independent for ANY dimensionality (a `j*64+d`
     * stride would alias plane j at dim 64 with plane j+1 at dim 0
     * on >64-dim embeddings). Deterministic, no stored plane matrix,
-    * computed in one projection. */
-  def lshSignature(e: DataFrame): DataFrame =
-    e.withColumn("sig", expr(
-      s"""transform(sequence(0, ${LshBits - 1}), j ->
-         |  IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |       (x, d) -> x * IF((xxhash64(j, d) & 1) = 1, 1D, -1D)),
-         |     0D, (a, p) -> a + p) > 0D, 1, 0))""".stripMargin))
+    * computed in one projection — by the native vec_lsh_sign kernel
+    * (graft.functions.VecLshSignExpr): the aggregate(zip_with(...))
+    * SQL form is CodegenFallback, bits x dim interpreted lambda
+    * calls per corpus row on THE projection that touches every
+    * vector. Same hash derivation and IEEE accumulation order, so
+    * signatures are bit-identical to the fold form. */
+  def lshSignature(e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    e.withColumn("sig", expr(s"vec_lsh_sign(v, $LshBits)"))
+  }
 
   private def banded(sigDf: DataFrame, idCol: String): DataFrame = {
     val rows = LshBits / LshBands
+    // band value by plain codegen'd arithmetic — `rows` is a plan-time
+    // constant, so the aggregate-over-slice fold (CodegenFallback)
+    // flattens to element_at terms
+    val bval = (0 until rows)
+      .map(r => element_at(col("sig"), col("band") * rows + r + 1) * lit(1 << (rows - 1 - r)))
+      .reduce(_ + _)
     sigDf.select(col(idCol), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
-      .withColumn("bval", expr(s"aggregate(slice(sig, band * $rows + 1, $rows), 0, (acc, b) -> acc * 2 + b)"))
+      .withColumn("bval", bval)
       .drop("sig")
   }
 
@@ -123,15 +132,19 @@ object Similarity {
   // ---- ann_ivf: k-means-lite inverted file ----
   // Cells scale as ~sqrt(n) (the classical IVF balance point:
   // probe cost ~ probes * n/cells, centroid scan ~ cells), clamped
-  // to keep the broadcast centroid table bounded. Probes = cells/4
-  // keeps the probed fraction of the corpus constant (~25%).
+  // to keep the broadcast centroid table bounded. nprobe grows only
+  // as ~sqrt(cells) ~ n^(1/4), so the probed FRACTION of the corpus
+  // (nprobe/cells ~ 1/sqrt(cells)) SHRINKS as the corpus grows —
+  // classical IVF behavior; the round-2 cells/4 policy probed a
+  // constant 25% of the corpus at any scale, which is not an index.
   val IvfCellsMin = 16
   val IvfCellsMax = 4096
   val IvfIters = 2
 
   def ivfCells(n: Long): Int =
     math.max(IvfCellsMin, math.min(IvfCellsMax, math.sqrt(n.toDouble).toInt))
-  def ivfProbes(cells: Int): Int = math.max(4, cells / 4)
+  def ivfProbes(cells: Int): Int =
+    math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   /** Squared-L2 between two array<double> column refs — unrolled
     * codegen form (see Dedup.dot). */
@@ -152,30 +165,31 @@ object Similarity {
   }
 
   /** k-means-lite: deterministic seeds (first k vec_ids), `iters`
-    * Lloyd steps. The per-iteration collect is k x dim doubles —
-    * constant-size, the one driver-side collect the design budget
-    * allows (SURVEY §2E). */
+    * Lloyd steps. The update stays DISTRIBUTED — each step computes
+    * the new centroid frame as posexplode → per-(cid, pos) mean →
+    * re-assembled array, all executor-side; the ONLY driver-side
+    * materialization is the final k x dim collect (SURVEY §2E's
+    * bounded-collect budget), which also keeps downstream consumers
+    * (inverted lists AND query probes) from re-running the Lloyd
+    * lineage per branch. */
   def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
     // seeds = first k vectors in vec_id order — NOT `vec_id < k`,
     // which silently yields fewer (or zero) centroids on sparse or
-    // offset id spaces. The collect is k x dim, the bounded budget.
-    val seeds = e.orderBy(col("vec_id")).limit(k)
-      .select(col("v")).as[Seq[Double]].collect()
-    var centroids = seeds.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cv")
+    // offset id spaces.
+    var centroids = e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val updated = assign(e, centroids)
+      centroids = assign(e, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val byCid = updated.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }
-      centroids = byCid.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }
-        .toDF("cid", "cv")
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
     }
-    centroids
+    val finalCentroids = centroids.select(col("cid"), col("cv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    finalCentroids.toSeq.toDF("cid", "cv")
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
