@@ -19,18 +19,22 @@ import java.sql.DriverManager
   */
 object JdbcSink {
 
-  /** ANSI-ish column types per layout dtype. varchar gets an
-    * explicit length — Derby (unlike SQLite) rejects bare VARCHAR,
-    * and unbounded CLOBs can't be indexed. */
-  def columnTypes(layout: LayoutSpec, varcharLen: Int = 1024): String =
-    layout.columns.map { c =>
-      val t = c.dtype.toLowerCase match {
-        case "integer" | "int"                           => "BIGINT"
-        case "real" | "float" | "double"                 => "DOUBLE"
-        case "varchar" | "character" | "text" | "string" => s"VARCHAR($varcharLen)"
-        case other => throw new IllegalArgumentException(s"Invalid dtype: $other.")
-      }
-      s"${c.name} $t"
+  /** Column-type OVERRIDES for Spark's `createTableColumnTypes`:
+    * only text columns that are indexed (or the primary key) are
+    * pinned to a bounded VARCHAR — Derby can't index CLOBs, and
+    * `varcharLen` need only cover the longest INDEXED value (the
+    * default 4096 is far above InChIKey's 27 chars). Every other
+    * column keeps the JDBC dialect's native mapping — for strings
+    * that is CLOB on Derby / TEXT on SQLite, so unbounded payloads
+    * (full InChI / SMILES can exceed any fixed cap) load without
+    * truncation or abort, like the reference's typeless SQLite
+    * columns. (The option's types are parsed by Spark's SQL parser,
+    * which has no CLOB — hence overrides only where a bound is
+    * required, not a full DDL.) */
+  def columnTypes(layout: LayoutSpec, varcharLen: Int = 4096): String =
+    layout.columns.collect {
+      case c if Set("varchar", "character", "text", "string")(c.dtype.toLowerCase) &&
+        (c.withIndex || c.primaryKey) => s"${c.name} VARCHAR($varcharLen)"
     }.mkString(", ")
 
   /** Dedup on the layout's primary key before insert — the
@@ -52,12 +56,13 @@ object JdbcSink {
     * JDBC writer); index DDL runs once, after load, like the
     * reference. */
   def write(df: DataFrame, url: String, table: String, layout: LayoutSpec,
-            varcharLen: Int = 1024): Unit = {
-    dedupByPrimaryKey(df, layout)
+            varcharLen: Int = 4096): Unit = {
+    val overrides = columnTypes(layout, varcharLen)
+    val writer = dedupByPrimaryKey(df, layout)
       .write
-      .option("createTableColumnTypes", columnTypes(layout, varcharLen))
       .option("truncate", "false")
       .mode("overwrite")
+    (if (overrides.nonEmpty) writer.option("createTableColumnTypes", overrides) else writer)
       .jdbc(url, table, new java.util.Properties)
     // Spark's JDBC writer creates columns as QUOTED identifiers, so
     // they are case-sensitive ("InChIKey", not INCHIKEY) — the index

@@ -70,12 +70,16 @@ object Sdf {
   }
 
   /** One extracted column: first matching tag in SD_TAG priority
-    * order wins (tags are mutually exclusive within a PubChem record
-    * — e.g. XLOGP3 vs XLOGP3_AA — so list-priority and the
-    * reference's file-order scan agree), cast to the declared dtype
-    * (utils.py:37 `_as_dtype`), then the CREATE_LIKE transform
-    * (utils.py:107), then a final cast so the output type is stable
-    * even for type-changing transforms. */
+    * order wins. DELIBERATE divergence from the reference, whose
+    * file-order scan lets every matching block overwrite so the LAST
+    * tag in the record wins (utils.py:95-107): priority order makes
+    * the layout, not record byte layout, decide — and the two agree
+    * on real PubChem data, where these tags are mutually exclusive
+    * per record (pinned either way by SdfSpec "tag priority
+    * pinned"). Then cast to the declared dtype (utils.py:37
+    * `_as_dtype`), the CREATE_LIKE transform (utils.py:107), and a
+    * final cast so the output type is stable even for type-changing
+    * transforms. */
   def extractColumn(sdf: Column, spec: ColumnSpec): Column = {
     val raw = coalesce(spec.sdTags.map(t => tagValue(sdf, t)): _*)
     val typed = raw.cast(spec.sparkType)

@@ -91,9 +91,20 @@ object Streams {
 
   /** Per-user gap sessionizer. Events WITHIN a micro-batch arrive as
     * an unordered iterator, so the batch's events are sorted by
-    * (tsUs, event_id) before folding into state — cross-batch order
-    * is the stream's responsibility (watermark + event-time
-    * semantics); sessions close on gap or on event-time timeout.
+    * (tsUs, event_id) before folding into state (the sort holds one
+    * user's batch slice in executor memory — bound a hot key's batch
+    * volume upstream via smaller triggers if this is promoted to a
+    * high-rate continuous deployment); cross-batch order is the
+    * stream's responsibility (watermark + event-time semantics);
+    * sessions close on gap or on event-time timeout.
+    *
+    * Cross-batch LATE events (behind the current session's end —
+    * flatMapGroupsWithState does not drop rows behind the watermark)
+    * are ignored rather than folded: folding them could move endUs
+    * backwards or split a session the batch oracle keeps whole. The
+    * strict `<` keeps equal-timestamp events, which the batch path
+    * counts. Within one batch the guard never fires (events are
+    * sorted), so the one-shot driver entry is unaffected.
     *
     * A timed-out session is emitted but its state is KEPT as a
     * closed marker (n == 0) carrying the session counter — removing
@@ -120,6 +131,7 @@ object Streams {
             cur = SessionState(1L, e.tsUs, e.tsUs, 1L)
           case s if s.n == 0L => // previous session closed via timeout
             cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)
+          case s if e.tsUs < s.endUs => // late arrival from an earlier batch: drop
           case s if e.tsUs - s.endUs > GapUs =>
             out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
             cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)
@@ -145,34 +157,29 @@ object Streams {
   }
 
   // ---- driver entry: oracle-checked streaming sessionization ----
-  // The events table is copied into a temp stream dir together with
-  // a far-future sentinel event; after the data batch, the watermark
-  // passes every real session's gap, so the event-time timeouts
-  // flush ALL sessions in the trailing no-data batch. The output is
-  // then comparable 1:1 with the BATCH sessionize oracle.
+  // The events table is streamed from the SOURCE directory (no copy
+  // — round 2 materialized a full temp-dir duplicate of the fact
+  // table, a write+read of the corpus at real scale). A far-future
+  // sentinel event arrives via a unioned in-memory source; the
+  // single watermark sits ABOVE the union, so after the data batch
+  // the watermark passes every real session's gap and the event-time
+  // timeouts flush ALL sessions in the trailing no-data batch. The
+  // output is then comparable 1:1 with the BATCH sessionize oracle.
   val SentinelUser = -1L
-
-  /** Stream-dir copies memoized per events dir — repeated calls in a
-    * session (e.g. bench best-of-2) reuse the materialized copy. */
-  private val streamDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = streamDirCache.getOrElseUpdate(dir, {
-      val t = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
-      val ev = graft.Tables.events(spark, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
-      ev.write.mode("append").parquet(t)
-      val maxUs = ev.agg(max(col("tsUs"))).collect()(0).getLong(0)
-      Seq(Ev(SentinelUser, 0L, maxUs + 1000L * GapUs)).toDS()
-        .select(col("user_id"), col("event_id"), col("tsUs"))
-        .write.mode("append").parquet(t)
-      t
-    })
-
-    val schema = spark.read.parquet(tmp).schema
-    val sessions = sessionize(
-      spark.readStream.schema(schema).parquet(tmp).as[Ev])
+    // sentinel timestamp: one max() over the ts column — parquet
+    // column stats make this a footer-level scan, not a data pass
+    val maxUs = graft.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val fileEvents = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[Ev]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sentinel = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    sentinel.addData(Ev(SentinelUser, 0L, maxUs + 1000L * GapUs))
+    val sessions = sessionize(fileEvents.union(sentinel.toDS()))
     spark.streams.active.filter(_.name == "graft_stream_sessionize").foreach(_.stop())
     val q = sessions.writeStream.format("memory")
       .queryName("graft_stream_sessionize").outputMode(OutputMode.Append()).start()

@@ -96,6 +96,33 @@ class SdfSpec extends AnyFunSuite {
     assert(m(31040L).isNullAt(2))
   }
 
+  test("tag priority pinned: a record with BOTH xlogp3 tags resolves by SD_TAG order, not file order") {
+    import spark.implicits._
+    // The reference's extractor scans tag blocks in FILE order and
+    // lets every matching block OVERWRITE the value, so the LAST tag
+    // in the record wins (utils.py:95-107). Graft DELIBERATELY
+    // diverges: extractColumn coalesces in SD_TAG priority order
+    // (Sdf.scala:80), so the first LISTED tag wins wherever it sits
+    // in the record — the layout, not record byte order, decides.
+    // Real PubChem records carry at most one of these tags, so the
+    // engines agree on shipped data; this spec pins the divergence
+    // on the synthetic both-tags case.
+    val rec = Seq(
+      "synthetic", "", "", "M  END",
+      "> <PUBCHEM_COMPOUND_CID>", "99999", "",
+      "> <PUBCHEM_XLOGP3>", "1.1", "",
+      "> <PUBCHEM_XLOGP3_AA>", "9.9", "").mkString("\n")
+    val df = Seq(rec).toDF("sdf")
+    val priority = Sdf.extract(df, xlogpLayout("PUBCHEM_XLOGP3", "PUBCHEM_XLOGP3_AA"))
+      .collect()(0)
+    assert(priority.getDouble(priority.fieldIndex("xlogp3")) == 1.1,
+      "graft semantics: first tag in SD_TAG order wins (reference would take 9.9, the last block)")
+    // flipping the layout order flips the winner — the knob is the layout
+    val flipped = Sdf.extract(df, xlogpLayout("PUBCHEM_XLOGP3_AA", "PUBCHEM_XLOGP3"))
+      .collect()(0)
+    assert(flipped.getDouble(flipped.fieldIndex("xlogp3")) == 9.9)
+  }
+
   // --- utils.py test_data_transformation parity (CREATE_LIKE) ---
   test("transforms: 2*cid, InChIKey split, round-half-even") {
     val layout = LayoutSpec(Seq(

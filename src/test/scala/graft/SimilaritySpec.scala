@@ -36,6 +36,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfCells(Long.MaxValue) == 4096) // broadcastable cap
   }
 
+  test("ivf probed fraction SHRINKS as the corpus grows (nprobe ~ sqrt(cells))") {
+    // round-2 policy probed cells/4 = a constant 25% of the corpus at
+    // any scale; an index must probe a vanishing fraction
+    val fractions = Seq(10000L, 1000000L, 100000000L).map { n =>
+      val cells = Similarity.ivfCells(n)
+      Similarity.ivfProbes(cells).toDouble / cells
+    }
+    assert(fractions == fractions.sorted.reverse, s"fractions not decreasing: $fractions")
+    assert(fractions.last < 0.02, s"at 1e8 vectors still probing ${fractions.last}")
+  }
+
+  test("ivf recall holds at the larger sf0.1 corpus too (probe policy, not luck)") {
+    val big = "/root/testdata/sf0.1"
+    val bruteBig = pairs(Similarity.annTopkBrute(spark, big))
+    val ivfBig = pairs(Similarity.annIvf(spark, big))
+    val recall = (ivfBig & bruteBig).size.toDouble / bruteBig.size
+    assert(recall >= 0.7, s"ivf recall at sf0.1 $recall < 0.7")
+  }
+
   test("ivf centroids are k x dim and cells partition the corpus usefully") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()

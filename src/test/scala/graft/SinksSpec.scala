@@ -108,6 +108,28 @@ class SinksSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("jdbc sink: non-indexed text loads unbounded values (CLOB, not capped VARCHAR)") {
+    import spark.implicits._
+    val layout = LayoutSpec(Seq(
+      ColumnSpec("cid", Seq("T"), "integer", primaryKey = true),
+      ColumnSpec("InChIKey", Seq("K"), "varchar", withIndex = true),
+      ColumnSpec("InChI", Seq("I"), "varchar"))) // not indexed → dialect CLOB
+    // a value far beyond any sane VARCHAR default — the round-2 cap
+    // of 1024 would abort/truncate a real PubChem macromolecule InChI
+    val longInChI = "InChI=1S/" + ("C10H16N5O13P3" * 800)
+    val url = "jdbc:derby:memory:graftclob;create=true"
+    JdbcSink.write(
+      Seq((1L, "XLYOFNOQVPJJNP-UHFFFAOYSA-N", longInChI)).toDF("cid", "InChIKey", "InChI"),
+      url, "compounds", layout)
+    val back = spark.read.jdbc(url, "compounds", new java.util.Properties).collect()
+    assert(back.length == 1 && back(0).getString(2) == longInChI)
+    val colType = JdbcSink.withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery("""SELECT "InChI" FROM compounds""")
+      rs.getMetaData.getColumnTypeName(1)
+    }
+    assert(colType == "CLOB", s"non-indexed text mapped to $colType, not CLOB")
+  }
+
   test("jdbc sink dedups on primary key deterministically") {
     import spark.implicits._
     val layout = LayoutSpec(Seq(
