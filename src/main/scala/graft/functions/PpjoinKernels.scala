@@ -27,26 +27,45 @@ import org.apache.spark.util.sketch.CountMinSketch
   * hitters — the candidate-blowup killers — out of the prefixes.
   */
 object PpjoinKernels {
-  /** Same value as Spark's `xxhash64(string)` (seed 42), so hashes
-    * agree with the exploded `cachedHashedShingleRows` relation the
-    * frequency sketch is built from. */
+  /** Same value as Spark's `xxhash64(string)` (seed 42), so hashed
+    * shingle identities agree with any xxhash64-derived relation. */
   def hash(s: org.apache.spark.unsafe.types.UTF8String): Long =
     XXH64.hashUTF8String(s, 42L)
 
-  /** First L entries of the doc's shingles in (approx global freq,
-    * hash) order, L = n - ceil(t*n) + 1, as struct(gh, rn) rows.
-    * The 1e-9 slack under the ceil keeps double rounding from
+  /** Distinct character n-gram shingles as 64-bit hashes — the
+    * shingling and hashing of TextKernels.shingles + xxhash64 fused
+    * into one loop, with no string materialization. Distinctness is
+    * BY HASH: a 64-bit collision inside a doc merges two shingles,
+    * which can only RAISE the hash-set Jaccard above the string
+    * Jaccard — candidate generation on these sets stays a superset
+    * of the true-pair set, and verification intersects the real
+    * strings, so exactness holds. */
+  def hashShingles(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((len - n + 1) * 2)
+    var i = 1
+    while (i <= len - n + 1) {
+      seen.add(hash(s.substringSQL(i, n)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** First L entries of the doc's hashed shingles in (approx global
+    * freq, hash) order, L = n - ceil(t*n) + 1, as struct(gh, rn)
+    * rows. The 1e-9 slack under the ceil keeps double rounding from
     * shrinking L at exact-integer products (a larger prefix only
     * admits extra candidates — safe). */
-  def prefix(gs: ArrayData, sketch: CountMinSketch, t: Double): ArrayData = {
-    val n = gs.numElements()
+  def prefix(ghs: ArrayData, sketch: CountMinSketch, t: Double): ArrayData = {
+    val n = ghs.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val l = n - math.ceil(t * n - 1e-9).toInt + 1
     if (l <= 0) return new GenericArrayData(Array.empty[Any])
     val keyed = new Array[(Long, Long)](n) // (estimate, hash)
     var i = 0
     while (i < n) {
-      val h = hash(gs.getUTF8String(i))
+      val h = ghs.getLong(i)
       keyed(i) = (sketch.estimateCount(java.lang.Long.valueOf(h)), h)
       i += 1
     }
@@ -62,6 +81,26 @@ object PpjoinKernels {
   }
 }
 
+/** `graft_hash_shingles(string, n) → array<long>` — distinct hashed
+  * shingles in one kernel pass; the ngram-Jaccard candidate side
+  * never materializes shingle strings. */
+case class HashShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with StringInputCheck {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PpjoinKernels.hashShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PpjoinKernels.hashShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash_shingles"
+}
+
 /** `graft_ppjoin_prefix(array<string>) → array<struct<gh, rn>>` —
   * the sketch and threshold are plan-time constants (the operator
   * registers a builder closing over the just-built sketch). */
@@ -72,9 +111,9 @@ case class PpjoinPrefixExpr(child: Expression, sketch: CountMinSketch, t: Double
       StructField("rn", IntegerType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_ppjoin_prefix requires an array<string> argument, got $other")
+      s"graft_ppjoin_prefix requires an array<long> argument, got $other")
   }
 
   override def nullSafeEval(input: Any): Any =

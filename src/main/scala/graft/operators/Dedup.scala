@@ -135,24 +135,31 @@ object Dedup {
     // shingle relation twice, by hash for frequency and by doc for
     // rank). CMS estimates are globally CONSISTENT, which is all the
     // prefix filter's completeness needs; see PpjoinKernels.
-    val shh = cachedHashedShingleRows(docs)
+    // Candidate generation runs entirely on 64-bit shingle HASHES
+    // (graft_hash_shingles fuses shingling+hashing, no string
+    // materialization; longs join far cheaper than 16-char strings;
+    // completeness holds under any consistent shingle identity —
+    // in-doc hash collisions only RAISE hash-set Jaccard, see the
+    // kernel's doc). Exactness is untouched: verification below
+    // intersects the real strings.
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      shh.select(expr("count_min_sketch(gh, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0))
+      hashed.select(explode(col("ghs")).as("gh"))
+        .select(expr("count_min_sketch(gh, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ppjoin_prefix",
       args => graft.functions.PpjoinPrefixExpr(args.head, sketch, JaccardThreshold),
       "built-in")
-    // Candidate generation runs on the 64-bit shingle HASH (longs
-    // join far cheaper than 16-char strings; completeness holds
-    // under any consistent shingle identity). Exactness is
-    // untouched: verification below intersects the real strings.
-    val prefix = shingleArrays(docs.repartition(col("doc_id")))
-      .select(col("doc_id"), size(col("gs")).as("n"),
-        explode(expr("graft_ppjoin_prefix(gs)")).as("p"))
+    val prefix = hashed
+      .select(col("doc_id"), size(col("ghs")).as("n"),
+        explode(expr("graft_ppjoin_prefix(ghs)")).as("p"))
       .select(col("doc_id"), col("p.gh").as("gh"), col("p.rn").as("rn"), col("n"))
       // persisted: the self-join references prefix from both sides,
       // and AQE's broadcast-build threads would otherwise re-run the
-      // shingle+sketch kernel chain serially per reference
+      // prefix kernel chain serially per reference
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin candidate pruning (Xiao et al.), both filters directly
     // in the join condition so pruned rows never reach the distinct:
