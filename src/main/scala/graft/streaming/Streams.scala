@@ -30,13 +30,35 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful-shuffle width for the one-shot driver entries. A
+    * streaming query pins `spark.sql.shuffle.partitions` at start as
+    * its state-store count; at batch-sized micro-batches the
+    * per-store commit overhead dominates, so the harness runs 8
+    * stores instead of the session's CPU-count default (measured
+    * ~25-35% off each stream entry at sf0.1). A continuous cluster
+    * deployment should size this to keyspace x executors instead —
+    * it is a start-time knob, not part of the operator. */
+  val HarnessStatePartitions = 8
+
+  /** Start `f`'s streaming query with the harness state sizing, then
+    * restore the session conf (the running query keeps the value it
+    * started with). */
+  private def withHarnessStateSizing[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, HarnessStatePartitions.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Run a one-shot stream into a memory sink and return the sink
     * table. Any previous query with the same name is stopped first
     * so entries are re-runnable within a session. */
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val q = withHarnessStateSizing(spark) {
+      df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
@@ -181,8 +203,10 @@ object Streams {
     sentinel.addData(Ev(SentinelUser, 0L, maxUs + 1000L * GapUs))
     val sessions = sessionize(fileEvents.union(sentinel.toDS()))
     spark.streams.active.filter(_.name == "graft_stream_sessionize").foreach(_.stop())
-    val q = sessions.writeStream.format("memory")
-      .queryName("graft_stream_sessionize").outputMode(OutputMode.Append()).start()
+    val q = withHarnessStateSizing(spark) {
+      sessions.writeStream.format("memory")
+        .queryName("graft_stream_sessionize").outputMode(OutputMode.Append()).start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table("graft_stream_sessionize")
       .filter(col("user_id") =!= SentinelUser)

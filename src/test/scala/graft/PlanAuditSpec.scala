@@ -84,6 +84,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"), plan)
   }
 
+  test("lsh signature projection is fully codegen'd (no interpreted lambdas)") {
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val plan = operators.Similarity.lshSignature(e).queryExecution.executedPlan.toString
+    // the round-2 aggregate(zip_with(...)) form ran nbits x dim
+    // interpreted lambda calls per corpus row
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with"),
+      s"signature projection still uses higher-order functions:\n$plan")
+    assert(plan.contains("vec_lsh_sign"), plan)
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
