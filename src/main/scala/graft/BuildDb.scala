@@ -24,8 +24,20 @@ object BuildDb {
     }
     val baseDir = args(0)
     val flags = args.drop(1)
+    val valueFlags = Set("--db_layout_fn", "--jdbc-url", "--cores")
     def opt(name: String): Option[String] =
-      flags.sliding(2).collectFirst { case Array(`name`, v) => v }
+      flags.indexOf(name) match {
+        case -1 => None
+        case i if i + 1 >= flags.length || flags(i + 1).startsWith("--") =>
+          // fast-fail instead of silently ignoring a trailing or
+          // value-less flag ("--jdbc-url" with the URL forgotten)
+          System.err.println(s"error: $name requires a value")
+          sys.exit(2)
+        case i => Some(flags(i + 1))
+      }
+    flags.filter(_.startsWith("--"))
+      .filterNot(f => f == "--gzip" || f == "--reset" || valueFlags(f))
+      .foreach { f => System.err.println(s"error: unknown flag $f"); sys.exit(2) }
     val gzip = flags.contains("--gzip")
     val reset = flags.contains("--reset")
     val layout = opt("--db_layout_fn")

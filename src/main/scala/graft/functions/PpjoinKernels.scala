@@ -35,11 +35,14 @@ object PpjoinKernels {
   /** Distinct character n-gram shingles as 64-bit hashes — the
     * shingling and hashing of TextKernels.shingles + xxhash64 fused
     * into one loop, with no string materialization. Distinctness is
-    * BY HASH: a 64-bit collision inside a doc merges two shingles,
-    * which can only RAISE the hash-set Jaccard above the string
-    * Jaccard — candidate generation on these sets stays a superset
-    * of the true-pair set, and verification intersects the real
-    * strings, so exactness holds. */
+    * BY HASH: results are exact up to 64-bit xxhash collisions.
+    * (An unshared-element collision merges elements and can only
+    * raise hash-set Jaccard — harmless, verification rescored the
+    * pair on real strings. A collision between two SHARED shingles
+    * can LOWER it and in principle prune a true pair before
+    * verification; at 64 bits over millions of shingles the
+    * probability is ~1e-7 per corpus — the standard hashed-signature
+    * trade, stated here honestly rather than claimed away.) */
   def hashShingles(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len < n) return new GenericArrayData(Array.empty[Any])

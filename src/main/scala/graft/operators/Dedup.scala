@@ -47,31 +47,32 @@ object Dedup {
     """SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
-  /** Exploded 64-bit-hashed distinct shingles: (doc_id, gh). The
-    * base relation for candidate generation — hash-only, because
-    * longs shuffle/sort/join far cheaper than 16-char strings and
-    * every candidate-side consumer (postings, MinHash perms, PPJoin
-    * prefixes) is complete under any consistent shingle identity.
-    * Verification intersects the real shingle STRINGS via
-    * [[shingleArrays]], so exactness is untouched. */
+  /** Exploded 64-bit-hashed distinct shingles: (doc_id, gh), via the
+    * fused graft_hash_shingles kernel — no shingle strings are ever
+    * materialized, and longs shuffle/sort/join far cheaper than
+    * 16-char strings. Candidate-side consumers (MinHash perms, LSH
+    * bands) are complete under any consistent shingle identity;
+    * verification intersects the real shingle STRINGS via
+    * [[shingleArrays]], so results are exact up to 64-bit xxhash
+    * collisions (see the kernel's doc for the honest bound). */
   def hashedShingleRows(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // repartition BEFORE the CPU-heavy shingling: a small input
     // (one parquet file = one partition) would otherwise pin the
-    // whole explode+dedup on a single core; the shuffle moves only
+    // whole kernel+explode on a single core; the shuffle moves only
     // the raw text, a fraction of the shingle volume it unlocks
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles("text", ShingleN)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), explode(expr(s"graft_hash_shingles(text, $ShingleN)")).as("gh"))
   }
 
-  /** Persisted hashed-shingle relation. The dedup plans reference it
-    * from 3-4 branches that shuffle on DIFFERENT keys (gh for
-    * candidate postings, doc_id for sizes/prefix ranks), so exchange
-    * reuse never applies and the shingling pass — the single most
-    * expensive projection — would be recomputed per branch. Spark's
-    * cache manager dedups by logical plan, so repeated operator
-    * calls in one session share the entry. At warehouse scale this
+  /** Persisted hashed-shingle relation (the MinHash path's base —
+    * the PPJoin path keeps its own doc-level array relation). Its
+    * consumers shuffle on DIFFERENT keys, so exchange reuse never
+    * applies and the shingling pass would be recomputed per branch.
+    * Spark's cache manager dedups by logical plan, so repeated
+    * operator calls in one session share the entry; entries are
+    * LRU-evictable storage, but long sessions sweeping MANY dirs
+    * should clearCache between campaigns. At warehouse scale this
     * cache becomes a materialized shingle TABLE (write once, reuse
     * across the whole dedup campaign) rather than executor memory. */
   def cachedHashedShingleRows(docs: DataFrame): DataFrame =
@@ -138,10 +139,10 @@ object Dedup {
     // Candidate generation runs entirely on 64-bit shingle HASHES
     // (graft_hash_shingles fuses shingling+hashing, no string
     // materialization; longs join far cheaper than 16-char strings;
-    // completeness holds under any consistent shingle identity —
-    // in-doc hash collisions only RAISE hash-set Jaccard, see the
-    // kernel's doc). Exactness is untouched: verification below
-    // intersects the real strings.
+    // completeness holds under any consistent shingle identity, up
+    // to 64-bit xxhash collisions — see the kernel's doc for the
+    // honest bound). Verification below intersects the real
+    // strings, so any surviving candidate is scored exactly.
     graft.functions.GraftFunctions.register(spark)
     val hashed = docs.repartition(col("doc_id"))
       .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
@@ -217,10 +218,9 @@ object Dedup {
     * expression into the per-seed lambda, recomputing the shingling
     * 64x per document — measured 100x slower at sf0.1.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    // One string hash per shingle (gh, shared with the PPJoin path's
-    // cached relation), then 64 cheap fixed-width re-hashes
-    // xxhash64(gh, k) — hashing the 16-char string 64x was the
-    // dominant signature cost; re-hashing the 8-byte long is a
+    // One kernel hash per shingle (gh), then 64 cheap fixed-width
+    // re-hashes xxhash64(gh, k) — hashing the 16-char string 64x was
+    // the dominant signature cost; re-hashing the 8-byte long is a
     // fraction of it. (An affine h*A_k+B_k permutation would be
     // cheaper still but ANSI mode rejects wraparound multiply.)
     val hashed = cachedHashedShingleRows(docs)

@@ -101,22 +101,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private lazy val textLangidSql: String = {
-    val hitExprs = Profiles.map { case (l, _) =>
-      s"  len(regexp_extract_all(text, '${StopRe(l)}')) AS ${l}_hits"
-    }.mkString(",\n")
-    val maxExpr = s"greatest(${Profiles.map(p => s"${p._1}_hits").mkString(", ")})"
-    val caseExpr = Profiles.map { case (l, _) =>
-      s"WHEN ${l}_hits = $maxExpr THEN '$l'"
-    }.mkString(" ")
+  // shared SQL scaffolding for the langid oracle and its eval twin —
+  // one definition so a profile or tie-break change cannot make the
+  // two oracles diverge
+  private lazy val langidHitExprs: String = Profiles.map { case (l, _) =>
+    s"  len(regexp_extract_all(text, '${StopRe(l)}')) AS ${l}_hits"
+  }.mkString(",\n")
+  private lazy val langidMaxExpr: String =
+    s"greatest(${Profiles.map(p => s"${p._1}_hits").mkString(", ")})"
+  private lazy val langidCaseExpr: String = Profiles.map { case (l, _) =>
+    s"WHEN ${l}_hits = $langidMaxExpr THEN '$l'"
+  }.mkString(" ")
+
+  private lazy val textLangidSql: String =
     s"""WITH h AS (
        |SELECT doc_id, lang,
-       |$hitExprs
+       |$langidHitExprs
        |FROM documents)
-       |SELECT doc_id, lang, CASE $caseExpr END AS lang_pred,
+       |SELECT doc_id, lang, CASE $langidCaseExpr END AS lang_pred,
        |  de_hits, en_hits, es_hits, fr_hits, zh_hits
        |FROM h ORDER BY doc_id""".stripMargin
-  }
 
   /** Heuristic-quality evaluation: per-language document count,
     * correct predictions, and accuracy of `text_langid` against the
@@ -131,25 +135,17 @@ object TextOps {
       .withColumn("accuracy", col("n_correct") / col("n_docs"))
       .orderBy(col("lang"))
 
-  private lazy val textLangidEvalSql: String = {
-    val hitExprs = Profiles.map { case (l, _) =>
-      s"  len(regexp_extract_all(text, '${StopRe(l)}')) AS ${l}_hits"
-    }.mkString(",\n")
-    val maxExpr = s"greatest(${Profiles.map(p => s"${p._1}_hits").mkString(", ")})"
-    val caseExpr = Profiles.map { case (l, _) =>
-      s"WHEN ${l}_hits = $maxExpr THEN '$l'"
-    }.mkString(" ")
+  private lazy val textLangidEvalSql: String =
     // SUM(int) is HUGEINT in DuckDB → CAST AS BIGINT for hash parity
     s"""WITH h AS (
        |SELECT doc_id, lang,
-       |$hitExprs
+       |$langidHitExprs
        |FROM documents),
-       |p AS (SELECT lang, CASE $caseExpr END AS lang_pred FROM h)
+       |p AS (SELECT lang, CASE $langidCaseExpr END AS lang_pred FROM h)
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS accuracy
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   /** 64-bit FNV-1a document fingerprint via the native Catalyst
     * expression (graft.functions.Fnv1a64 — codegen'd, no UDF).

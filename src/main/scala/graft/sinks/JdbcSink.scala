@@ -31,10 +31,21 @@ object JdbcSink {
     * columns. (The option's types are parsed by Spark's SQL parser,
     * which has no CLOB — hence overrides only where a bound is
     * required, not a full DDL.) */
+  private val TextDtypes = Set("varchar", "character", "text", "string")
+  private val NumericDtypes = Set("integer", "int", "real", "float", "double")
+
   def columnTypes(layout: LayoutSpec, varcharLen: Int = 4096): String =
-    layout.columns.collect {
-      case c if Set("varchar", "character", "text", "string")(c.dtype.toLowerCase) &&
-        (c.withIndex || c.primaryKey) => s"${c.name} VARCHAR($varcharLen)"
+    layout.columns.flatMap { c =>
+      c.dtype.toLowerCase match {
+        // fast-fail on unknown dtypes HERE, before any data moves —
+        // a typo'd layout otherwise surfaces as a cryptic post-load
+        // engine error (e.g. Derby refusing an index on CLOB)
+        case d if !TextDtypes(d) && !NumericDtypes(d) =>
+          throw new IllegalArgumentException(s"Invalid dtype: ${c.dtype}.")
+        case d if TextDtypes(d) && (c.withIndex || c.primaryKey) =>
+          Some(s"${c.name} VARCHAR($varcharLen)")
+        case _ => None
+      }
     }.mkString(", ")
 
   /** Dedup on the layout's primary key before insert — the

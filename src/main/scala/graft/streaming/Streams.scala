@@ -120,12 +120,15 @@ object Streams {
     * stream's responsibility (watermark + event-time semantics);
     * sessions close on gap or on event-time timeout.
     *
-    * Cross-batch LATE events (behind the current session's end —
-    * flatMapGroupsWithState does not drop rows behind the watermark)
-    * are ignored rather than folded: folding them could move endUs
-    * backwards or split a session the batch oracle keeps whole. The
-    * strict `<` keeps equal-timestamp events, which the batch path
-    * counts. Within one batch the guard never fires (events are
+    * Cross-batch LATE events (flatMapGroupsWithState does not drop
+    * rows behind the watermark) are handled by position, checked
+    * BEFORE the closed-marker/gap cases so they can never reopen or
+    * mis-split an emitted session: behind a CLOSED session's end or
+    * before the open session's start → dropped (the session they
+    * belong to is already emitted / numbering can't be rewound);
+    * inside the OPEN session's span → counted (n + 1) without moving
+    * the bounds, matching the batch oracle's per-session event
+    * count. Within one batch none of the guards fire (events are
     * sorted), so the one-shot driver entry is unaffected.
     *
     * A timed-out session is emitted but its state is KEPT as a
@@ -151,9 +154,12 @@ object Streams {
         cur match {
           case null =>
             cur = SessionState(1L, e.tsUs, e.tsUs, 1L)
+          case s if s.n == 0L && e.tsUs <= s.endUs => // late, behind an emitted session: drop
           case s if s.n == 0L => // previous session closed via timeout
             cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)
-          case s if e.tsUs < s.endUs => // late arrival from an earlier batch: drop
+          case s if e.tsUs < s.startUs => // late, predates the open session: drop
+          case s if e.tsUs < s.endUs => // late, inside the open span: count, keep bounds
+            cur = s.copy(n = s.n + 1)
           case s if e.tsUs - s.endUs > GapUs =>
             out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs)
             cur = SessionState(s.sessionId + 1, e.tsUs, e.tsUs, 1L)

@@ -98,4 +98,29 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L, 3L, base, base + 600_000_000L))
     assert(got == expected)
   }
+
+  test("sessionizeFn handles cross-batch late events by position (drop / count / new)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import Streams.{Ev, SessionOut, SessionState}
+    def run(state: SessionState, events: Ev*): (Seq[SessionOut], SessionState) = {
+      val gs = TestGroupState.create[SessionState](
+        org.apache.spark.api.java.Optional.of(state), GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)),
+        hasTimedOut = false)
+      val out = Streams.sessionizeFn(1L, events.iterator, gs).toSeq
+      (out, gs.get)
+    }
+    val open = SessionState(sessionId = 2L, startUs = 100L, endUs = 200L, n = 3L)
+    // in-span late event: counted, bounds unchanged, nothing emitted
+    assert(run(open, Ev(1L, 10L, 150L)) == ((Nil, open.copy(n = 4L))))
+    // late event predating the open session: dropped entirely
+    assert(run(open, Ev(1L, 10L, 50L)) == ((Nil, open)))
+    val closed = open.copy(n = 0L) // emitted via timeout, marker kept
+    // late event behind the emitted session's end: dropped, no reopen
+    assert(run(closed, Ev(1L, 10L, 150L)) == ((Nil, closed)))
+    // on-time event after a closed session: numbering continues
+    assert(run(closed, Ev(1L, 10L, 300L)) ==
+      ((Nil, SessionState(sessionId = 3L, startUs = 300L, endUs = 300L, n = 1L))))
+  }
 }
