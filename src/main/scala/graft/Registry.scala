@@ -17,6 +17,7 @@ object Registry {
     operators.Relational.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
+      operators.Curation.queries ++
       operators.Similarity.queries ++
       sources.SdfQueries.queries ++
       streaming.Streams.queries ++

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs AFTER the
+  * signals exist: duplicate-cluster resolution (pairs → components →
+  * canonical keeper), deterministic stratified sampling, and TF-IDF
+  * term salience. All three are SQL-expressible and DuckDB-oracled.
+  */
+object Curation {
+
+  // ---- dedup_clusters: pair list → connected components ----
+
+  /** Minimum-label connected components over an (a, b) edge list via
+    * iterative label propagation: every vertex starts labeled with
+    * itself; each round replaces a vertex's label with the min label
+    * in its neighborhood; fixpoint = per-component min vertex id.
+    *
+    * Scale design: the edge list is DUP PAIRS — proportional to the
+    * duplicate volume, orders of magnitude below the corpus — and
+    * each round is one shuffle join on it (labels are
+    * vertex-cardinality). Rounds needed = component diameter; dup
+    * clusters are near-cliques from banded candidate generation, so
+    * convergence is fast. The per-round driver work is ONE count
+    * (the convergence test); labels never collect. `maxIters` caps
+    * pathological chains — the cap trades iterations for the
+    * doubling tricks (pointer jumping) a graph library would use. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("lab", col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neigh = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(col("a")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(neigh, labels("v") === neigh("a"), "left")
+        .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.as("n").join(labels.as("p"), col("n.v") === col("p.v"))
+        .filter(col("n.lab") =!= col("p.lab")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** (doc_id, cluster_root) for every document in a near-duplicate
+    * cluster — cluster_root is the min doc_id of the component, the
+    * canonical keeper a dedup pipeline retains. The edge list is the
+    * exact-Jaccard pair output of dedup_ngram_jaccard; the LSH pair
+    * lists plug into the same component resolution unchanged. This
+    * is the step that turns pairwise dedup SIGNALS into the actual
+    * keep/drop decision. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(pairs)
+      .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive-closure min-label fixpoint over the ngram-Jaccard
+    * pairs — the recursive-CTE twin of the label-propagation loop. */
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${Dedup.dedupNgramJaccardSqlForCte}
+       |), sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), cc(v, lab) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT sym.a, cc.lab FROM cc JOIN sym ON sym.b = cc.v
+       |)
+       |SELECT v AS doc_id, MIN(lab) AS cluster_root
+       |FROM cc GROUP BY v ORDER BY doc_id""".stripMargin
+
+  // ---- sample_stratified: deterministic per-stratum quota ----
+  val SampleQuota = 50
+
+  /** First `SampleQuota` documents per language in md5(doc_id)
+    * order — a deterministic, engine-reproducible stratified sample
+    * (the hash order is an arbitrary-but-fixed permutation, so the
+    * quota is an unbiased slice of each stratum; doc_id tie-break
+    * covers hash collisions). One window shuffle on the stratum key;
+    * per-stratum skew is bounded by the quota itself. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= SampleQuota)
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  private val sampleStratifiedSql: String =
+    s"""SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $SampleQuota ORDER BY lang, sample_rank""".stripMargin
+
+  // ---- tfidf_top_terms: corpus IDF + per-doc top terms ----
+  val TfidfTopK = 3
+
+  /** Top-k salient terms per document scored tf * N / df — the
+    * log-free tf-idf variant, chosen because long*long/long is a
+    * fixed IEEE op sequence in both engines (ln() need not agree to
+    * the last bit across libms). Words are whitespace tokens, the
+    * same segmentation as text_tokens. Two partial-agged groupBys
+    * (term frequency, document frequency) + one per-doc window;
+    * the corpus size joins in as a broadcast scalar. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .repartition(col("doc_id")) // spread the explode off the single input split
+      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("score"), col("term_rank"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  private val tfidfTopTermsSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    tf.tf * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) / df.df AS score
+       |  FROM tf JOIN df ON tf.term = df.term
+       |)
+       |SELECT doc_id, term, score, term_rank FROM (
+       |  SELECT doc_id, term, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS term_rank
+       |  FROM scored) t
+       |WHERE term_rank <= $TfidfTopK ORDER BY doc_id, term_rank""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
+    GraftQuery("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
+    GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms))
+}

@@ -189,6 +189,11 @@ object Dedup {
     verifyJaccard(cand, docs)
   }
 
+  /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
+    * is legal in a parenthesized CTE subquery) — Curation's
+    * dedup_clusters oracle builds its component closure on it. */
+  private[operators] def dedupNgramJaccardSqlForCte: String = dedupNgramJaccardSql
+
   private val dedupNgramJaccardSql: String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g

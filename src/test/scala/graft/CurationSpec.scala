@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  import operators.Curation
+
+  test("connected components: chains, cliques, and singleton-free output") {
+    import spark.implicits._
+    // two components: a 5-chain (propagation must cross 4 hops) and
+    // a triangle; vertex 100 is isolated (no edges → not emitted)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val labels = Curation.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dedup_clusters: every near-dup pair lands in one cluster rooted at its min doc") {
+    val pairs = operators.Dedup.dedupNgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val roots = Curation.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && roots.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(roots(a) == roots(b), s"pair ($a,$b) split across clusters")
+      assert(roots(a) <= a && roots(a) <= b, s"root ${roots(a)} not the min of its cluster")
+    }
+    // roots are themselves members labeled with themselves
+    roots.values.foreach(r => assert(roots(r) == r))
+  }
+
+  test("stratified sample is deterministic and respects the per-stratum quota") {
+    val s1 = Curation.sampleStratified(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val s2 = Curation.sampleStratified(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq) // same permutation every run
+    val perLang = s1.groupBy(_._1).map { case (l, rows) => l -> rows.length }
+    assert(perLang.values.forall(_ <= Curation.SampleQuota))
+    // sf0.001 has 100 docs per language — every stratum fills its quota
+    assert(perLang.values.forall(_ == Curation.SampleQuota), perLang.toString)
+  }
+
+  test("tfidf: ubiquitous terms never outrank document-specific ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common common")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = Curation.tfidfTopTerms(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // rank-1 term of every doc is its unique word, despite "common"
+    // having the higher raw term frequency in docs 1 and 3
+    val rank1 = top.filter(_._4 == 1L).map(t => t._1 -> t._2).toMap
+    assert(rank1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"), top.mkString(", "))
+  }
+}
