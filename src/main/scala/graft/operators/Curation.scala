@@ -29,27 +29,38 @@ object Curation {
     * pathological chains — the cap trades iterations for the
     * doubling tricks (pointer jumping) a graph library would use. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (eager), not persist: the loop's joins
+    // broadcast these small relations, and a lazily-persisted plan
+    // would be materialized INSIDE an AQE broadcast-build thread —
+    // running the whole upstream pair pipeline serially. Eager
+    // checkpointing materializes once, in parallel, on this thread,
+    // and truncates the upstream lineage out of every round's plan.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lab", col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val neigh = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a")).agg(min(col("lab")).as("nlab"))
+      // carry the previous label through the SAME join, so the
+      // convergence test is a filter on the materialized round —
+      // one action per round, no second join. localCheckpoint (not
+      // persist): each round's plan references the previous labels
+      // TWICE (through neigh and directly), so an un-truncated
+      // lineage doubles in size every round and planning time
+      // explodes — the standard iterative-graph trap.
       val next = labels.join(neigh, labels("v") === neigh("a"), "left")
-        .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.as("n").join(labels.as("p"), col("n.v") === col("p.v"))
-        .filter(col("n.lab") =!= col("p.lab")).isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("v"), col("lab").as("old"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lab") =!= col("old")).isEmpty
+      labels = next.select(col("v"), col("lab"))
       iters += 1
     }
-    sym.unpersist()
     labels
   }
 
@@ -61,8 +72,13 @@ object Curation {
     * is the step that turns pairwise dedup SIGNALS into the actual
     * keep/drop decision. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the pair pipeline ONCE before the component loop:
+    // connectedComponents references its edges from both union
+    // branches, which would otherwise re-execute the whole ngram
+    // candidate/verify pipeline per branch
     val pairs = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true)
     connectedComponents(pairs)
       .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
       .orderBy(col("doc_id"))
@@ -71,9 +87,12 @@ object Curation {
   /** Transitive-closure min-label fixpoint over the ngram-Jaccard
     * pairs — the recursive-CTE twin of the label-propagation loop. */
   private lazy val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    // MATERIALIZED: the recursive fixpoint joins sym every round —
+    // without it DuckDB inlines (re-evaluates) the whole ngram pair
+    // pipeline per iteration
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  ${Dedup.dedupNgramJaccardSqlForCte}
-       |), sym AS (
+       |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs
        |), cc(v, lab) AS (
