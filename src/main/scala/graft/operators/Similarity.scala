@@ -164,28 +164,55 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
   }
 
-  /** k-means-lite: deterministic seeds (first k vec_ids), `iters`
-    * Lloyd steps. The update stays DISTRIBUTED — each step computes
-    * the new centroid frame as posexplode → per-(cid, pos) mean →
-    * re-assembled array, all executor-side; the ONLY driver-side
-    * materialization is the final k x dim collect (SURVEY §2E's
-    * bounded-collect budget), which also keeps downstream consumers
-    * (inverted lists AND query probes) from re-running the Lloyd
-    * lineage per branch. */
-  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Lloyd training vectors per cell: centroid QUALITY needs a
+    * representative sample, not the corpus — classical IVF trains on
+    * a bounded sample, so the index BUILD cost stops scaling with
+    * corpus size (at 100M vectors and 4096 cells the training set is
+    * ~0.26% of the data; small corpora train on everything). */
+  val IvfTrainPerCell = 64
+
+  /** k-means-lite: deterministic seeds (first k sampled vec_ids),
+    * `iters` Lloyd steps over a deterministic hash-sample of
+    * ~IvfTrainPerCell*k vectors. The update stays DISTRIBUTED —
+    * each step computes the new centroid frame as posexplode →
+    * per-(cid, pos) mean → re-assembled array, all executor-side;
+    * the ONLY driver-side materialization is the final k x dim
+    * collect (SURVEY §2E's bounded-collect budget), which also keeps
+    * downstream consumers (inverted lists AND query probes) from
+    * re-running the Lloyd lineage per branch.
+    *
+    * `totalCount` lets callers that already counted the corpus skip
+    * a second pass. */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int,
+                      totalCount: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    // seeds = first k vectors in vec_id order — NOT `vec_id < k`,
-    // which silently yields fewer (or zero) centroids on sparse or
-    // offset id spaces.
-    var centroids = e.orderBy(col("vec_id")).limit(k)
+    val n = totalCount.getOrElse(e.count())
+    val target = IvfTrainPerCell.toLong * k
+    val train =
+      if (n <= target) e
+      else {
+        // deterministic hash-mod sample (~target rows): the same
+        // vectors are selected on every run and every partitioning
+        val denom = 1000000L
+        val keep = math.max(1L, target * denom / n)
+        e.filter(pmod(expr("xxhash64(vec_id)"), lit(denom)) < keep)
+      }
+    // seeds = first k sampled vectors in vec_id order — NOT
+    // `vec_id < k`, which silently yields fewer (or zero) centroids
+    // on sparse or offset id spaces.
+    var centroids = train.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      centroids = assign(e, centroids)
+      val updated = assign(train, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("ucv"))
+      // a cell with no assigned training vectors keeps its previous
+      // centroid — the update must never shrink the centroid count
+      centroids = centroids.join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
     }
     val finalCentroids = centroids.select(col("cid"), col("cv"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
@@ -194,8 +221,9 @@ object Similarity {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.embeddingsWithNorm(spark, dir)
-    val cells = ivfCells(e.count())
-    val centroids = kmeansCentroids(spark, e, cells, IvfIters)
+    val n = e.count()
+    val cells = ivfCells(n)
+    val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
     val lists = assign(e, centroids) // inverted lists: (vec_id, ..., cid)
     // each query probes its nearest cells
     val qw = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
