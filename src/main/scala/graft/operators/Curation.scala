@@ -61,6 +61,14 @@ object Curation {
       labels = next.select(col("v"), col("lab"))
       iters += 1
     }
+    // fail loudly: returning a partial fixpoint would silently emit
+    // wrong cluster roots (and diverge from the exact recursive-CTE
+    // oracle) on components whose min-vertex eccentricity exceeds
+    // the cap — raise maxIters, or pointer-jump, rather than guess
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations; " +
+          "a component's diameter exceeds the cap")
     labels
   }
 
@@ -119,7 +127,10 @@ object Curation {
       .select(col("lang"), col("doc_id"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= SampleQuota)
-      .orderBy(col("lang"), col("sample_rank"))
+      // nulls-last explicitly: Spark's default sort is NULLS FIRST,
+      // DuckDB's is NULLS LAST — a NULL-lang stratum would otherwise
+      // hash-mismatch on row order alone
+      .orderBy(col("lang").asc_nulls_last, col("sample_rank"))
   }
 
   private val sampleStratifiedSql: String =
@@ -128,7 +139,7 @@ object Curation {
        |    ROW_NUMBER() OVER (PARTITION BY lang
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM documents) t
-       |WHERE rn <= $SampleQuota ORDER BY lang, sample_rank""".stripMargin
+       |WHERE rn <= $SampleQuota ORDER BY lang NULLS LAST, sample_rank""".stripMargin
 
   // ---- tfidf_top_terms: corpus IDF + per-doc top terms ----
   val TfidfTopK = 3
@@ -142,10 +153,12 @@ object Curation {
     * the corpus size joins in as a broadcast scalar. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val words = docs
-      .repartition(col("doc_id")) // spread the explode off the single input split
-      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("term"))
+    val words = TextOps.whitespaceTokens(docs)
+    // eagerly materialized: tf feeds BOTH the document-frequency agg
+    // and the score join — a lazy plan would re-run the corpus-wide
+    // tokenize+aggregate per branch (serially, when df_ broadcasts)
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))

@@ -268,10 +268,8 @@ object Dedup {
     * shuffle of 64 longs per doc) instead of per-row nested-array
     * folds — same output, none of the per-token array allocation. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .repartition(col("doc_id")) // spread tokenization off the single input split
-      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val tok = TextOps.whitespaceTokens(docs) // shared `\S+` segmentation
+      .withColumn("h", xxhash64(col("term")))
     val bitSums = (0 until 64).map(i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b_$i"))
     val sim = (0 until 64)

@@ -210,9 +210,13 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, p -> p.m)").as("ucv"))
       // a cell with no assigned training vectors keeps its previous
-      // centroid — the update must never shrink the centroid count
+      // centroid — the update must never shrink the centroid count.
+      // localCheckpoint: the round references the previous centroids
+      // TWICE (assign + this join), so an un-truncated lineage
+      // doubles per iteration (same trap as connectedComponents)
       centroids = centroids.join(updated, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
     }
     val finalCentroids = centroids.select(col("cid"), col("cv"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1)

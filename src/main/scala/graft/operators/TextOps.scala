@@ -23,6 +23,15 @@ object TextOps {
   private val WsToken = "\\S+"
   private val BpeToken = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** (doc_id, term) exploded whitespace tokens — THE shared word
+    * segmentation (same `\S+` regex as the token counts above), used
+    * by simhash signatures and TF-IDF so the oracled operators can
+    * never disagree on word boundaries. Repartitions first to spread
+    * tokenization off the single input split. */
+  def whitespaceTokens(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit(WsToken), lit(0))).as("term"))
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
