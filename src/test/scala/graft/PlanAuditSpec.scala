@@ -94,6 +94,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("vec_lsh_sign"), plan)
   }
 
+  test("tfidf aggregations are partial (map-side combined) and the documents scan is pruned") {
+    val plan = formatted(operators.Curation.tfidfTopTerms(spark, dir))
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source"),
+      s"unpruned documents scan: $readSchemas")
+  }
+
+  test("sample_stratified plans no joins — one stratum window over the pruned scan") {
+    val plan = staticPlan(operators.Curation.sampleStratified(spark, dir))
+    assert(!plan.contains("Join"), s"unexpected join in a sampling plan:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
