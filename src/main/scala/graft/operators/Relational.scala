@@ -453,7 +453,54 @@ object Relational {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Sequential conversion funnel view → click → purchase: a user
+    * advances a stage only with a strictly-later event of the next
+    * type (first-view time, then first click after it, then first
+    * purchase after that). Each stage is a pushdown-filtered scan +
+    * user-level partial agg + one shuffle join on user_id — the
+    * user-dimension joins stay shuffle joins at scale (no broadcast
+    * of a linearly-growing side). Strict `>` on the microsecond
+    * timestamp is the explicit tie rule, identical in both engines
+    * (both truncate the nanos parquet column to micros). */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = firstAfter("click", u1, "t1", "t2")
+    val u3 = firstAfter("purchase", u2, "t2", "t3")
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(u1, "1_view").union(stage(u2, "2_click")).union(stage(u3, "3_purchase"))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val qEventsFunnelSql: String =
+    """WITH u1 AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), u2 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > u1.t1 GROUP BY 1
+      |), u3 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > u2.t2 GROUP BY 1
+      |)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM u1
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM u2
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM u3) t
+      |ORDER BY stage""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_events_funnel", Some(qEventsFunnelSql), qEventsFunnel),
     GraftQuery("q_setops", Some(qSetopsSql), qSetops),
     GraftQuery("q_median", Some(qMedianSql), qMedian),
     GraftQuery("q1_agg", Some(q1Sql), q1Agg),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -32,6 +33,32 @@ class RelationalSpec extends AnyFunSuite {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length,
       s"duplicates: ${names.diff(names.distinct)}")
+  }
+
+  test("funnel stages require strictly-later events in sequence order") {
+    val rows = operators.Relational.qEventsFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // monotone: each stage is a subset of the previous
+    assert(rows("1_view") >= rows("2_click") && rows("2_click") >= rows("3_purchase"))
+    assert(rows("1_view") > 0 && rows("3_purchase") >= 0)
+    // strictness pinned on synthetic data: same-timestamp click does
+    // NOT advance; purchase BEFORE the click does not count
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(0)), (1L, "purchase", ts(5)),   // click ties view → stuck at stage 1
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(2)),   // purchase precedes click → stage 2
+      (3L, "view", ts(0)), (3L, "click", ts(1)), (3L, "purchase", ts(2)))   // full conversion
+      .toDF("user_id", "event_type", "ts")
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click").join(u1, "user_id")
+      .filter(col("ts") > col("t1")).groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val u3 = ev.filter(col("event_type") === "purchase").join(u2, "user_id")
+      .filter(col("ts") > col("t2")).groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    assert(u1.count() == 3 && u2.count() == 2 && u3.count() == 1)
+    assert(u3.collect()(0).getLong(0) == 3L)
   }
 
   test("q1 aggregates are exact and deterministic across input partitionings") {
