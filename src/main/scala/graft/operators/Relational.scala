@@ -499,7 +499,39 @@ object Relational {
       |  UNION ALL SELECT '3_purchase', COUNT(*) FROM u3) t
       |ORDER BY stage""".stripMargin
 
+  /** Weekly cohort retention: users grouped by their first-activity
+    * week, counted in every later week they return. Weeks are plain
+    * integer epoch buckets (`epoch_us div 7days`) — the same
+    * integer-bucket discipline as the tumbling windows, so both
+    * engines agree exactly (calendar `date_trunc('week')` semantics
+    * differ subtly across engines). Two user-level aggregates + one
+    * shuffle join on user_id; the cohort matrix output is tiny. */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wkUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+    val activity = ev.distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val qEventsRetentionSql: String = {
+    val wkUs = 7L * 24 * 3600 * 1000000
+    s"""WITH activity AS (
+       |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $wkUs AS wk FROM events
+       |), cohorts AS (
+       |  SELECT user_id, MIN(wk) AS cohort_week FROM activity GROUP BY 1
+       |)
+       |SELECT c.cohort_week, a.wk - c.cohort_week AS week_offset, COUNT(*) AS n_users
+       |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_events_retention", Some(qEventsRetentionSql), qEventsRetention),
     GraftQuery("q_events_funnel", Some(qEventsFunnelSql), qEventsFunnel),
     GraftQuery("q_setops", Some(qSetopsSql), qSetops),
     GraftQuery("q_median", Some(qMedianSql), qMedian),

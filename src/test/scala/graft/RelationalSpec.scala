@@ -61,6 +61,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(u3.collect()(0).getLong(0) == 3L)
   }
 
+  test("retention: week-0 count is the cohort size and bounds every later offset") {
+    val rows = operators.Relational.qEventsRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val week0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.foreach { case (cohort, offset, n) =>
+      assert(offset >= 0, s"negative offset in $rows")
+      assert(n <= week0(cohort), s"cohort $cohort offset $offset retains $n > size ${week0(cohort)}")
+    }
+  }
+
   test("q1 aggregates are exact and deterministic across input partitionings") {
     val a = operators.Relational.q1Agg(spark, dir).collect()
     // Repartition the INPUT so the aggregation itself runs over a
