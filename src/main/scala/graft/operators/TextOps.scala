@@ -156,6 +156,31 @@ object TextOps {
        |  CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS accuracy
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  // PII patterns in the regex subset Java and RE2 interpret
+  // identically (character classes + bounded repetition only — no
+  // word boundaries, whose \b semantics differ across engines)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  private val UrlRe = "https?://[A-Za-z0-9./_%#?&=-]+"
+  private val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII surface counts per document — the signal a training-data
+    * pipeline filters or redacts on. Pure codegen'd regex counts
+    * over the scan, like the other text metrics. */
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nMatches(col("text"), EmailRe).cast("long").as("n_emails"),
+      nMatches(col("text"), UrlRe).cast("long").as("n_urls"),
+      nMatches(col("text"), PhoneRe).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  private lazy val textPiiSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** 64-bit FNV-1a document fingerprint via the native Catalyst
     * expression (graft.functions.Fnv1a64 — codegen'd, no UDF).
     * Not SQL-expressible in DuckDB → rows-only; value-pinning lives
@@ -204,5 +229,6 @@ object TextOps {
     GraftQuery("text_quality", Some(textQualitySql), textQuality),
     GraftQuery("text_langid", Some(textLangidSql), textLangid),
     GraftQuery("text_langid_eval", Some(textLangidEvalSql), textLangidEval),
+    GraftQuery("text_pii", Some(textPiiSql), textPii),
     GraftQuery("text_fingerprint", None, textFingerprint))
 }

@@ -78,6 +78,22 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("pii patterns count emails, urls, and phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jo.doe+x@lab-7.example.org or 555-123-4567 soon",
+      "see https://example.org/a/b?q=1#frag and http://x.io twice",
+      "no pii here, just text with an @ and 12-34 fragments").toDF("text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    df.select("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextOps.textPii(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 0L, 1L)), out.mkString(", "))
+    assert(out(1) == ((0L, 2L, 0L)), out.mkString(", "))
+    assert(out(2) == ((0L, 0L, 0L)), out.mkString(", "))
+  }
+
   test("text_quality ratios are well-formed on real data") {
     val rows = operators.TextOps.textQuality(spark, dir).collect()
     assert(rows.length == 500)
