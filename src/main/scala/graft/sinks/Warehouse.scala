@@ -128,6 +128,59 @@ object Warehouse {
     dirs.foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 
+  /** Compact the compounds table's accumulated small files: rewrites
+    * each src_filename partition into ~`targetFileBytes` output
+    * files. Incremental per-file ingest writes one file set per
+    * source SDF per run; at warehouse scale thousands of tiny files
+    * tax the metadata service and every scan's split planning. The
+    * rewrite goes to a sibling temp directory and swaps in with two
+    * renames (single-writer assumption — run compaction from the
+    * same scheduler slot as ingest); the manifest is untouched, so
+    * incremental ingest semantics survive compaction unchanged.
+    *
+    * Sizing is driven by a driver-side file listing (a metadata op,
+    * O(#files)): partitions get ceil(bytes/target) output files via
+    * a salted repartition, so a hot partition still splits while
+    * small ones collapse to one file. Returns the new file count. */
+  def compact(spark: SparkSession, warehouseDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(compoundsDir(warehouseDir))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return 0L
+    // bytes per partition directory (src_filename=...)
+    val partSizes = fs.listStatus(dir).filter(_.isDirectory).map { st =>
+      val name = st.getPath.getName // src_filename=<value>
+      val bytes = fs.listStatus(st.getPath).filter(_.isFile).map(_.getLen).sum
+      name.substring(name.indexOf('=') + 1) -> bytes
+    }.toSeq
+    if (partSizes.isEmpty) return 0L
+    val targets = partSizes
+      .map { case (p, b) => (p, math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)) }
+      .toDF("src_filename", "n_out")
+    val tmp = new Path(s"${compoundsDir(warehouseDir)}.compact_tmp")
+    val old = new Path(s"${compoundsDir(warehouseDir)}.compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val data = spark.read.parquet(dir.toString)
+    // salt on a data column's hash: deterministic spread of a hot
+    // partition across its n_out output files
+    val saltSrc = data.columns.find(_ != "src_filename")
+      .getOrElse(sys.error("compact: no data columns"))
+    data
+      .join(broadcast(targets), Seq("src_filename"))
+      .withColumn("__salt", pmod(xxhash64(col(saltSrc)), col("n_out")))
+      .repartition(col("src_filename"), col("__salt"))
+      .drop("__salt", "n_out")
+      .write.mode("overwrite").partitionBy("src_filename").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"compact: could not stage $dir aside")
+    require(fs.rename(tmp, dir), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(p => fs.listStatus(p.getPath).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      .sum
+  }
+
   /** Publish the warehouse compounds as a BUCKETED catalog table:
     * co-locates rows by primary key so key-equi joins and lookups
     * against other tables bucketed the same way need NO shuffle —

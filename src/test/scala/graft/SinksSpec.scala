@@ -108,6 +108,32 @@ class SinksSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("compaction collapses small files, preserves rows, and leaves ingest idempotent") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_compact").toString
+    // three separate ingests → three partitions, each with its own file set
+    Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", wh)
+    Warehouse.ingest(spark, s"$sdfDir/cmps_03_05.sdf", wh)
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    val before = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    def fileCount: Long = {
+      val dir = new org.apache.hadoop.fs.Path(Warehouse.compoundsDir(wh))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(_.isDirectory)
+        .map(p => fs.listStatus(p.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong).sum
+    }
+    val filesBefore = fileCount
+    val filesAfter = Warehouse.compact(spark, wh)
+    assert(filesAfter == 3, s"expected one file per partition, got $filesAfter") // tiny partitions → 1 file each
+    assert(filesAfter <= filesBefore)
+    assert(fileCount == filesAfter)
+    val after = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction changed table contents")
+    // manifest untouched → re-ingest is still a no-op
+    val re = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(re.filesLoaded.isEmpty && re.rowsLoaded == 0)
+  }
+
   test("jdbc sink: non-indexed text loads unbounded values (CLOB, not capped VARCHAR)") {
     import spark.implicits._
     val layout = LayoutSpec(Seq(
