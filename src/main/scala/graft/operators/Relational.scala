@@ -462,8 +462,10 @@ object Relational {
     * of a linearly-growing side). Strict `>` on the microsecond
     * timestamp is the explicit tie rule, identical in both engines
     * (both truncate the nanos parquet column to micros). */
-  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** The per-user stage frames (u1, u2, u3) for an arbitrary events
+    * frame — exposed so the strictness spec pins the PRODUCTION
+    * predicate on synthetic events, not a test-local copy. */
+  def funnelStages(ev: DataFrame): Seq[DataFrame] = {
     def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
       ev.filter(col("event_type") === evType)
         .join(prev, "user_id")
@@ -473,9 +475,16 @@ object Relational {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val u2 = firstAfter("click", u1, "t1", "t2")
     val u3 = firstAfter("purchase", u2, "t2", "t3")
+    Seq(u1, u2, u3)
+  }
+
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stages = funnelStages(Tables.events(spark, dir))
     def stage(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
-    stage(u1, "1_view").union(stage(u2, "2_click")).union(stage(u3, "3_purchase"))
+    stages.zip(Seq("1_view", "2_click", "3_purchase"))
+      .map { case (df, name) => stage(df, name) }
+      .reduce(_ union _)
       .select(col("stage"), col("n_users"))
       .orderBy(col("stage"))
   }

@@ -148,31 +148,51 @@ object Warehouse {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(compoundsDir(warehouseDir))
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return 0L
-    // bytes per partition directory (src_filename=...)
-    val partSizes = fs.listStatus(dir).filter(_.isDirectory).map { st =>
-      val name = st.getPath.getName // src_filename=<value>
-      val bytes = fs.listStatus(st.getPath).filter(_.isFile).map(_.getLen).sum
-      name.substring(name.indexOf('=') + 1) -> bytes
-    }.toSeq
-    if (partSizes.isEmpty) return 0L
-    val targets = partSizes
-      .map { case (p, b) => (p, math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)) }
-      .toDF("src_filename", "n_out")
     val tmp = new Path(s"${compoundsDir(warehouseDir)}.compact_tmp")
     val old = new Path(s"${compoundsDir(warehouseDir)}.compact_old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    // leftovers mean a previous compaction crashed mid-swap — the
+    // stranded directories may hold the ONLY full copy of the table,
+    // so refuse to run (deleting them here would destroy it)
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"compact: leftover $tmp/$old from a crashed compaction — inspect and restore before re-running")
+    if (!fs.exists(dir)) return 0L
+    // bytes per partition directory (src_filename=<escaped value>) —
+    // names must be UNESCAPED before matching against column VALUES
+    // (Spark percent-escapes special chars in partition paths; a raw
+    // compare would orphan those partitions' rows)
+    val partSizes = fs.listStatus(dir).filter(_.isDirectory).map { st =>
+      val name = st.getPath.getName
+      val bytes = fs.listStatus(st.getPath).filter(_.isFile).map(_.getLen).sum
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(name.substring(name.indexOf('=') + 1)) -> bytes
+    }.toSeq
+    if (partSizes.isEmpty) return 0L
+    val nOut = partSizes
+      .map { case (p, b) => (p, math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)) }
+    val targets = nOut.toDF("src_filename", "n_out")
     val data = spark.read.parquet(dir.toString)
     // salt on a data column's hash: deterministic spread of a hot
-    // partition across its n_out output files
+    // partition across its n_out output files. LEFT join + coalesce:
+    // a partition that somehow missed the sizing list still keeps
+    // every row (in one file) rather than being dropped.
     val saltSrc = data.columns.find(_ != "src_filename")
       .getOrElse(sys.error("compact: no data columns"))
+    val shuffleParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      nOut.map(_._2).sum).min(Int.MaxValue).toInt
     data
-      .join(broadcast(targets), Seq("src_filename"))
-      .withColumn("__salt", pmod(xxhash64(col(saltSrc)), col("n_out")))
-      .repartition(col("src_filename"), col("__salt"))
+      .join(broadcast(targets), Seq("src_filename"), "left")
+      .withColumn("__salt", pmod(xxhash64(col(saltSrc)), coalesce(col("n_out"), lit(1L))))
+      // explicit partition count: the default would cap the spread at
+      // spark.sql.shuffle.partitions, merging salt groups of hot
+      // partitions into files far above the target size
+      .repartition(shuffleParts, col("src_filename"), col("__salt"))
       .drop("__salt", "n_out")
       .write.mode("overwrite").partitionBy("src_filename").parquet(tmp.toString)
+    // row-preservation gate BEFORE the destructive swap: a rewrite
+    // that lost rows (a future join/escape bug) must abort with both
+    // directories intact, never replace the table
+    val (nOld, nNew) = (data.count(), spark.read.parquet(tmp.toString).count())
+    require(nOld == nNew, s"compact: rewrite has $nNew rows, source has $nOld — aborting, no swap")
     require(fs.rename(dir, old), s"compact: could not stage $dir aside")
     require(fs.rename(tmp, dir), s"compact: could not swap in $tmp")
     fs.delete(old, true)

@@ -51,12 +51,9 @@ class RelationalSpec extends AnyFunSuite {
       (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(2)),   // purchase precedes click → stage 2
       (3L, "view", ts(0)), (3L, "click", ts(1)), (3L, "purchase", ts(2)))   // full conversion
       .toDF("user_id", "event_type", "ts")
-    val u1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val u2 = ev.filter(col("event_type") === "click").join(u1, "user_id")
-      .filter(col("ts") > col("t1")).groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val u3 = ev.filter(col("event_type") === "purchase").join(u2, "user_id")
-      .filter(col("ts") > col("t2")).groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    // the PRODUCTION stage pipeline, not a test-local copy — a
+    // strictness regression in qEventsFunnel must fail here
+    val Seq(u1, u2, u3) = operators.Relational.funnelStages(ev)
     assert(u1.count() == 3 && u2.count() == 2 && u3.count() == 1)
     assert(u3.collect()(0).getLong(0) == 3L)
   }
