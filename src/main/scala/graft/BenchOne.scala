@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a subset of SparkEntry.queries by name, same
+  * methodology as Bench (best-of-2, cache cleared per run). Usage:
+  * `runMain graft.BenchOne q1_agg dedup_ngram_jaccard` — iterating on
+  * one operator without paying the full-suite bench. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = GraftSession.local(cpus)
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchone] $name%-24s best=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -104,9 +104,10 @@ case class HashShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "graft_hash_shingles"
 }
 
-/** `graft_ppjoin_prefix(array<string>) → array<struct<gh, rn>>` —
-  * the sketch and threshold are plan-time constants (the operator
-  * registers a builder closing over the just-built sketch). */
+/** PPJoin prefix extraction: `array<long> → array<struct<gh, rn>>` —
+  * the sketch and threshold are plan-time constants, bound per call
+  * directly into the expression tree (ExpressionUtils.column), so
+  * concurrent calls with different sketches cannot cross-talk. */
 case class PpjoinPrefixExpr(child: Expression, sketch: CountMinSketch, t: Double)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(

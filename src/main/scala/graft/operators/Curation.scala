@@ -29,35 +29,51 @@ object Curation {
     * pathological chains — the cap trades iterations for the
     * doubling tricks (pointer jumping) a graph library would use. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (eager), not persist: the loop's joins
-    // broadcast these small relations, and a lazily-persisted plan
-    // would be materialized INSIDE an AQE broadcast-build thread —
-    // running the whole upstream pair pipeline serially. Eager
-    // checkpointing materializes once, in parallel, on this thread,
-    // and truncates the upstream lineage out of every round's plan.
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val spark = edges.sparkSession
+    // ONE eager checkpoint seeds the loop (localCheckpoint, not
+    // persist: the loop's joins broadcast these small relations, and
+    // a lazily-persisted plan would be materialized INSIDE an AQE
+    // broadcast-build thread — running the whole upstream pair
+    // pipeline serially). Both edge directions come from a single
+    // explode over `edges`, so the (possibly expensive) upstream
+    // pair pipeline is referenced — and executed — exactly once; the
+    // round-3 union referenced it from both branches.
+    val sym = edges.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("lab", col("v"))
-      .localCheckpoint(true)
+    // initial labels derive LAZILY from the checkpointed sym: the
+    // first round's two references each recompute a vertex-level
+    // distinct over materialized rows inside one job — cheaper than
+    // the round-3 second seed-checkpoint job.
+    var labels = sym.select(col("a").as("v")).distinct().withColumn("lab", col("v"))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neigh = sym.join(labels, sym("b") === labels("v"))
-        .groupBy(col("a")).agg(min(col("lab")).as("nlab"))
-      // carry the previous label through the SAME join, so the
-      // convergence test is a filter on the materialized round —
-      // one action per round, no second join. localCheckpoint (not
-      // persist): each round's plan references the previous labels
-      // TWICE (through neigh and directly), so an un-truncated
-      // lineage doubles in size every round and planning time
-      // explodes — the standard iterative-graph trap.
-      val next = labels.join(neigh, labels("v") === neigh("a"), "left")
-        .select(col("v"), col("lab").as("old"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // The convergence signal rides INSIDE the round's one
+      // materializing action: a marker column counts label changes
+      // into an accumulator while localCheckpoint writes the frame,
+      // so the round-3 `filter(...).isEmpty` job disappears. The
+      // marker must be a (nondeterministic-flagged) UDF — a pure
+      // column would be constant-folded away from the checkpoint.
+      // Task retries can only OVER-count; the test is zero/nonzero,
+      // and a real change is never under-counted, so a retry cannot
+      // fake convergence.
+      val changed = spark.sparkContext.longAccumulator("graft_cc_changed")
+      val mark = udf((c: Boolean) => { if (c) changed.add(1L); c }).asNondeterministic()
+      val neigh = sym.as("s").join(labels.as("l"), col("s.b") === col("l.v"))
+        .groupBy(col("s.a").as("a")).agg(min(col("l.lab")).as("nlab"))
+      // localCheckpoint (not persist): each round's plan references
+      // the previous labels TWICE (through neigh and directly), so
+      // an un-truncated lineage doubles in size every round and
+      // planning time explodes — the standard iterative-graph trap.
+      val newLab = least(col("l2.lab"), coalesce(col("nb.nlab"), col("l2.lab")))
+      val next = labels.as("l2").join(neigh.as("nb"), col("l2.v") === col("nb.a"), "left")
+        .select(col("l2.v").as("v"), newLab.as("lab"),
+          mark(newLab =!= col("l2.lab")).as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("lab") =!= col("old")).isEmpty
+      converged = changed.value == 0
       labels = next.select(col("v"), col("lab"))
       iters += 1
     }
@@ -80,13 +96,11 @@ object Curation {
     * is the step that turns pairwise dedup SIGNALS into the actual
     * keep/drop decision. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the pair pipeline ONCE before the component loop:
-    // connectedComponents references its edges from both union
-    // branches, which would otherwise re-execute the whole ngram
-    // candidate/verify pipeline per branch
+    // no extra checkpoint: dedupNgramJaccard materializes its result
+    // internally, and connectedComponents consumes its edges exactly
+    // once (single-explode symmetrization)
     val pairs = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint(true)
     connectedComponents(pairs)
       .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
       .orderBy(col("doc_id"))

@@ -65,55 +65,76 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"graft_hash_shingles(text, $ShingleN)")).as("gh"))
   }
 
-  /** Persisted hashed-shingle relation (the MinHash path's base —
-    * the PPJoin path keeps its own doc-level array relation). Its
-    * consumers shuffle on DIFFERENT keys, so exchange reuse never
-    * applies and the shingling pass would be recomputed per branch.
-    * Spark's cache manager dedups by logical plan, so repeated
-    * operator calls in one session share the entry; entries are
-    * LRU-evictable storage, but long sessions sweeping MANY dirs
-    * should clearCache between campaigns. At warehouse scale this
-    * cache becomes a materialized shingle TABLE (write once, reuse
-    * across the whole dedup campaign) rather than executor memory. */
+  /** Persisted hashed-shingle relation, for callers that fan the
+    * shingle pass into branches shuffling on DIFFERENT keys (where
+    * exchange reuse never applies). Spark's cache manager dedups by
+    * logical plan, so repeated operator calls in one session share
+    * the entry; the caller owns the handle and should `unpersist`
+    * after its terminal action (the operator entry points do). At
+    * warehouse scale this cache becomes a materialized shingle TABLE
+    * (write once, reuse across the whole dedup campaign) rather than
+    * executor memory. */
   def cachedHashedShingleRows(docs: DataFrame): DataFrame =
     hashedShingleRows(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-doc distinct shingle ARRAY (not exploded): (doc_id, gs) —
-    * the verification-side relation. One row per document keeps the
-    * exact-verify joins document-cardinality (candidate pairs x two
-    * array lookups) instead of shingle-cardinality: the round-2
-    * exploded-string verify shuffled the full 1.4M-row shingle
-    * relation on (doc_id, g) to score 257 candidate pairs. */
+    * string shingles, for callers that need the collision-free sets.
+    * One row per document keeps array joins document-cardinality
+    * (candidate pairs x two array lookups) instead of
+    * shingle-cardinality: the round-2 exploded-string verify
+    * shuffled the full 1.4M-row shingle relation on (doc_id, g) to
+    * score 257 candidate pairs. */
   def shingleArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), shingles("text", ShingleN).as("gs"))
   }
 
-  /** Exact Jaccard for the candidate pairs: join the two doc-level
-    * shingle arrays and intersect the real strings. Both arrays are
-    * distinct by construction, so size(array_intersect) IS |A∩B|.
+  /** (doc_id, ghs, n): per-doc HASHED shingle arrays — the single
+    * relation the near-dup operators run end to end on (candidate
+    * generation and verification). The repartition before the
+    * CPU-heavy kernel distributes the shingling regardless of input
+    * file count; callers persist + materialize it once per call. */
+  def hashedShingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
+      .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"))
+  }
+
+  /** Jaccard for the candidate pairs, intersecting the SAME hashed
+    * shingle arrays candidate generation ran on (`hashed`: (doc_id,
+    * ghs, n), cached and already materialized by the caller). Both
+    * arrays are hash-distinct by construction, so
+    * size(array_intersect) IS |A∩B| up to 64-bit xxhash collisions —
+    * the one trade this operator makes (see HashShinglesExpr's
+    * honest bound, ~1e-7 per corpus); within it, the score equals
+    * the oracle's string-set Jaccard.
     *
-    * The shingle kernel runs ONLY on documents that appear in a
-    * candidate pair (semi-join prune first): verification cost is
-    * proportional to the candidate set, not the corpus. `cand` must
-    * be persisted by the caller — it feeds the id prune AND the pair
-    * join, and its lineage is the whole candidate-generation plan. */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // repartition AFTER the prune, BEFORE the kernel: the semi join
-    // broadcasts `ids` into the narrow scan, which would leave the
-    // shingling and the intersects below on the scan's (single-file)
-    // partitioning — serialized on one core
-    val arrs = shingleArrays(docs.join(ids, Seq("doc_id"), "left_semi").repartition(col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * Round 3 re-shingled the candidate documents as STRINGS here for
+    * a collision-free verify — and paid for it structurally: the
+    * re-shingle subtree has no distributed home (before the prune's
+    * exchange it sits on the scan's single file partition; after it,
+    * AQE coalesces the tiny post-shuffle stage to one task and runs
+    * it inside a broadcast-build thread — measured 1-task stages of
+    * seconds). Verifying on the already-cached hash arrays does ZERO
+    * new shingle work and streams the cached partitions through the
+    * join fully parallel.
+    *
+    * `cand` must be eagerly MATERIALIZED by the caller
+    * (localCheckpoint): it is the broadcast side of both joins, and
+    * a lazy plan would re-run candidate generation serially inside
+    * the broadcast-build thread. Output is UNORDERED — callers
+    * order after their own terminal materialization. */
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
+    val x = hashed.select(col("doc_id").as("doc_a"), col("ghs").as("gs_a"), col("n").as("n_a"))
+    val y = hashed.select(col("doc_id").as("doc_b"), col("ghs").as("gs_b"), col("n").as("n_b"))
     cand
-      .join(arrs.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(arrs.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("inter", size(array_intersect(col("x.gs"), col("y.gs"))))
+      .join(x, Seq("doc_a"))
+      .join(y, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (size(col("x.gs")) + size(col("y.gs")) - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----
@@ -128,40 +149,47 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Global shingle rarity as a count-min sketch: ONE bounded-size
-    // aggregate (eps 1e-4, ~1 MB — broadcastable at any corpus
-    // size), collected once like the IVF centroids. Rarity ranks
+    // aggregate (eps 2e-4 x confidence 0.9, ~300 KB — broadcastable
+    // at any corpus size; the sketch only drives a pruning-quality
+    // ORDERING heuristic, so coarse estimates suffice and the
+    // smaller width/depth keeps the single-reducer partial-sketch
+    // merge off the critical path), collected once like the IVF
+    // centroids. Rarity ranks
     // then come from a per-document local sort inside the
     // graft_ppjoin_prefix kernel — prefix construction does ZERO
     // corpus-wide shuffles (round 2 shuffled the full exploded
     // shingle relation twice, by hash for frequency and by doc for
     // rank). CMS estimates are globally CONSISTENT, which is all the
     // prefix filter's completeness needs; see PpjoinKernels.
-    // Candidate generation runs entirely on 64-bit shingle HASHES
-    // (graft_hash_shingles fuses shingling+hashing, no string
-    // materialization; longs join far cheaper than 16-char strings;
-    // completeness holds under any consistent shingle identity, up
-    // to 64-bit xxhash collisions — see the kernel's doc for the
-    // honest bound). Verification below intersects the real
-    // strings, so any surviving candidate is scored exactly.
+    // The ENTIRE pipeline — candidate generation and verification —
+    // runs on 64-bit shingle hashes (graft_hash_shingles fuses
+    // shingling+hashing; no string materialization anywhere; longs
+    // join/intersect far cheaper than 16-char strings). One shingle
+    // pass per corpus, exact up to 64-bit xxhash collisions — see
+    // the kernel's doc for the honest bound.
     graft.functions.GraftFunctions.register(spark)
-    val hashed = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
+    // ONE persisted relation feeds the sketch aggregate, the prefix
+    // kernel, and (through prefix) both sides of the self-join. The
+    // CMS `head` below is the action that materializes it, so every
+    // later reference is a cache read — round 3 carried a second
+    // persist for the row-aligned prefix relation, paying an extra
+    // materialization barrier to avoid a kernel recompute that the
+    // self-join's exchange reuse mostly eliminates anyway.
+    val hashed = hashedShingleArrays(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       hashed.select(explode(col("ghs")).as("gh"))
-        .select(expr("count_min_sketch(gh, 0.0001d, 0.99d, 42)")).head.getAs[Array[Byte]](0))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ppjoin_prefix",
-      args => graft.functions.PpjoinPrefixExpr(args.head, sketch, JaccardThreshold),
-      "built-in")
+        .select(expr("count_min_sketch(gh, 0.0002d, 0.9d, 42)")).head.getAs[Array[Byte]](0))
+    // the sketch binds PER CALL, directly into the expression tree —
+    // a session-global temp function closing over it would let two
+    // interleaved calls on different dirs analyze against the wrong
+    // call's sketch (ADVICE r3)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val prefixArr = ColumnBridge.column(graft.functions.PpjoinPrefixExpr(
+      ColumnBridge.expression(col("ghs")), sketch, JaccardThreshold))
     val prefix = hashed
-      .select(col("doc_id"), size(col("ghs")).as("n"),
-        explode(expr("graft_ppjoin_prefix(ghs)")).as("p"))
+      .select(col("doc_id"), col("n"), explode(prefixArr).as("p"))
       .select(col("doc_id"), col("p.gh").as("gh"), col("p.rn").as("rn"), col("n"))
-      // persisted: the self-join references prefix from both sides,
-      // and AQE's broadcast-build threads would otherwise re-run the
-      // prefix kernel chain serially per reference
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin candidate pruning (Xiao et al.), both filters directly
     // in the join condition so pruned rows never reach the distinct:
     //  - length filter: J >= t forces min(n_a,n_b) >= t * max(n_a,n_b)
@@ -183,10 +211,21 @@ object Dedup {
         lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // persisted: verification consumes cand twice (id prune + pair
-      // join) and its lineage is the whole prefix-join plan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(cand, docs)
+      // eager checkpoint, not persist: cand is the broadcast side of
+      // the verification joins — a lazily-persisted plan would be
+      // materialized inside an AQE broadcast-build thread, running
+      // the whole prefix-join plan serially. The pair set is
+      // duplicate-cardinality (tiny), and the checkpoint truncates
+      // the entire candidate lineage out of the verification plan.
+      .localCheckpoint(true)
+    // materialize the (tiny, duplicate-cardinality) verified result
+    // eagerly so the shingle cache can be released HERE instead of
+    // leaking until session clearCache (ADVICE r3) — a production
+    // pipeline would write this to a table at the same point. The
+    // final sort stays lazy on the materialized frame.
+    val verified = verifyJaccard(cand, hashed).localCheckpoint(true)
+    hashed.unpersist(false)
+    verified.orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
@@ -228,7 +267,9 @@ object Dedup {
     // the dominant signature cost; re-hashing the 8-byte long is a
     // fraction of it. (An affine h*A_k+B_k permutation would be
     // cheaper still but ANSI mode rejects wraparound multiply.)
-    val hashed = cachedHashedShingleRows(docs)
+    // No persist: the shingle relation has exactly one consumer here
+    // (the map-side-combined 64-aggregate groupBy).
+    val hashed = hashedShingleRows(docs)
     val aggs = (0 until MinhashPerms).map(k =>
       min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -242,21 +283,39 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashPerms / LshBands
     val docs = Tables.documents(spark, dir)
-    val bands = minhashSignatures(docs)
+    // same single-persist shape as the ngram path: ONE hashed-shingle
+    // arrays relation feeds the signature aggregation AND the final
+    // verification; the first eager checkpoint below materializes it
+    val hashed = hashedShingleArrays(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until MinhashPerms).map(k =>
+      min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
+    val sigs = hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
+    val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
-    // persist: the self-join would otherwise run the 64-aggregate
-    // signature computation once per side
-    val bandsCached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandsCached.as("a")
-      .join(bandsCached.as("b"),
+      // eager checkpoint, not persist: the self-join references bands
+      // from both sides, and bands is small enough that AQE broadcasts
+      // one side — a lazily-persisted plan would run the 64-aggregate
+      // signature computation serially inside the broadcast-build
+      // thread. One doc-cardinality materialization, lineage truncated.
+      .localCheckpoint(true)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(cand, docs)
+      // materialized before verification for the same broadcast
+      // reasons as the ngram path (see dedupNgramJaccard)
+      .localCheckpoint(true)
+    val verified = verifyJaccard(cand, hashed).localCheckpoint(true)
+    hashed.unpersist(false)
+    verified.orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
