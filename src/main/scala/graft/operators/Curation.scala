@@ -168,11 +168,13 @@ object Curation {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val words = TextOps.whitespaceTokens(docs)
-    // eagerly materialized: tf feeds BOTH the document-frequency agg
-    // and the score join — a lazy plan would re-run the corpus-wide
-    // tokenize+aggregate per branch (serially, when df_ broadcasts)
+    // tf feeds BOTH the document-frequency agg and the score join,
+    // but both consumers sit above tf's own (doc_id, term) shuffle,
+    // so exchange reuse computes the corpus-wide tokenize+aggregate
+    // once — round 3 paid an eager-checkpoint barrier here instead,
+    // which cost more than the reuse saves (the barrier writes the
+    // full term-level relation; reuse just re-reads shuffle output)
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))

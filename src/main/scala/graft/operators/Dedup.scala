@@ -60,8 +60,12 @@ object Dedup {
     // repartition BEFORE the CPU-heavy shingling: a small input
     // (one parquet file = one partition) would otherwise pin the
     // whole kernel+explode on a single core; the shuffle moves only
-    // the raw text, a fraction of the shingle volume it unlocks
-    docs.repartition(col("doc_id"))
+    // the raw text, a fraction of the shingle volume it unlocks.
+    // Pinned count (REPARTITION_BY_NUM): a coalescible repartition
+    // over the byte-small doc relation would be collapsed to one
+    // post-shuffle partition by AQE, re-serializing the kernel.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p, col("doc_id"))
       .select(col("doc_id"), explode(expr(s"graft_hash_shingles(text, $ShingleN)")).as("gh"))
   }
 
@@ -96,7 +100,10 @@ object Dedup {
     * file count; callers persist + materialize it once per call. */
   def hashedShingleArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.repartition(col("doc_id"))
+    // pinned count for the same AQE-coalescing reason as
+    // hashedShingleRows: the kernel must stay spread across cores
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p, col("doc_id"))
       .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
       .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"))
   }

@@ -28,9 +28,18 @@ object TextOps {
     * by simhash signatures and TF-IDF so the oracled operators can
     * never disagree on word boundaries. Repartitions first to spread
     * tokenization off the single input split. */
-  def whitespaceTokens(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+  def whitespaceTokens(docs: DataFrame): DataFrame = {
+    // pinned partition count (REPARTITION_BY_NUM), not bare
+    // repartition(col): the pre-explode doc relation is BYTE-small,
+    // so AQE's partition coalescing would collapse a coalescible
+    // (REPARTITION_BY_COL) shuffle to ONE post-shuffle partition and
+    // run the CPU-heavy tokenize+downstream-aggregate serially — the
+    // whole point of the repartition is spreading that CPU across
+    // cores regardless of input file count
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p, col("doc_id"))
       .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit(WsToken), lit(0))).as("term"))
+  }
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -205,8 +214,10 @@ object TextOps {
     Tables.documents(spark, dir)
       // spread the scan off the single input split (one parquet file
       // = one partition); the shuffled text is a fraction of the
-      // bigram volume it unlocks
-      .repartition(col("doc_id"))
+      // bigram volume it unlocks. Pinned count: see whitespaceTokens
+      // (AQE would coalesce a by-col repartition of the small doc
+      // relation to one partition, serializing the kernel)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(expr("graft_word_bigrams(text)")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bigram"))
