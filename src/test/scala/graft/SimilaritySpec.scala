@@ -72,6 +72,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed < n * 0.8, s"largest cells hold $probed of $n vectors")
   }
 
+  test("probe over the persisted index returns exactly the fused build+probe results") {
+    // k-means is deterministic (hash-sample + first-k seeds), so the
+    // memoized index and a fresh build must agree — and the
+    // cid-partitioned parquet round-trip must not perturb scores
+    val fused = Similarity.annIvf(spark, dir).collect().map(_.toString).toSet
+    val probed = Similarity.annIvfProbe(spark, dir).collect().map(_.toString).toSet
+    assert(probed == fused)
+  }
+
+  test("ann_recall reports both methods above their floors and throws on regression") {
+    val rows = Similarity.annRecall(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      val floor = if (r.getString(0) == "ivf") Similarity.RecallFloorIvf else Similarity.RecallFloorLsh
+      assert(r.getDouble(3) >= floor, s"${r.getString(0)} recall ${r.getDouble(3)}")
+    }
+  }
+
   test("lsh signatures are deterministic") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val a = Similarity.lshSignature(e).select("vec_id", "sig").orderBy("vec_id").collect()
