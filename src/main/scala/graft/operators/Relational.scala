@@ -517,8 +517,15 @@ object Relational {
     * shuffle join on user_id; the cohort matrix output is tiny. */
   def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val wkUs = 7L * 24 * 3600 * 1000000
+    // FLOOR division, spelled out in integer arithmetic: Spark's
+    // `div` truncates toward zero while the oracle's `//` floors, so
+    // a bare `div` would bucket pre-1970 timestamps differently.
+    // pmod is non-negative, so (x - pmod(x, w)) is the largest
+    // multiple of w <= x and the `div` is exact — floor semantics on
+    // any epoch sign, no doubles involved.
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $wkUs)) div $wkUs").as("wk"))
     val activity = ev.distinct()
     val cohorts = activity.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     activity.join(cohorts, "user_id")

@@ -23,7 +23,12 @@ object JdbcSink {
     * only text columns that are indexed (or the primary key) are
     * pinned to a bounded VARCHAR — Derby can't index CLOBs, and
     * `varcharLen` need only cover the longest INDEXED value (the
-    * default 4096 is far above InChIKey's 27 chars). Every other
+    * default 1024 is far above InChIKey's 27 chars yet safely under
+    * the tested engine's index-key ceiling: Derby aborts CREATE
+    * INDEX/insert when a key value exceeds roughly half its 4 KB
+    * default page, so a 4096 cap would pass the DDL but fail at
+    * runtime on a 2-4 KB value; keys meant for indexing are short
+    * identifiers anyway). Every other
     * column keeps the JDBC dialect's native mapping — for strings
     * that is CLOB on Derby / TEXT on SQLite, so unbounded payloads
     * (full InChI / SMILES can exceed any fixed cap) load without
@@ -34,7 +39,7 @@ object JdbcSink {
   private val TextDtypes = Set("varchar", "character", "text", "string")
   private val NumericDtypes = Set("integer", "int", "real", "float", "double")
 
-  def columnTypes(layout: LayoutSpec, varcharLen: Int = 4096): String =
+  def columnTypes(layout: LayoutSpec, varcharLen: Int = 1024): String =
     layout.columns.flatMap { c =>
       c.dtype.toLowerCase match {
         // fast-fail on unknown dtypes HERE, before any data moves —
@@ -67,7 +72,7 @@ object JdbcSink {
     * JDBC writer); index DDL runs once, after load, like the
     * reference. */
   def write(df: DataFrame, url: String, table: String, layout: LayoutSpec,
-            varcharLen: Int = 4096): Unit = {
+            varcharLen: Int = 1024): Unit = {
     val overrides = columnTypes(layout, varcharLen)
     val writer = dedupByPrimaryKey(df, layout)
       .write

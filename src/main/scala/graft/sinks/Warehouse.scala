@@ -36,11 +36,36 @@ object Warehouse {
     else spark.emptyDataFrame
   }
 
-  private def loadedFilenames(spark: SparkSession, warehouseDir: String): Set[String] = {
+  /** Manifest rows above which the skip set is no longer collected
+    * to the driver: beyond it, pending files come from a distributed
+    * anti-join instead (only the PENDING names — bounded by the new
+    * work per run — ever reach the driver). */
+  val ManifestCollectMax = 100000
+
+  /** Files under `all` not yet recorded in the manifest. Small
+    * manifests (the PubChem scale the reference documents —
+    * thousands of files) use a driver-side Set, one collect, same as
+    * the reference's `get_sdf_files_not_in_db`. A manifest past
+    * `ManifestCollectMax` rows switches to a left-anti join of the
+    * listing against the manifest table, so a million-file warehouse
+    * never materializes its full history on the driver. The probe
+    * `limit(max + 1)` makes the choice without a separate count
+    * job. */
+  private def pendingFiles(spark: SparkSession, warehouseDir: String,
+                           all: Seq[String]): Seq[String] = {
     val m = manifest(spark, warehouseDir)
-    if (m.columns.contains("filename"))
-      m.select("filename").collect().map(_.getString(0)).toSet
-    else Set.empty
+    if (!m.columns.contains("filename")) return all.sorted
+    val probe = m.select("filename").limit(ManifestCollectMax + 1)
+      .collect().map(_.getString(0))
+    if (probe.length <= ManifestCollectMax) {
+      val done = probe.toSet
+      all.filterNot(f => done.contains(basename(f))).sorted
+    } else {
+      import spark.implicits._
+      all.map(p => (p, basename(p))).toDF("path", "filename")
+        .join(m.select("filename"), Seq("filename"), "left_anti")
+        .select("path").as[String].collect().toSeq.sorted
+    }
   }
 
   /** List input files matching the glob (driver-side metadata op —
@@ -61,8 +86,7 @@ object Warehouse {
   def ingest(spark: SparkSession, glob: String, warehouseDir: String,
              layout: LayoutSpec = LayoutSpec.default): IngestResult = {
     val all = listSdfFiles(spark, glob)
-    val done = loadedFilenames(spark, warehouseDir)
-    val todo = all.filterNot(f => done.contains(basename(f))).sorted
+    val todo = pendingFiles(spark, warehouseDir, all)
     if (todo.isEmpty) return IngestResult(Nil, 0L)
 
     // One distributed read over exactly the pending files. Keeping
@@ -150,11 +174,32 @@ object Warehouse {
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(s"${compoundsDir(warehouseDir)}.compact_tmp")
     val old = new Path(s"${compoundsDir(warehouseDir)}.compact_old")
-    // leftovers mean a previous compaction crashed mid-swap — the
-    // stranded directories may hold the ONLY full copy of the table,
-    // so refuse to run (deleting them here would destroy it)
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"compact: leftover $tmp/$old from a crashed compaction — inspect and restore before re-running")
+    // Leftovers mean a previous compaction crashed. Every crash
+    // state is mechanically recoverable under the documented
+    // single-writer assumption, so recover instead of refusing
+    // (round 3 refused outright, which left a crash between the two
+    // swap renames with NO table at the canonical path and no
+    // automated way back):
+    //  - dir present + tmp leftover (no old): crash before the swap
+    //    began — dir is still the canonical full table; the rewrite
+    //    is derived data, safe to discard and redo.
+    //  - dir absent + old + tmp: crash BETWEEN the renames. tmp
+    //    passed the row-preservation gate before the swap started,
+    //    so completing the swap (tmp → dir, drop old) is exactly the
+    //    interrupted operation.
+    //  - dir present + old leftover (no tmp): crash after the swap,
+    //    before the cleanup delete — finish the delete.
+    //  - dir absent + old only: the stage-aside rename succeeded but
+    //    the swap never started (or tmp was lost) — old IS the
+    //    canonical table; restore it.
+    if (fs.exists(old)) {
+      if (fs.exists(dir)) fs.delete(old, true)
+      else if (fs.exists(tmp)) {
+        require(fs.rename(tmp, dir), s"compact: recovery could not complete swap $tmp -> $dir")
+        fs.delete(old, true)
+      } else require(fs.rename(old, dir), s"compact: recovery could not restore $old -> $dir")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!fs.exists(dir)) return 0L
     // bytes per partition directory (src_filename=<escaped value>) —
     // names must be UNESCAPED before matching against column VALUES

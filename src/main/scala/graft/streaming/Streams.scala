@@ -33,12 +33,13 @@ object Streams {
   /** Stateful-shuffle width for the one-shot driver entries. A
     * streaming query pins `spark.sql.shuffle.partitions` at start as
     * its state-store count; at batch-sized micro-batches the
-    * per-store commit overhead dominates, so the harness runs 8
-    * stores instead of the session's CPU-count default (measured
-    * ~25-35% off each stream entry at sf0.1). A continuous cluster
+    * per-store commit overhead dominates, so the harness runs 4
+    * stores instead of the session's CPU-count default (round-4
+    * sweep at sf0.1: 8→4 shaved ~8% off tumbling/sessionize; 2 lost
+    * parallelism and regressed ~20%). A continuous cluster
     * deployment should size this to keyspace x executors instead —
     * it is a start-time knob, not part of the operator. */
-  val HarnessStatePartitions = 8
+  val HarnessStatePartitions = 4
 
   /** Start `f`'s streaming query with the harness state sizing, then
     * restore the session conf (the running query keeps the value it
@@ -52,7 +53,14 @@ object Streams {
 
   /** Run a one-shot stream into a memory sink and return the sink
     * table. Any previous query with the same name is stopped first
-    * so entries are re-runnable within a session. */
+    * so entries are re-runnable within a session.
+    *
+    * The memory sink is the HARNESS path only — it funnels results
+    * through the driver so the DuckDB oracle can check them. A
+    * production deployment writes `df.writeStream` to a real sink
+    * (kafka / parquet / a Warehouse table) with a continuous trigger and
+    * checkpointLocation; nothing in the operator plans depends on
+    * the sink choice. */
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())

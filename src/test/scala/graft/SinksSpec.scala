@@ -134,6 +134,61 @@ class SinksSpec extends AnyFunSuite {
     assert(re.filesLoaded.isEmpty && re.rowsLoaded == 0)
   }
 
+  test("compact recovers from a crash between the two swap renames") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_midswap").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    val before = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(Warehouse.compoundsDir(wh))
+    val tmp = new org.apache.hadoop.fs.Path(s"${Warehouse.compoundsDir(wh)}.compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"${Warehouse.compoundsDir(wh)}.compact_old")
+    val fs = dir.getFileSystem(conf)
+    // simulate the worst crash window: the rewrite (tmp) is complete,
+    // the table is staged aside (old), the swap-in never ran — the
+    // canonical path is EMPTY
+    org.apache.hadoop.fs.FileUtil.copy(fs, dir, fs, tmp, false, conf)
+    assert(fs.rename(dir, old))
+    assert(!fs.exists(dir))
+    Warehouse.compact(spark, wh) // must complete the swap, then compact normally
+    val after = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "recovery lost or duplicated rows")
+    assert(!fs.exists(tmp) && !fs.exists(old), "recovery left stranded directories")
+  }
+
+  test("compact discards a stale rewrite when the canonical table is intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_staletmp").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    val before = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(Warehouse.compoundsDir(wh))
+    val tmp = new org.apache.hadoop.fs.Path(s"${Warehouse.compoundsDir(wh)}.compact_tmp")
+    val fs = dir.getFileSystem(conf)
+    // a half-written rewrite from a crash before the swap began
+    fs.mkdirs(tmp)
+    Warehouse.compact(spark, wh)
+    val after = Warehouse.compounds(spark, wh).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    assert(!fs.exists(tmp))
+  }
+
+  test("a manifest past the collect bound switches to the distributed anti-join path") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_bigmanifest").toString
+    // seed a manifest larger than ManifestCollectMax with unrelated
+    // filenames — the skip set must NOT be collected to the driver,
+    // and none of these rows may block the real files
+    spark.range(Warehouse.ManifestCollectMax + 1L)
+      .select(concat(lit("fake_"), col("id"), lit(".sdf")).as("filename"),
+        col("id").as("lowest_cid"), col("id").as("highest_cid"),
+        lit("2026-01-01").as("date_added"), lit(1L).as("n_compounds"))
+      .write.mode("overwrite").parquet(Warehouse.manifestDir(wh))
+    val r1 = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(r1.filesLoaded.nonEmpty && r1.rowsLoaded > 0)
+    // idempotence must hold through the anti-join path too
+    val r2 = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(r2.filesLoaded.isEmpty && r2.rowsLoaded == 0)
+  }
+
   test("jdbc sink: non-indexed text loads unbounded values (CLOB, not capped VARCHAR)") {
     import spark.implicits._
     val layout = LayoutSpec(Seq(
