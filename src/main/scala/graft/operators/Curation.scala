@@ -43,11 +43,17 @@ object Curation {
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(true)
-    // initial labels derive LAZILY from the checkpointed sym: the
-    // first round's two references each recompute a vertex-level
-    // distinct over materialized rows inside one job — cheaper than
-    // the round-3 second seed-checkpoint job.
-    var labels = sym.select(col("a").as("v")).distinct().withColumn("lab", col("v"))
+    // Initial labels FOLD THE FIRST PROPAGATION ROUND into the seed:
+    // label(v) = min(v, min neighbor) is exactly round 1's output,
+    // computed as one aggregate over sym with no join — so near-
+    // clique dup clusters arrive at the loop already converged and
+    // pay a single confirming round. Derived lazily from the
+    // checkpointed sym (the first round's two references each
+    // recompute a cheap aggregate over materialized rows — cheaper
+    // than a second seed-checkpoint job).
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lab"))
+      .select(col("a").as("v"), col("lab"))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {

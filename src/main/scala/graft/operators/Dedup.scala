@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct character n-gram shingles of a text column, via the
-    * native kernel (graft.functions.ShinglesExpr — the
+  /** Distinct character n-gram shingles of a text column as STRINGS,
+    * via the native kernel (graft.functions.ShinglesExpr — the
     * transform+array_distinct form interprets every substring
     * through CodegenFallback lambdas; the kernel is one Java loop).
+    * The dedup operators themselves run end to end on HASHED
+    * shingles ([[hashedShingleArrays]]); this helper remains for
+    * callers that need the collision-free string sets.
     * Requires GraftFunctions registration (GraftSession does it;
     * operator entry points re-register defensively). */
   def shingles(textCol: String, n: Int): Column =
@@ -50,11 +53,10 @@ object Dedup {
   /** Exploded 64-bit-hashed distinct shingles: (doc_id, gh), via the
     * fused graft_hash_shingles kernel — no shingle strings are ever
     * materialized, and longs shuffle/sort/join far cheaper than
-    * 16-char strings. Candidate-side consumers (MinHash perms, LSH
-    * bands) are complete under any consistent shingle identity;
-    * verification intersects the real shingle STRINGS via
-    * [[shingleArrays]], so results are exact up to 64-bit xxhash
-    * collisions (see the kernel's doc for the honest bound). */
+    * 16-char strings. Consumers (MinHash perms, LSH bands, Jaccard
+    * intersects) are complete under any consistent shingle identity,
+    * exact up to 64-bit xxhash collisions (see the kernel's doc for
+    * the honest bound). */
   def hashedShingleRows(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // repartition BEFORE the CPU-heavy shingling: a small input
@@ -69,35 +71,15 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"graft_hash_shingles(text, $ShingleN)")).as("gh"))
   }
 
-  /** Persisted hashed-shingle relation, for callers that fan the
-    * shingle pass into branches shuffling on DIFFERENT keys (where
-    * exchange reuse never applies). Spark's cache manager dedups by
-    * logical plan, so repeated operator calls in one session share
-    * the entry; the caller owns the handle and should `unpersist`
-    * after its terminal action (the operator entry points do). At
-    * warehouse scale this cache becomes a materialized shingle TABLE
-    * (write once, reuse across the whole dedup campaign) rather than
-    * executor memory. */
-  def cachedHashedShingleRows(docs: DataFrame): DataFrame =
-    hashedShingleRows(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  /** Per-doc distinct shingle ARRAY (not exploded): (doc_id, gs) —
-    * string shingles, for callers that need the collision-free sets.
-    * One row per document keeps array joins document-cardinality
-    * (candidate pairs x two array lookups) instead of
-    * shingle-cardinality: the round-2 exploded-string verify
-    * shuffled the full 1.4M-row shingle relation on (doc_id, g) to
-    * score 257 candidate pairs. */
-  def shingleArrays(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), shingles("text", ShingleN).as("gs"))
-  }
-
   /** (doc_id, ghs, n): per-doc HASHED shingle arrays — the single
     * relation the near-dup operators run end to end on (candidate
     * generation and verification). The repartition before the
     * CPU-heavy kernel distributes the shingling regardless of input
-    * file count; callers persist + materialize it once per call. */
+    * file count; callers persist + materialize it once per call and
+    * unpersist after their terminal materialization. At warehouse
+    * scale this per-call cache becomes a materialized shingle TABLE
+    * (write once, reuse across the whole dedup campaign) rather
+    * than executor memory. */
   def hashedShingleArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // pinned count for the same AQE-coalescing reason as

@@ -30,13 +30,15 @@ object Similarity {
     e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
 
-  private def topkWindow(scored: DataFrame): DataFrame = {
+  private def topkWindowUnordered(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), col("score"))
-      .orderBy(col("q_id"), col("rank"))
   }
+
+  private def topkWindow(scored: DataFrame): DataFrame =
+    topkWindowUnordered(scored).orderBy(col("q_id"), col("rank"))
 
   // ---- ann_topk_brute: exact top-k, bounded query side broadcast ----
   def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -126,7 +128,13 @@ object Similarity {
       .join(broadcast(qs), Seq("q_id"))
       .join(vecs, Seq("vec_id"))
       .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
-    topkWindow(scored)
+    // materialize the (query x k)-bounded result so the corpus-wide
+    // signature cache can be released here rather than leaking until
+    // session clearCache (same pattern as the dedup operators); the
+    // final sort stays lazy on the materialized frame
+    val result = topkWindowUnordered(scored).localCheckpoint(true)
+    e.unpersist(false)
+    result.orderBy(col("q_id"), col("rank"))
   }
 
   // ---- ann_ivf: k-means-lite inverted file ----
