@@ -108,6 +108,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("dedup and ANN operators release their caches after materializing (no storage leak)") {
+    // the operators own a persisted shingle/signature relation for
+    // the duration of one call and must unpersist it once the
+    // bounded result is materialized — a long session sweeping many
+    // corpora must not accumulate executor storage (ADVICE r3)
+    spark.catalog.clearCache()
+    val dir = "/root/testdata/sf0.001"
+    operators.Dedup.dedupNgramJaccard(spark, dir).count()
+    operators.Dedup.dedupMinhashLsh(spark, dir).count()
+    operators.Similarity.annTopkLsh(spark, dir).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator left a persisted relation in the cache manager")
+  }
+
+  test("ivf cell assignment aggregates its argmin — no corpus x k window sort") {
+    val e = operators.Dedup.embeddingsWithNorm(spark, "/root/testdata/sf0.001")
+    val cents = operators.Similarity.kmeansCentroids(spark, e, 4, 1)
+    val plan = operators.Similarity.assignCells(e, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assign plans a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_first"),
+      s"assign argmin is not partially aggregated:\n$plan")
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
