@@ -523,12 +523,20 @@ object Relational {
     // pmod is non-negative, so (x - pmod(x, w)) is the largest
     // multiple of w <= x and the `div` is exact — floor semantics on
     // any epoch sign, no doubles involved.
-    val ev = Tables.events(spark, dir)
+    // ONE pass over events: collect_set dedups each user's weeks
+    // map-side (the per-user set is bounded by the dataset's week
+    // span), the cohort is the set's min, and exploding the set
+    // yields exactly the distinct (user, wk) activity — round 3
+    // computed a distinct THEN joined a per-user min aggregate back
+    // onto it: two shuffles of user-level data plus a join, and the
+    // distinct subtree executed once per consumer when exchange
+    // reuse missed. The cohort-matrix aggregate stays partial; its
+    // input is user-set cardinality, not event cardinality.
+    Tables.events(spark, dir)
       .select(col("user_id"),
         expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $wkUs)) div $wkUs").as("wk"))
-    val activity = ev.distinct()
-    val cohorts = activity.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-    activity.join(cohorts, "user_id")
+      .groupBy(col("user_id")).agg(collect_set(col("wk")).as("wks"))
+      .select(array_min(col("wks")).as("cohort_week"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))

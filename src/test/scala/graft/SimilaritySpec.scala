@@ -81,6 +81,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed == fused)
   }
 
+  test("the persisted IVF index layout supports partition pruning on cid") {
+    val idx = Similarity.ivfIndex(spark, dir)
+    val plan = spark.read.parquet(idx.listsPath)
+      .filter(org.apache.spark.sql.functions.col("cid") === 1)
+      .queryExecution.executedPlan.toString
+    // a probe that filters on its probed cells must read ONLY those
+    // cells' partitions — the layout property that makes the index
+    // an inverted file at scale
+    assert(plan.contains("PartitionFilters: [isnotnull(cid") || plan.contains("PartitionFilters: [(cid"),
+      s"cid filter not applied as a partition filter:\n$plan")
+  }
+
   test("ann_recall reports both methods above their floors and throws on regression") {
     val rows = Similarity.annRecall(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
