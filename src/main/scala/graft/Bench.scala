@@ -8,6 +8,17 @@ object Bench {
     // A failed query must not masquerade as a timing — record it in
     // "errors" and exclude it from the per-query timings (VERDICT r1).
     val errors = collection.mutable.ListBuffer.empty[String]
+    // Untimed JVM warmup before the loop: the alphabetically-first
+    // entries (the heaviest ann_* queries) otherwise absorb the
+    // one-time JIT of Spark's join/aggregate/codegen infrastructure
+    // that every later entry gets for free — measured ~1.3 s of
+    // phantom cost on the first entry alone. Query-specific
+    // generated code is still warmed only by each query's own
+    // first (discarded) run.
+    Seq("q1_agg", "q_median", "q_events_tumbling").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     // Best-of-2 per query — the same methodology as the DuckDB
     // baseline script (scripts/baseline_bench.py), so the recorded
     // ratio compares steady-state engine work, not first-run JIT.
