@@ -16,8 +16,14 @@ object Bench {
     // generated code is still warmed only by each query's own
     // first (discarded) run.
     Seq("q1_agg", "q_median", "q_events_tumbling").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      // a missing name is a hard error (a silently-skipped warmup
+      // would skew the recorded ratios with no signal); only the
+      // query's own execution failure is tolerated here — the timed
+      // loop below will surface it properly in "errors"
+      val fn = SparkEntry.queries.getOrElse(w,
+        sys.error(s"bench warmup query $w missing from SparkEntry.queries"))
+      try fn(spark, sfDir).count()
+      catch { case e: Exception => System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
     }
     // Best-of-2 per query — the same methodology as the DuckDB
     // baseline script (scripts/baseline_bench.py), so the recorded

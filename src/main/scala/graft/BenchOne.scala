@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // same default as graft.Bench — the harnesses must build the
+    // same session shape or single-query timings don't transfer
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark: SparkSession = GraftSession.local(cpus)
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
     names.foreach { name =>

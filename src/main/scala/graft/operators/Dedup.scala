@@ -250,18 +250,25 @@ object Dedup {
     * Catalyst's projection collapse inlines the shingle-array
     * expression into the per-seed lambda, recomputing the shingling
     * 64x per document — measured 100x slower at sf0.1.) */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    // One kernel hash per shingle (gh), then 64 cheap fixed-width
-    // re-hashes xxhash64(gh, k) — hashing the 16-char string 64x was
-    // the dominant signature cost; re-hashing the 8-byte long is a
-    // fraction of it. (An affine h*A_k+B_k permutation would be
-    // cheaper still but ANSI mode rejects wraparound multiply.)
+  def minhashSignatures(docs: DataFrame): DataFrame =
     // No persist: the shingle relation has exactly one consumer here
     // (the map-side-combined 64-aggregate groupBy).
-    val hashed = hashedShingleRows(docs)
+    minhashSignaturesFromRows(hashedShingleRows(docs))
+
+  /** The signature aggregation proper, over any (doc_id, gh)
+    * exploded-hashed-shingle relation — ONE definition shared by the
+    * public helper and the LSH operator, so the spec-tested
+    * signature can never desynchronize from the shipped one.
+    *
+    * One kernel hash per shingle (gh), then 64 cheap fixed-width
+    * re-hashes xxhash64(gh, k) — hashing the 16-char string 64x was
+    * the dominant signature cost; re-hashing the 8-byte long is a
+    * fraction of it. (An affine h*A_k+B_k permutation would be
+    * cheaper still but ANSI mode rejects wraparound multiply.) */
+  private[operators] def minhashSignaturesFromRows(rows: DataFrame): DataFrame = {
     val aggs = (0 until MinhashPerms).map(k =>
       min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
   }
@@ -277,12 +284,8 @@ object Dedup {
     // verification; the first eager checkpoint below materializes it
     val hashed = hashedShingleArrays(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = (0 until MinhashPerms).map(k =>
-      min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
-    val sigs = hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
+    val sigs = minhashSignaturesFromRows(
+      hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),

@@ -532,9 +532,15 @@ object Relational {
     // distinct subtree executed once per consumer when exchange
     // reuse missed. The cohort-matrix aggregate stays partial; its
     // input is user-set cardinality, not event cardinality.
+    // NULL keys excluded EXPLICITLY on both sides: the round-3 join
+    // dropped NULL user_ids implicitly (NULL = NULL is not true) and
+    // collect_set drops NULL weeks — a groupBy would instead KEEP
+    // the NULL-user group and diverge from the oracle's join
+    // semantics on real feeds with nullable keys.
     Tables.events(spark, dir)
       .select(col("user_id"),
         expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $wkUs)) div $wkUs").as("wk"))
+      .filter(col("user_id").isNotNull && col("wk").isNotNull)
       .groupBy(col("user_id")).agg(collect_set(col("wk")).as("wks"))
       .select(array_min(col("wks")).as("cohort_week"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
@@ -546,6 +552,7 @@ object Relational {
     val wkUs = 7L * 24 * 3600 * 1000000
     s"""WITH activity AS (
        |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $wkUs AS wk FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
        |), cohorts AS (
        |  SELECT user_id, MIN(wk) AS cohort_week FROM activity GROUP BY 1
        |)

@@ -281,16 +281,42 @@ object Similarity {
     * storage — at warehouse scale this layout IS the inverted file. */
   final case class IvfIndex(cells: Int, centroids: Seq[(Int, Seq[Double])], listsPath: String)
 
-  private val ivfIndexCache = new scala.collection.concurrent.TrieMap[String, IvfIndex]
+  private val ivfIndexCache =
+    new scala.collection.concurrent.TrieMap[(String, String), IvfIndex]
+
+  /** Fingerprint of the embeddings table's file listing (names,
+    * sizes, mtimes) — a driver metadata op. The index memo keys on
+    * it so a regenerated/appended corpus triggers a rebuild instead
+    * of silently serving stale centroids and posting lists. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*"))
+    val listing =
+      if (stats == null || stats.isEmpty) Seq(fs.getFileStatus(p))
+      else stats.toSeq
+    listing.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|").hashCode.toString
+  }
 
   /** Build (or fetch the already-built) index for a corpus dir. The
     * memo holds only bounded centroid arrays + a path; the
     * corpus-sized lists live in the parquet index, never on the
-    * driver. Build cost is paid once per corpus and amortizes across
-    * every subsequent probe batch — `ann_ivf` times build+probe
-    * fused; `ann_ivf_probe` times the steady-state regime. */
-  def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
-    ivfIndexCache.getOrElseUpdate(dir, {
+    * driver. Build cost is paid once per corpus VERSION (see
+    * [[corpusFingerprint]]) and amortizes across every subsequent
+    * probe batch — `ann_ivf` times build+probe fused;
+    * `ann_ivf_probe` times the steady-state regime. A superseded
+    * index's temp directory is deleted on rebuild. */
+  def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val key = (dir, corpusFingerprint(spark, dir))
+    ivfIndexCache.getOrElseUpdate(key, {
+      // drop superseded versions of this corpus (and their on-disk lists)
+      ivfIndexCache.keys.filter(_._1 == dir).foreach { k =>
+        ivfIndexCache.remove(k).foreach { idx =>
+          val p = new org.apache.hadoop.fs.Path(idx.listsPath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
       import spark.implicits._
       val e = Dedup.embeddingsWithNorm(spark, dir)
       val n = e.count()
@@ -301,6 +327,7 @@ object Similarity {
       assign(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
       IvfIndex(cells, local, path)
     })
+  }
 
   /** Steady-state IVF query: centroids from the driver-local index,
     * posting lists scanned from the partitioned parquet — the probe
@@ -331,6 +358,10 @@ object Similarity {
     val brute = annTopkBrute(spark, dir)
       .select(col("q_id"), col("vec_id")).localCheckpoint(true)
     val total = brute.count()
+    // an empty brute result would make every recall 0/0 = NaN, and
+    // NaN < floor is false — the gate would pass green on a dead
+    // pipeline. Fail the entry outright instead.
+    require(total > 0, "ann_recall: brute-force oracle returned no rows — ANN pipeline is not functional")
     def leg(method: String, approx: DataFrame, floor: Double): (String, Long, Long, Double) = {
       val matched = approx.select(col("q_id"), col("vec_id"))
         .join(brute, Seq("q_id", "vec_id"), "left_semi").count()

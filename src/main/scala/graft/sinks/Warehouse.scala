@@ -187,13 +187,29 @@ object Warehouse {
     //    passed the row-preservation gate before the swap started,
     //    so completing the swap (tmp → dir, drop old) is exactly the
     //    interrupted operation.
-    //  - dir present + old leftover (no tmp): crash after the swap,
-    //    before the cleanup delete — finish the delete.
+    //  - dir present + old leftover + NO tmp: crash after the swap,
+    //    before the cleanup delete (tmp is gone because the swap-in
+    //    rename consumed it) — dir is the compacted full table;
+    //    finish the delete.
+    //  - dir present + old + tmp ALL exist: NOT a pure compact crash
+    //    — the only writer that re-creates dir while old+tmp survive
+    //    is an ingest that ran after a between-renames crash, so dir
+    //    holds ONLY post-crash partitions while old/tmp hold the
+    //    full pre-crash table. No mechanical merge is safe (blind
+    //    restore would drop the manifested post-crash ingests; blind
+    //    cleanup would delete the only full copies) — refuse loudly.
     //  - dir absent + old only: the stage-aside rename succeeded but
     //    the swap never started (or tmp was lost) — old IS the
     //    canonical table; restore it.
     if (fs.exists(old)) {
-      if (fs.exists(dir)) fs.delete(old, true)
+      if (fs.exists(dir)) {
+        require(!fs.exists(tmp),
+          s"compact: $dir, $old and $tmp all exist — an ingest ran after a mid-swap " +
+            "compaction crash, so the canonical directory holds only post-crash " +
+            "partitions. Manually merge (restore old, re-ingest the new partitions " +
+            "from dir) before compacting again.")
+        fs.delete(old, true)
+      }
       else if (fs.exists(tmp)) {
         require(fs.rename(tmp, dir), s"compact: recovery could not complete swap $tmp -> $dir")
         fs.delete(old, true)

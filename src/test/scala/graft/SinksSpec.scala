@@ -155,6 +155,26 @@ class SinksSpec extends AnyFunSuite {
     assert(!fs.exists(tmp) && !fs.exists(old), "recovery left stranded directories")
   }
 
+  test("compact refuses the ambiguous state where an ingest re-created the table mid-crash") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_ambiguous").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(Warehouse.compoundsDir(wh))
+    val tmp = new org.apache.hadoop.fs.Path(s"${Warehouse.compoundsDir(wh)}.compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"${Warehouse.compoundsDir(wh)}.compact_old")
+    val fs = dir.getFileSystem(conf)
+    // mid-swap crash (old + tmp hold the full table, dir gone)...
+    org.apache.hadoop.fs.FileUtil.copy(fs, dir, fs, tmp, false, conf)
+    assert(fs.rename(dir, old))
+    // ...then an ingest re-creates dir with only new partitions: no
+    // mechanical recovery is safe — compact must refuse, not delete
+    // the only full copies (old/tmp) or drop the manifested ingest
+    fs.mkdirs(dir)
+    val err = intercept[IllegalArgumentException] { Warehouse.compact(spark, wh) }
+    assert(err.getMessage.contains("Manually merge"), err.getMessage)
+    assert(fs.exists(old) && fs.exists(tmp), "refusal must leave all copies intact")
+  }
+
   test("compact discards a stale rewrite when the canonical table is intact") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_staletmp").toString
     Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
