@@ -75,18 +75,70 @@ object Dedup {
     * relation the near-dup operators run end to end on (candidate
     * generation and verification). The repartition before the
     * CPU-heavy kernel distributes the shingling regardless of input
-    * file count; callers persist + materialize it once per call and
-    * unpersist after their terminal materialization. At warehouse
-    * scale this per-call cache becomes a materialized shingle TABLE
-    * (write once, reuse across the whole dedup campaign) rather
-    * than executor memory. */
+    * file count; callers that reference the relation from several
+    * plan branches add a SECOND pinned repartition ABOVE the kernel
+    * ([[sharedShingleArrays]]) so exchange reuse computes the kernel
+    * once per job instead of once per branch. At warehouse scale
+    * this shared exchange becomes a materialized shingle TABLE
+    * (write once, reuse across the whole dedup campaign). */
   def hashedShingleArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // pinned count for the same AQE-coalescing reason as
-    // hashedShingleRows: the kernel must stay spread across cores
+    // hashedShingleRows: the kernel must stay spread across cores.
+    // ROUND-ROBIN, not hash(doc_id): sharedShingleArrays adds a
+    // hash(doc_id) exchange ABOVE the kernel as the multi-consumer
+    // reuse point, and physical planning elides a repartition whose
+    // partitioning equals its child's — two hash(doc_id) shuffles
+    // would collapse into the lower one, putting the kernel back
+    // above the surviving exchange and re-running it once per branch
+    // (measured 2x the whole operator). Round-robin also spreads the
+    // kernel evenly regardless of doc_id distribution.
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(p, col("doc_id"))
-      .select(col("doc_id"), expr(s"graft_hash_shingles(text, $ShingleN)").as("ghs"))
+    // coalesce to a typed empty array: it makes ghs (and n) NON-NULL
+    // at the type level, so InferFiltersFromConstraints derives no
+    // isnotnull(n) from downstream join conditions. That inferred
+    // filter is poison here: predicate pushdown substitutes the
+    // alias chain into it and lands `isnotnull(size(kernel(text)))`
+    // BELOW both exchanges — running the whole shingle kernel
+    // serially in the one-task scan stage (measured 3 s at sf0.1,
+    // the entire operator's budget). A null text row now yields an
+    // empty shingle set, which is also the more useful semantic.
+    docs.repartition(p)
+      .select(col("doc_id"),
+        coalesce(expr(s"graft_hash_shingles(text, $ShingleN)"),
+          typedLit(Array.empty[Long])).as("ghs"))
+      .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"))
+  }
+
+  /** [[hashedShingleArrays]] behind a pinned doc_id exchange — the
+    * multi-consumer form. The exchange above the kernel is the
+    * round-5 replacement for round 4's persist + eager-checkpoint +
+    * unpersist pattern: every branch of one query that references
+    * this relation (prefix a/b, verify x/y, signature aggregation)
+    * canonicalizes to the SAME shuffle, so ReuseExchange/AQE stage
+    * reuse computes the shingle kernel once per job — with no
+    * executor-storage footprint to release afterwards and no
+    * materialization barrier between candidate generation and the
+    * caller's terminal action (the r4 structure paid 2-3 eager
+    * checkpoints per operator purely to keep lazily-persisted plans
+    * out of AQE broadcast-build threads; shuffle-stage output has no
+    * such failure mode). doc_id partitioning is chosen so the verify
+    * joins (keyed on renamed doc_id) need no further exchange. */
+  def sharedShingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    // The exchange payload is exactly (doc_id, ghs) and n is derived
+    // ABOVE it: exchange reuse compares canonicalized subtrees, so a
+    // consumer that prunes n (the signature aggregation) and one
+    // that keeps it (verification) would otherwise materialize two
+    // near-identical shuffles — measured as a second full kernel
+    // pass on the minhash path. size() post-shuffle is a few ns per
+    // row; a divergent exchange is a whole extra corpus scan.
+    docs.repartition(p)
+      .select(col("doc_id"),
+        coalesce(expr(s"graft_hash_shingles(text, $ShingleN)"),
+          typedLit(Array.empty[Long])).as("ghs"))
+      .repartition(p, col("doc_id"))
       .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"))
   }
 
@@ -105,15 +157,17 @@ object Dedup {
     * exchange it sits on the scan's single file partition; after it,
     * AQE coalesces the tiny post-shuffle stage to one task and runs
     * it inside a broadcast-build thread — measured 1-task stages of
-    * seconds). Verifying on the already-cached hash arrays does ZERO
-    * new shingle work and streams the cached partitions through the
-    * join fully parallel.
+    * seconds). Verifying on the shared-exchange hash arrays does
+    * ZERO new shingle work and streams the shuffle partitions
+    * through the join fully parallel.
     *
-    * `cand` must be eagerly MATERIALIZED by the caller
-    * (localCheckpoint): it is the broadcast side of both joins, and
-    * a lazy plan would re-run candidate generation serially inside
-    * the broadcast-build thread. Output is UNORDERED — callers
-    * order after their own terminal materialization. */
+    * `hashed` must be a [[sharedShingleArrays]]-shaped relation (its
+    * exchange is what x and y reuse); `cand` stays LAZY — its
+    * upstream shuffles are materialized as AQE stages inside the one
+    * terminal job, and any runtime broadcast is built from that
+    * stage output, not by re-running candidate generation (the r4
+    * serial-broadcast trap applied to lazily-PERSISTED subplans,
+    * which no longer exist here). Output is UNORDERED. */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
     val x = hashed.select(col("doc_id").as("doc_a"), col("ghs").as("gs_a"), col("n").as("n_a"))
     val y = hashed.select(col("doc_id").as("doc_b"), col("ghs").as("gs_b"), col("n").as("n_b"))
@@ -157,15 +211,16 @@ object Dedup {
     // pass per corpus, exact up to 64-bit xxhash collisions — see
     // the kernel's doc for the honest bound.
     graft.functions.GraftFunctions.register(spark)
-    // ONE persisted relation feeds the sketch aggregate, the prefix
-    // kernel, and (through prefix) both sides of the self-join. The
-    // CMS `head` below is the action that materializes it, so every
-    // later reference is a cache read — round 3 carried a second
-    // persist for the row-aligned prefix relation, paying an extra
-    // materialization barrier to avoid a kernel recompute that the
-    // self-join's exchange reuse mostly eliminates anyway.
-    val hashed = hashedShingleArrays(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE shared-exchange relation feeds the sketch aggregate, the
+    // prefix kernel, and (through prefix) both sides of the
+    // self-join. This call runs exactly TWO jobs: the CMS `head`
+    // (which must finish before the sketch can be bound into the
+    // prefix expression) and the caller's terminal action — round 4
+    // paid two additional eager-checkpoint barriers (cand, verified)
+    // plus cache encode/decode and an unpersist hand-off; all of
+    // that is now a single lazy plan whose shared stages AQE
+    // materializes once (see sharedShingleArrays).
+    val hashed = sharedShingleArrays(docs)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       hashed.select(explode(col("ghs")).as("gh"))
         .select(expr("count_min_sketch(gh, 0.0002d, 0.9d, 42)")).head.getAs[Array[Byte]](0))
@@ -200,21 +255,12 @@ object Dedup {
         lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // eager checkpoint, not persist: cand is the broadcast side of
-      // the verification joins — a lazily-persisted plan would be
-      // materialized inside an AQE broadcast-build thread, running
-      // the whole prefix-join plan serially. The pair set is
-      // duplicate-cardinality (tiny), and the checkpoint truncates
-      // the entire candidate lineage out of the verification plan.
-      .localCheckpoint(true)
-    // materialize the (tiny, duplicate-cardinality) verified result
-    // eagerly so the shingle cache can be released HERE instead of
-    // leaking until session clearCache (ADVICE r3) — a production
-    // pipeline would write this to a table at the same point. The
-    // final sort stays lazy on the materialized frame.
-    val verified = verifyJaccard(cand, hashed).localCheckpoint(true)
-    hashed.unpersist(false)
-    verified.orderBy(col("doc_a"), col("doc_b"))
+    // fully lazy from here: the distinct's exchange is an AQE stage
+    // inside the caller's one terminal job, and the verify joins
+    // read the shared shingle exchange — nothing is persisted, so
+    // there is nothing to release (ADVICE r3/r4 storage-leak class
+    // is gone by construction)
+    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
@@ -279,35 +325,34 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashPerms / LshBands
     val docs = Tables.documents(spark, dir)
-    // same single-persist shape as the ngram path: ONE hashed-shingle
-    // arrays relation feeds the signature aggregation AND the final
-    // verification; the first eager checkpoint below materializes it
-    val hashed = hashedShingleArrays(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    // same shared-exchange shape as the ngram path: ONE shingle
+    // relation feeds the signature aggregation AND the final
+    // verification. This operator runs as a SINGLE job — no sketch
+    // pre-pass, no checkpoints; every shared stage (shingle kernel,
+    // 64-aggregate signatures, banded buckets) is an AQE-reused
+    // exchange inside the caller's terminal action.
+    val hashed = sharedShingleArrays(docs)
+    // the signature groupBy(doc_id) sits directly on the doc_id
+    // exchange, so it aggregates without a further shuffle
     val sigs = minhashSignaturesFromRows(
       hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
-      // eager checkpoint, not persist: the self-join references bands
-      // from both sides, and bands is small enough that AQE broadcasts
-      // one side — a lazily-persisted plan would run the 64-aggregate
-      // signature computation serially inside the broadcast-build
-      // thread. One doc-cardinality materialization, lineage truncated.
-      .localCheckpoint(true)
+      // pinned (band, bh) exchange: the self-join's OWN distribution,
+      // computed once and read from both sides (the r4 eager
+      // checkpoint materialized the same relation, but as a separate
+      // scheduling barrier + a driver round-trip)
+      .repartition(p, col("band"), col("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // materialized before verification for the same broadcast
-      // reasons as the ngram path (see dedupNgramJaccard)
-      .localCheckpoint(true)
-    val verified = verifyJaccard(cand, hashed).localCheckpoint(true)
-    hashed.unpersist(false)
-    verified.orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
@@ -378,7 +423,19 @@ object Dedup {
     * oracle. */
   def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // pinned repartition before the per-vector compute for the same
+    // reason as hashedShingleArrays: a small embeddings table is one
+    // parquet file = one partition, which would serialize the
+    // double-promotion + norm (and any downstream signature kernel)
+    // on a single core. ROUND-ROBIN so a consumer's hash(vec_id)
+    // reuse exchange above the compute is not elided as redundant
+    // (see hashedShingleArrays). Filters on vec_id still push past
+    // the repartition to the scan (Catalyst pushes predicates
+    // through RepartitionOperation), so bounded-query consumers
+    // don't pay a corpus shuffle.
+    val p = spark.sparkContext.defaultParallelism
     Tables.embeddings(spark, dir)
+      .repartition(p)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(dot("v", "v")))
   }

@@ -92,27 +92,48 @@ object Similarity {
     // band value by plain codegen'd arithmetic — `rows` is a plan-time
     // constant, so the aggregate-over-slice fold (CodegenFallback)
     // flattens to element_at terms
-    val bval = (0 until rows)
+    // coalesce: element_at is nullable-typed, and a nullable join
+    // key makes InferFiltersFromConstraints push an
+    // isnotnull(<whole signature kernel>) predicate below the shared
+    // exchange into the serial scan stage (see
+    // Dedup.hashedShingleArrays); sig always has LshBits elements,
+    // so the fallback never fires
+    val bval = coalesce((0 until rows)
       .map(r => element_at(col("sig"), col("band") * rows + r + 1) * lit(1 << (rows - 1 - r)))
-      .reduce(_ + _)
+      .reduce(_ + _), lit(0))
     sigDf.select(col(idCol), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .withColumn("bval", bval)
       .drop("sig")
   }
 
   def annTopkLsh(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: referenced by 4 branches (corpus/query buckets,
-    // candidate vectors, query vectors) shuffling on different keys
-    val e = lshSignature(Dedup.embeddingsWithNorm(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBuckets = banded(e, "vec_id")
+    // The corpus is referenced by two corpus-wide branches (bucket
+    // signatures, candidate vectors): a pinned vec_id exchange whose
+    // payload is exactly (vec_id, v) is the shared stage both reuse
+    // within the caller's single job — the round-5 replacement for
+    // the r4 persist + eager-checkpoint + unpersist pattern (see
+    // Dedup.sharedShingleArrays). sig and nrm are derived ABOVE the
+    // exchange so both branches prune to the same canonical subtree
+    // (a divergently-pruned exchange would be a second corpus scan).
+    // The query-side branches filter on vec_id, which pushes past
+    // the repartition to the parquet scan — they are bounded-row
+    // side scans, not corpus consumers.
+    graft.functions.GraftFunctions.register(spark)
+    val p = spark.sparkContext.defaultParallelism
+    val shared = Tables.embeddings(spark, dir)
+      .repartition(p)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .repartition(p, col("vec_id"))
+    val corpusBuckets = banded(lshSignature(shared), "vec_id")
     val rows = LshBits / LshBands
     // Multi-probe: each query also probes the hamming-1 neighbors of
     // its bucket in every band (flip one of the band's bits). 5x the
     // probe keys — still a bucket join over a corpus-size-independent
     // number of keys per query — for roughly double the recall.
+    val queries = Dedup.embeddingsWithNorm(spark, dir)
+      .filter(col("vec_id") < QueryCount)
     val queryBuckets = banded(
-      e.filter(col("vec_id") < QueryCount).withColumnRenamed("vec_id", "q_id")
+      lshSignature(queries).withColumnRenamed("vec_id", "q_id")
         .select(col("q_id"), col("sig")), "q_id")
       .withColumn("bval", explode(expr(
         s"array_union(array(bval), transform(sequence(0, ${rows - 1}), j -> CAST(bval ^ shiftleft(1, j) AS INT)))")))
@@ -121,20 +142,16 @@ object Similarity {
     val cand = queryBuckets.join(corpusBuckets, Seq("band", "bval"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
-    val qs = vecs.withColumnRenamed("vec_id", "q_id")
-      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+    val vecs = shared.withColumn("nrm", sqrt(Dedup.dot("v", "v")))
+    val qs = queries.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = cand
       .join(broadcast(qs), Seq("q_id"))
       .join(vecs, Seq("vec_id"))
       .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
-    // materialize the (query x k)-bounded result so the corpus-wide
-    // signature cache can be released here rather than leaking until
-    // session clearCache (same pattern as the dedup operators); the
-    // final sort stays lazy on the materialized frame
-    val result = topkWindowUnordered(scored).localCheckpoint(true)
-    e.unpersist(false)
-    result.orderBy(col("q_id"), col("rank"))
+    // fully lazy: nothing is persisted, so there is no storage to
+    // release and no materialization barrier before the caller's
+    // terminal action
+    topkWindow(scored)
   }
 
   // ---- ann_ivf: k-means-lite inverted file ----
