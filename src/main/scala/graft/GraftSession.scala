@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size post-shuffle stages by bytes (the 64 MB advisory), not
+      // by cluster parallelism: parallelismFirst=true splits small
+      // shuffles into per-core slivers whose task overhead dominates
+      // — Spark's own docs recommend false; at warehouse scale the
+      // byte-sized stages are also what keeps reducer counts sane
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate turns every explode(kernel(text))

@@ -44,6 +44,15 @@ object Curation {
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      // the repartition is the explicit stage boundary that makes
+      // round 1's three references to sym share ONE execution of the
+      // upstream pair pipeline (without it, the pipeline's top —
+      // candidate distinct + verify joins — satisfies downstream
+      // distribution requirements exchange-free and is recomputed
+      // per branch: measured 3x at sf0.1). The exchange itself moves
+      // only duplicate-cardinality edge rows and AQE may coalesce it
+      // freely — it is NOT a driver-side materialization barrier.
+      .repartition(col("a"))
     // Initial labels FOLD THE FIRST PROPAGATION ROUND into the seed:
     // label(v) = min(v, min neighbor) is exactly round 1's output,
     // computed as one aggregate over sym with no join — so near-
@@ -109,7 +118,7 @@ object Curation {
     // plan branches, they all canonicalize to the same shuffle
     // stages — the ngram pipeline executes once, inside the
     // clustering round's single materializing job
-    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+    val pairs = Dedup.dedupNgramJaccardPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(pairs)
       .select(col("v").as("doc_id"), col("lab").as("cluster_root"))

@@ -134,8 +134,17 @@ object Dedup {
     // near-identical shuffles — measured as a second full kernel
     // pass on the minhash path. size() post-shuffle is a few ns per
     // row; a divergent exchange is a whole extra corpus scan.
+    // doc_id is coalesced to a sentinel for the same nullability-
+    // hygiene reason as ghs: parquet's nullable doc_id makes every
+    // downstream join/aggregation key nullable, and the isnotnull
+    // filters Catalyst then infers land in SOME consumer branches
+    // but not others — divergently-filtered copies of this subtree
+    // stop canonicalizing to one exchange, and the whole pipeline
+    // re-executes per branch (measured 3x in dedup_clusters' label
+    // round). The corpus has no null doc_ids; a hypothetical one
+    // becomes Long.MinValue instead of silently vanishing.
     docs.repartition(p)
-      .select(col("doc_id"),
+      .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
         coalesce(expr(s"graft_hash_shingles(text, $ShingleN)"),
           typedLit(Array.empty[Long])).as("ghs"))
       .repartition(p, col("doc_id"))
@@ -189,7 +198,10 @@ object Dedup {
   // any pair with J >= t provably shares a PREFIX shingle, and rare
   // shingles have tiny postings lists, so the candidate join stays
   // linear-ish at any corpus size.
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The UNORDERED near-dup pairs — consumers that feed the pairs
+    * into further processing (dedup_clusters) use this form and skip
+    * the presentation sort's range-sampling pass + exchange. */
+  def dedupNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Global shingle rarity as a count-min sketch: ONE bounded-size
     // aggregate (eps 2e-4 x confidence 0.9, ~300 KB — broadcastable
@@ -260,8 +272,11 @@ object Dedup {
     // read the shared shingle exchange — nothing is persisted, so
     // there is nothing to release (ADVICE r3/r4 storage-leak class
     // is gone by construction)
-    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, hashed)
   }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
     * is legal in a parenthesized CTE subquery) — Curation's
