@@ -51,6 +51,32 @@ object Streams {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Ephemeral checkpoint dir for the one-shot harness runs. The
+    * default temp checkpoint lands on local disk and every offset /
+    * commit / state-store write fsyncs there — durability for a
+    * directory that forceDelete removes milliseconds later when the
+    * one-shot query stops. tmpfs (when present) gives the same
+    * rename-based commit semantics without paying disk latency ~10x
+    * per run. A CONTINUOUS deployment must instead point
+    * checkpointLocation at durable shared storage — the checkpoint
+    * is its recovery contract; this helper is harness-only by
+    * construction (caller deletes the dir in `finally`). */
+  private def ephemeralCheckpoint(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_stream_ckpt")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   /** Run a one-shot stream into a memory sink and return the sink
     * table. Any previous query with the same name is stopped first
     * so entries are re-runnable within a session.
@@ -64,10 +90,20 @@ object Streams {
   private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = withHarnessStateSizing(spark) {
-      df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    }
-    try q.processAllAvailable() finally q.stop()
+    // Trigger.AvailableNow: the query plans all currently-available
+    // input, runs the batches it needs (plus watermark-driven
+    // flush batches), and terminates itself — the one-shot contract
+    // stated directly, instead of processAllAvailable's
+    // wait-then-stop polling (VERDICT r4 item 5)
+    val ckpt = ephemeralCheckpoint()
+    try {
+      val q = withHarnessStateSizing(spark) {
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      }
+      try q.awaitTermination() finally q.stop()
+    } finally deleteRecursively(ckpt)
     spark.table(name)
   }
 
@@ -217,11 +253,16 @@ object Streams {
     sentinel.addData(Ev(SentinelUser, 0L, maxUs + 1000L * GapUs))
     val sessions = sessionize(fileEvents.union(sentinel.toDS()))
     spark.streams.active.filter(_.name == "graft_stream_sessionize").foreach(_.stop())
-    val q = withHarnessStateSizing(spark) {
-      sessions.writeStream.format("memory")
-        .queryName("graft_stream_sessionize").outputMode(OutputMode.Append()).start()
-    }
-    try q.processAllAvailable() finally q.stop()
+    val ckpt = ephemeralCheckpoint()
+    try {
+      val q = withHarnessStateSizing(spark) {
+        sessions.writeStream.format("memory")
+          .queryName("graft_stream_sessionize").outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      }
+      try q.awaitTermination() finally q.stop()
+    } finally deleteRecursively(ckpt)
     spark.table("graft_stream_sessionize")
       .filter(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_id"), col("n_events"),
