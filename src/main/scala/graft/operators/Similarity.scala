@@ -301,6 +301,14 @@ object Similarity {
   private val ivfIndexCache =
     new scala.collection.concurrent.TrieMap[(String, String), IvfIndex]
 
+  // the loaded posting-list DataFrame per index version: partition
+  // discovery + footer reads are driver-side metadata work that
+  // would otherwise be re-paid on EVERY probe batch (measured
+  // ~100 ms against 128 partition dirs) — exactly the steady-state
+  // cost ann_ivf_probe exists to measure honestly
+  private val ivfListsCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+
   /** Fingerprint of the embeddings table's file listing (names,
     * sizes, mtimes) — a driver metadata op. The index memo keys on
     * it so a regenerated/appended corpus triggers a rebuild instead
@@ -324,12 +332,23 @@ object Similarity {
     * probe batch — `ann_ivf` times build+probe fused;
     * `ann_ivf_probe` times the steady-state regime. A superseded
     * index's temp directory is deleted on rebuild. */
+  /** Root directory for persisted IVF indexes. The harness defaults
+    * to a temp dir; a DEPLOYMENT should point this at the warehouse
+    * root (e.g. `<warehouse>/_ivf_index/embeddings`) so the inverted
+    * file lives next to the tables and manifest it indexes and
+    * participates in the same retention/backup story. The layout
+    * under the root is self-describing: one directory per index
+    * version holding a cid-partitioned parquet table of posting
+    * lists. */
+  @volatile var ivfIndexRoot: Option[String] = None
+
   def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
     val key = (dir, corpusFingerprint(spark, dir))
     ivfIndexCache.getOrElseUpdate(key, {
       // drop superseded versions of this corpus (and their on-disk lists)
       ivfIndexCache.keys.filter(_._1 == dir).foreach { k =>
         ivfIndexCache.remove(k).foreach { idx =>
+          ivfListsCache.remove(k)
           val p = new org.apache.hadoop.fs.Path(idx.listsPath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
@@ -340,23 +359,84 @@ object Similarity {
       val cells = ivfCells(n)
       val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
       val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
-      assign(e, centroids).write.mode("overwrite").partitionBy("cid").parquet(path)
+      val path = ivfIndexRoot match {
+        case Some(root) =>
+          val p = java.nio.file.Paths.get(root)
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.createTempDirectory(p, "ivf_v").toString
+        case None => java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      }
+      // repartition by cid before the partitioned write: every cell
+      // lands in exactly one task, so the index is ONE parquet file
+      // per cid instead of up-to-#tasks files — probe-time planning
+      // and open cost scale with probed cells, not with build
+      // parallelism
+      assign(e, centroids).repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
       IvfIndex(cells, local, path)
     })
+  }
+
+  /** The memoized posting-list frame for an index (see
+    * [[ivfListsCache]]). */
+  private def ivfLists(spark: SparkSession, dir: String, idx: IvfIndex): DataFrame =
+    ivfListsCache.getOrElseUpdate((dir, corpusFingerprint(spark, dir)),
+      spark.read.parquet(idx.listsPath))
+
+  /** The kernel's exact accumulation order (VectorOps.sqDist:
+    * acc += d*d left-to-right), so driver-side centroid ranking
+    * breaks ties identically to the executor-side expression. */
+  private def sqDistLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
   }
 
   /** Steady-state IVF query: centroids from the driver-local index,
     * posting lists scanned from the partitioned parquet — the probe
     * cost a serving deployment pays per query batch, with the
-    * one-time build amortized away. */
+    * one-time build amortized away.
+    *
+    * The query batch is BOUNDED (that is what makes it a query
+    * batch), so it is collected and ranked against the driver-local
+    * centroid table on the driver: the probed cell set then reaches
+    * the posting-list scan as a LITERAL `cid IN (...)` partition
+    * filter — static partition pruning at planning time, no
+    * dynamic-pruning subquery, no corpus×k ranking join. Ranking
+    * work is |queries| × cells distance computations on the driver —
+    * the same arithmetic a serving tier's query router does. */
   def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val idx = ivfIndex(spark, dir)
-    val centroids = idx.centroids.toDF("cid", "cv")
-    val lists = spark.read.parquet(idx.listsPath)
-    val e = Dedup.embeddingsWithNorm(spark, dir)
-    probeLists(e, centroids, lists, idx.cells)
+    val np = ivfProbes(idx.cells)
+    // bounded collect: queries x dim, the probe batch itself. Read
+    // straight off the pushdown-filtered scan (embeddingsWithNorm's
+    // kernel-spreading repartition would add a 16-row shuffle stage
+    // to a single-stage bounded read); the double promotion + norm
+    // are the same expressions, so scores are bit-identical.
+    graft.functions.GraftFunctions.register(spark)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot("v", "v")))
+      .as[(Long, Seq[Double], Double)].collect()
+    // same ordering as probeLists' window: (dist, cid) ascending
+    val probes = qRows.toSeq.flatMap { case (qid, qv, qn) =>
+      idx.centroids
+        .map { case (cid, cv) => (sqDistLocal(qv, cv), cid) }
+        .sorted.take(np)
+        .map { case (_, cid) => (qid, qv, qn, cid) }
+    }
+    val probedCids = probes.map(_._4).distinct.sorted
+    val probesDf = probes.toDF("q_id", "qv", "qn", "cid")
+    val lists = ivfLists(spark, dir, idx)
+      .filter(col("cid").isin(probedCids: _*))
+    val scored = lists.join(broadcast(probesDf), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+    topkWindow(scored)
   }
 
   // ---- ann_recall: the driver-visible quality gate ----
@@ -365,8 +445,16 @@ object Similarity {
   // through green. This entry measures recall against the brute
   // oracle and THROWS below the floor, so a quality drop turns the
   // CORRECTNESS row into an err instead of a silent pass.
-  val RecallFloorLsh = 0.6 // SimilaritySpec: measured ~0.89
-  val RecallFloorIvf = 0.7 // SimilaritySpec: pinned at two SFs
+  //
+  // Floors are measured-minus-margin, not aspirational: both methods
+  // measure ~0.89 at sf0.01 AND sf0.1 (SimilaritySpec pins the two
+  // SFs), so 0.80 trips on any change that costs ~a tenth of the
+  // quality, while leaving headroom for the ±0.03-0.05 recall
+  // wobble that reshuffled candidate sets show across corpus
+  // regenerations. (Round 4 shipped 0.6/0.7 — slack enough that a
+  // third of the quality could vanish silently; VERDICT r4 item 3.)
+  val RecallFloorLsh = 0.80
+  val RecallFloorIvf = 0.80
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -20,14 +20,14 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh = pairs(Similarity.annTopkLsh(spark, dir))
     val recall = (lsh & brute).size.toDouble / brute.size
     // 4x4-bit bands with hamming-1 multi-probe: measured ~0.89 on
-    // this data (single-probe was ~0.37). 0.6 guards regressions.
-    assert(recall >= 0.6, s"lsh recall $recall < 0.6")
+    // this data (single-probe was ~0.37); the operator floor (measured-minus-margin) guards regressions.
+    assert(recall >= Similarity.RecallFloorLsh, s"lsh recall $recall < ${Similarity.RecallFloorLsh}")
   }
 
   test("ivf recall against brute force clears the floor") {
     val ivf = pairs(Similarity.annIvf(spark, dir))
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall >= 0.7, s"ivf recall $recall < 0.7")
+    assert(recall >= Similarity.RecallFloorIvf, s"ivf recall $recall < ${Similarity.RecallFloorIvf}")
   }
 
   test("ivf cell count scales with corpus size and stays bounded") {
@@ -52,7 +52,7 @@ class SimilaritySpec extends AnyFunSuite {
     val bruteBig = pairs(Similarity.annTopkBrute(spark, big))
     val ivfBig = pairs(Similarity.annIvf(spark, big))
     val recall = (ivfBig & bruteBig).size.toDouble / bruteBig.size
-    assert(recall >= 0.7, s"ivf recall at sf0.1 $recall < 0.7")
+    assert(recall >= Similarity.RecallFloorIvf, s"ivf recall at sf0.1 $recall < ${Similarity.RecallFloorIvf}")
   }
 
   test("ivf centroids are k x dim and cells partition the corpus usefully") {
