@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Generate larger-SF synthetic documents/embeddings/events tables
+with the same schema and statistical shape as the driver's testdata
+(TESTDATA.md), for scale runs beyond the provided sf0.1.
+
+Usage: gen_sf.py <scale-vs-sf0.1> <outdir>
+  e.g. gen_sf.py 10 /tmp/graft_sf1     # "sf1": 50k docs, 20k vecs, 1M events
+
+Deterministic (seed fixed). Matches the sf0.1 tables in:
+  - schema (int64 ids, float32 list embeddings, TIMESTAMP(NANOS) ts)
+  - language/source mix, text length range, shared ~30-word vocab
+  - planted near-duplicates (a copy with a short suffix) at the same
+    ~0.5% rate, so dedup operator selectivity scales linearly
+  - 10 embedding clusters (gaussian around per-label centers)
+  - 5 uniform event types over 30 days, ~1/15 users per event row
+Only the three tables the dedup/text/stream operators read are
+generated; the TPC-H-ish tables stay driver-owned.
+"""
+import sys, json, random
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+scale = float(sys.argv[1])
+out = sys.argv[2]
+
+N_DOCS = int(5000 * scale)
+N_VECS = int(2000 * scale)
+N_EVENTS = int(100000 * scale)
+N_USERS = int(1500 * scale)
+DUP_RATE = 0.005
+VOCAB = ("batch part spark line column order small sort fast value scan a hash "
+         "slow group agg filter query big key window row table stream merge "
+         "data vector join customer the").split()
+LANGS = ["en"] * 8 + ["de", "es", "fr", "zh"] * 3
+DIM, N_LABELS = 64, 10
+
+rng = random.Random(42)
+
+def doc_text(r):
+    return " ".join(rng.choice(VOCAB) for _ in range(r.randint(8, 100)))
+
+# documents: dup docs copy an earlier base doc and append a suffix
+import os
+os.makedirs(out, exist_ok=True)
+texts, langs, sources = [], [], []
+for i in range(N_DOCS):
+    r = rng
+    if i > 10 and r.random() < DUP_RATE:
+        base = r.randrange(max(1, i - 2000), i)
+        texts.append(texts[base] + " dup")
+    else:
+        texts.append(" ".join(r.choice(VOCAB) for _ in range(r.randint(8, 100))))
+    langs.append(r.choice(LANGS))
+    sources.append(f"src{r.randrange(20)}")
+docs = pa.table({
+    "doc_id": pa.array(range(N_DOCS), pa.int64()),
+    "text": pa.array(texts, pa.string()),
+    "lang": pa.array(langs, pa.string()),
+    "source": pa.array(sources, pa.string()),
+    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+})
+pq.write_table(docs, f"{out}/documents.parquet")
+
+# embeddings: 10 gaussian clusters in 64-d
+centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(N_LABELS)]
+labels = [rng.randrange(N_LABELS) for _ in range(N_VECS)]
+vecs = [[centers[l][d] + rng.gauss(0, 0.3) for d in range(DIM)] for l in labels]
+emb = pa.table({
+    "vec_id": pa.array(range(N_VECS), pa.int64()),
+    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32()),
+})
+pq.write_table(emb, f"{out}/embeddings.parquet")
+
+# events: 30 days from 2024-01-01, ns timestamps
+T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
+SPAN = 30 * 24 * 3600 * 1_000_000_000
+etypes = ["click", "view", "purchase", "signup", "error"]
+ts = [T0 + int(rng.random() * SPAN) for _ in range(N_EVENTS)]
+events = pa.table({
+    "event_id": pa.array(range(N_EVENTS), pa.int64()),
+    "ts": pa.array(ts, pa.timestamp("ns")),
+    "user_id": pa.array([rng.randrange(N_USERS) for _ in range(N_EVENTS)], pa.int64()),
+    "event_type": pa.array([rng.choice(etypes) for _ in range(N_EVENTS)], pa.string()),
+    "value": pa.array([round(rng.random() * 100, 2) for _ in range(N_EVENTS)], pa.float64()),
+    "props": pa.array([json.dumps({"k": rng.randrange(100)}) for _ in range(N_EVENTS)], pa.string()),
+})
+pq.write_table(events, f"{out}/events.parquet")
+print(json.dumps({"outdir": out, "docs": N_DOCS, "vecs": N_VECS, "events": N_EVENTS}))
