@@ -33,13 +33,16 @@ object Streams {
   /** Stateful-shuffle width for the one-shot driver entries. A
     * streaming query pins `spark.sql.shuffle.partitions` at start as
     * its state-store count; at batch-sized micro-batches the
-    * per-store commit overhead dominates, so the harness runs 4
-    * stores instead of the session's CPU-count default (round-4
-    * sweep at sf0.1: 8→4 shaved ~8% off tumbling/sessionize; 2 lost
-    * parallelism and regressed ~20%). A continuous cluster
-    * deployment should size this to keyspace x executors instead —
-    * it is a start-time knob, not part of the operator. */
-  val HarnessStatePartitions = 4
+    * per-store commit overhead dominates, so the harness runs few
+    * stores instead of the session's CPU-count default. Round-4
+    * swept 8→4 (+8%) but 2 regressed ~20% on disk-backed
+    * checkpoints; with round 5's tmpfs checkpoint + AvailableNow the
+    * commit got cheap enough that 2 now wins across all three
+    * entries (1.67/0.70/1.48 s vs 1.71/0.82/1.79 s at sf0.1). A
+    * continuous cluster deployment should size this to
+    * keyspace x executors instead — it is a start-time knob, not
+    * part of the operator. */
+  val HarnessStatePartitions = 2
 
   /** Start `f`'s streaming query with the harness state sizing, then
     * restore the session conf (the running query keeps the value it

@@ -108,11 +108,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
-  test("dedup and ANN operators release their caches after materializing (no storage leak)") {
-    // the operators own a persisted shingle/signature relation for
-    // the duration of one call and must unpersist it once the
-    // bounded result is materialized — a long session sweeping many
-    // corpora must not accumulate executor storage (ADVICE r3)
+  test("dedup and ANN operators leave no executor storage behind (no persists at all)") {
+    // round 5 removed the per-call persist + unpersist pattern
+    // entirely — the shared relations are exchange-reused stages
+    // with no storage footprint, so a long session sweeping many
+    // corpora cannot accumulate executor storage (ADVICE r3/r4)
     spark.catalog.clearCache()
     val dir = "/root/testdata/sf0.001"
     operators.Dedup.dedupNgramJaccard(spark, dir).count()
@@ -120,6 +120,46 @@ class PlanAuditSpec extends AnyFunSuite {
     operators.Similarity.annTopkLsh(spark, dir).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "an operator left a persisted relation in the cache manager")
+  }
+
+  test("near-dup pipelines execute the shingle kernel once: the post-kernel exchange is reused") {
+    // the multi-consumer shingle relation is shared through ONE
+    // hash(doc_id) exchange ABOVE the kernel; if consumer branches
+    // stop canonicalizing to it (pruning divergence, inferred-filter
+    // divergence — both round-5 regressions), every branch re-runs
+    // the corpus-wide kernel
+    val df = operators.Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val kernels = "graft_hash_shingles".r.findAllIn(plan).size
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in final plan:\n$plan")
+    assert(kernels <= 1, s"shingle kernel appears $kernels times in the final plan:\n$plan")
+  }
+
+  test("no inferred filter drags a kernel below its spreading exchange into the scan stage") {
+    // InferFiltersFromGenerate/Constraints substitute expensive
+    // kernel expressions into inferred predicates and sink them to
+    // the (often single-task) pre-shuffle scan — excluded /
+    // nullability-proofed in round 5; this pins the property
+    for ((name, df) <- Seq(
+        "dedup_ngram_jaccard" -> operators.Dedup.dedupNgramJaccard(spark, dir),
+        "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh(spark, dir),
+        "tfidf_top_terms" -> operators.Curation.tfidfTopTerms(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val scanFilters = plan.linesIterator.filter(_.contains("DataFilters:")).mkString("\n")
+      assert(!scanFilters.contains("graft_"),
+        s"$name pushes a graft kernel into the scan stage:\n$scanFilters")
+    }
+  }
+
+  test("ivf probe prunes the posting-list scan statically — no DPP subquery, no ranking join") {
+    val dir = "/root/testdata/sf0.001"
+    val df = operators.Similarity.annIvfProbe(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probe scan not partition-pruned:\n$plan")
+    assert(!plan.contains("dynamicpruning"),
+      s"probe still pays a dynamic-pruning subquery:\n$plan")
   }
 
   test("ivf cell assignment aggregates its argmin — no corpus x k window sort") {
