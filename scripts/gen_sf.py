@@ -10,13 +10,13 @@ Deterministic (seed fixed). Matches the sf0.1 tables in:
   - schema (int64 ids, float32 list embeddings, TIMESTAMP(NANOS) ts)
   - language/source mix, text length range, shared ~30-word vocab
   - planted near-duplicates (a copy with a short suffix) at the same
-    ~0.5% rate, so dedup operator selectivity scales linearly
+    ~5% rate, so dedup operator selectivity scales linearly
   - 10 embedding clusters (gaussian around per-label centers)
   - 5 uniform event types over 30 days, ~1/15 users per event row
 Only the three tables the dedup/text/stream operators read are
 generated; the TPC-H-ish tables stay driver-owned.
 """
-import sys, json, random
+import os, sys, json, random
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -27,7 +27,7 @@ N_DOCS = int(5000 * scale)
 N_VECS = int(2000 * scale)
 N_EVENTS = int(100000 * scale)
 N_USERS = int(1500 * scale)
-DUP_RATE = 0.005
+DUP_RATE = 0.05  # measured on sf0.1: 250/5000 docs are planted dups
 VOCAB = ("batch part spark line column order small sort fast value scan a hash "
          "slow group agg filter query big key window row table stream merge "
          "data vector join customer the").split()
@@ -36,20 +36,17 @@ DIM, N_LABELS = 64, 10
 
 rng = random.Random(42)
 
-def doc_text(r):
-    return " ".join(rng.choice(VOCAB) for _ in range(r.randint(8, 100)))
-
 # documents: dup docs copy an earlier base doc and append a suffix
-import os
 os.makedirs(out, exist_ok=True)
 texts, langs, sources = [], [], []
 for i in range(N_DOCS):
     r = rng
     if i > 10 and r.random() < DUP_RATE:
-        base = r.randrange(max(1, i - 2000), i)
+        base = r.randrange(i)  # sf0.1 bases span the whole corpus
         texts.append(texts[base] + " dup")
     else:
-        texts.append(" ".join(r.choice(VOCAB) for _ in range(r.randint(8, 100))))
+        # measured word-count range on sf0.1: 10..100, mean ~54
+        texts.append(" ".join(r.choice(VOCAB) for _ in range(r.randint(10, 100))))
     langs.append(r.choice(LANGS))
     sources.append(f"src{r.randrange(20)}")
 docs = pa.table({
@@ -82,7 +79,8 @@ events = pa.table({
     "ts": pa.array(ts, pa.timestamp("ns")),
     "user_id": pa.array([rng.randrange(N_USERS) for _ in range(N_EVENTS)], pa.int64()),
     "event_type": pa.array([rng.choice(etypes) for _ in range(N_EVENTS)], pa.string()),
-    "value": pa.array([round(rng.random() * 100, 2) for _ in range(N_EVENTS)], pa.float64()),
+    # measured on sf0.1: exponential, mean ~50 (p50 34.8 = 50*ln2, p99 228)
+    "value": pa.array([round(rng.expovariate(1 / 50.0), 2) for _ in range(N_EVENTS)], pa.float64()),
     "props": pa.array([json.dumps({"k": rng.randrange(100)}) for _ in range(N_EVENTS)], pa.string()),
 })
 pq.write_table(events, f"{out}/events.parquet")

@@ -32,27 +32,20 @@ object Curation {
     // Both edge directions come from a single explode over `edges`,
     // so the (possibly expensive) upstream pair pipeline is
     // referenced exactly once per plan; the round-3 union referenced
-    // it from both branches. sym starts LAZY: round 1's references
-    // share the upstream pipeline's shuffle stages (AQE stage
-    // reuse), so for the common near-clique case — which converges
-    // in that one confirming round — the whole clustering pays a
-    // single materializing job on top of the pair pipeline. Only if
-    // a second round is actually needed does sym get checkpointed
-    // (below), so deep components don't re-run the upstream pipeline
-    // once per round.
-    var sym = edges.select(explode(array(
+    // it from both branches. ONE eager checkpoint materializes the
+    // pipeline up front; every round (and every reference within a
+    // round — seed aggregate, neighbor join, change comparison)
+    // iterates over the checkpointed edges. A lazy-first variant
+    // that only checkpointed when a second round was needed saved
+    // one small job on single-round inputs but re-executed the
+    // WHOLE pair pipeline to materialize sym on multi-round ones —
+    // measured +20 s at sf1, where dup CHAINS (dup-of-dup texts)
+    // make a second round the norm, against ~0.2 s saved at sf0.1.
+    val sym = edges.select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      // the repartition is the explicit stage boundary that makes
-      // round 1's three references to sym share ONE execution of the
-      // upstream pair pipeline (without it, the pipeline's top —
-      // candidate distinct + verify joins — satisfies downstream
-      // distribution requirements exchange-free and is recomputed
-      // per branch: measured 3x at sf0.1). The exchange itself moves
-      // only duplicate-cardinality edge rows and AQE may coalesce it
-      // freely — it is NOT a driver-side materialization barrier.
-      .repartition(col("a"))
+      .localCheckpoint(true)
     // Initial labels FOLD THE FIRST PROPAGATION ROUND into the seed:
     // label(v) = min(v, min neighbor) is exactly round 1's output,
     // computed as one aggregate over sym with no join — so near-
@@ -88,10 +81,6 @@ object Curation {
       converged = obs.get.get("changed").forall(v => v == null || v == 0L)
       labels = next
       iters += 1
-      // a second round is needed: materialize sym ONCE so rounds 2+
-      // iterate over checkpointed edges instead of re-running the
-      // upstream pair pipeline per round
-      if (!converged && iters == 1) sym = sym.localCheckpoint(true)
     }
     // fail loudly: returning a partial fixpoint would silently emit
     // wrong cluster roots (and diverge from the exact recursive-CTE

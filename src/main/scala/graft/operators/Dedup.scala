@@ -25,7 +25,7 @@ object Dedup {
     * transform+array_distinct form interprets every substring
     * through CodegenFallback lambdas; the kernel is one Java loop).
     * The dedup operators themselves run end to end on HASHED
-    * shingles ([[hashedShingleArrays]]); this helper remains for
+    * shingles ([[sharedShingleArrays]]); this helper remains for
     * callers that need the collision-free string sets.
     * Requires GraftFunctions registration (GraftSession does it;
     * operator entry points re-register defensively). */
@@ -71,47 +71,9 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"graft_hash_shingles(text, $ShingleN)")).as("gh"))
   }
 
-  /** (doc_id, ghs, n): per-doc HASHED shingle arrays — the single
-    * relation the near-dup operators run end to end on (candidate
-    * generation and verification). The repartition before the
-    * CPU-heavy kernel distributes the shingling regardless of input
-    * file count; callers that reference the relation from several
-    * plan branches add a SECOND pinned repartition ABOVE the kernel
-    * ([[sharedShingleArrays]]) so exchange reuse computes the kernel
-    * once per job instead of once per branch. At warehouse scale
-    * this shared exchange becomes a materialized shingle TABLE
-    * (write once, reuse across the whole dedup campaign). */
-  def hashedShingleArrays(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // pinned count for the same AQE-coalescing reason as
-    // hashedShingleRows: the kernel must stay spread across cores.
-    // ROUND-ROBIN, not hash(doc_id): sharedShingleArrays adds a
-    // hash(doc_id) exchange ABOVE the kernel as the multi-consumer
-    // reuse point, and physical planning elides a repartition whose
-    // partitioning equals its child's — two hash(doc_id) shuffles
-    // would collapse into the lower one, putting the kernel back
-    // above the surviving exchange and re-running it once per branch
-    // (measured 2x the whole operator). Round-robin also spreads the
-    // kernel evenly regardless of doc_id distribution.
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    // coalesce to a typed empty array: it makes ghs (and n) NON-NULL
-    // at the type level, so InferFiltersFromConstraints derives no
-    // isnotnull(n) from downstream join conditions. That inferred
-    // filter is poison here: predicate pushdown substitutes the
-    // alias chain into it and lands `isnotnull(size(kernel(text)))`
-    // BELOW both exchanges — running the whole shingle kernel
-    // serially in the one-task scan stage (measured 3 s at sf0.1,
-    // the entire operator's budget). A null text row now yields an
-    // empty shingle set, which is also the more useful semantic.
-    docs.repartition(p)
-      .select(col("doc_id"),
-        coalesce(expr(s"graft_hash_shingles(text, $ShingleN)"),
-          typedLit(Array.empty[Long])).as("ghs"))
-      .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"))
-  }
-
-  /** [[hashedShingleArrays]] behind a pinned doc_id exchange — the
-    * multi-consumer form. The exchange above the kernel is the
+  /** (doc_id, ghs, n): the per-doc hashed-shingle relation behind
+    * a pinned doc_id exchange — the single relation every near-dup
+    * operator runs end to end on. The exchange above the kernel is the
     * round-5 replacement for round 4's persist + eager-checkpoint +
     * unpersist pattern: every branch of one query that references
     * this relation (prefix a/b, verify x/y, signature aggregation)
@@ -123,7 +85,17 @@ object Dedup {
     * checkpoints per operator purely to keep lazily-persisted plans
     * out of AQE broadcast-build threads; shuffle-stage output has no
     * such failure mode). doc_id partitioning is chosen so the verify
-    * joins (keyed on renamed doc_id) need no further exchange. */
+    * joins (keyed on renamed doc_id) need no further exchange. The
+    * kernel itself runs behind a pinned ROUND-ROBIN repartition: it
+    * must stay spread across cores whatever the input file count
+    * (the hashedShingleRows rationale), and it must NOT be
+    * hash(doc_id) — physical planning elides a repartition whose
+    * partitioning equals its child's, which would collapse the two
+    * exchanges and put the kernel back above the surviving one,
+    * re-running it once per consumer branch (measured 2x the whole
+    * operator). At warehouse scale this shared exchange becomes a
+    * materialized shingle TABLE (write once, reuse across the whole
+    * dedup campaign). */
   def sharedShingleArrays(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val p = docs.sparkSession.sparkContext.defaultParallelism
@@ -134,8 +106,13 @@ object Dedup {
     // near-identical shuffles — measured as a second full kernel
     // pass on the minhash path. size() post-shuffle is a few ns per
     // row; a divergent exchange is a whole extra corpus scan.
-    // doc_id is coalesced to a sentinel for the same nullability-
-    // hygiene reason as ghs: parquet's nullable doc_id makes every
+    // BOTH columns are coalesced non-null as nullability hygiene.
+    // ghs: a nullable kernel output lets InferFiltersFromConstraints
+    // derive isnotnull(n) from join conditions, and pushdown then
+    // substitutes the alias chain so `isnotnull(size(kernel(text)))`
+    // lands BELOW both exchanges — the whole kernel re-runs serially
+    // in the one-task scan stage (measured 3 s at sf0.1). doc_id:
+    // parquet's nullable doc_id makes every
     // downstream join/aggregation key nullable, and the isnotnull
     // filters Catalyst then infers land in SOME consumer branches
     // but not others — divergently-filtered copies of this subtree

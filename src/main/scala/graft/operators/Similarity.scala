@@ -96,7 +96,7 @@ object Similarity {
     // key makes InferFiltersFromConstraints push an
     // isnotnull(<whole signature kernel>) predicate below the shared
     // exchange into the serial scan stage (see
-    // Dedup.hashedShingleArrays); sig always has LshBits elements,
+    // Dedup.sharedShingleArrays); sig always has LshBits elements,
     // so the fallback never fires
     val bval = coalesce((0 until rows)
       .map(r => element_at(col("sig"), col("band") * rows + r + 1) * lit(1 << (rows - 1 - r)))
@@ -301,13 +301,16 @@ object Similarity {
   private val ivfIndexCache =
     new scala.collection.concurrent.TrieMap[(String, String), IvfIndex]
 
-  // the loaded posting-list DataFrame per index version: partition
-  // discovery + footer reads are driver-side metadata work that
-  // would otherwise be re-paid on EVERY probe batch (measured
+  // the loaded posting-list DataFrame per (session, index version):
+  // partition discovery + footer reads are driver-side metadata work
+  // that would otherwise be re-paid on EVERY probe batch (measured
   // ~100 ms against 128 partition dirs) — exactly the steady-state
-  // cost ann_ivf_probe exists to measure honestly
+  // cost ann_ivf_probe exists to measure honestly. Keyed by the
+  // owning session too: a DataFrame is session-bound, and serving a
+  // frame from a stopped session after a same-JVM restart would
+  // fail the probe join (code-review r5).
   private val ivfListsCache =
-    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]
 
   /** Fingerprint of the embeddings table's file listing (names,
     * sizes, mtimes) — a driver metadata op. The index memo keys on
@@ -348,7 +351,8 @@ object Similarity {
       // drop superseded versions of this corpus (and their on-disk lists)
       ivfIndexCache.keys.filter(_._1 == dir).foreach { k =>
         ivfIndexCache.remove(k).foreach { idx =>
-          ivfListsCache.remove(k)
+          ivfListsCache.keys.filter(t => (t._2, t._3) == k)
+            .foreach(ivfListsCache.remove)
           val p = new org.apache.hadoop.fs.Path(idx.listsPath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
@@ -380,7 +384,8 @@ object Similarity {
   /** The memoized posting-list frame for an index (see
     * [[ivfListsCache]]). */
   private def ivfLists(spark: SparkSession, dir: String, idx: IvfIndex): DataFrame =
-    ivfListsCache.getOrElseUpdate((dir, corpusFingerprint(spark, dir)),
+    ivfListsCache.getOrElseUpdate(
+      (String.valueOf(System.identityHashCode(spark)), dir, corpusFingerprint(spark, dir)),
       spark.read.parquet(idx.listsPath))
 
   /** The kernel's exact accumulation order (VectorOps.sqDist:

@@ -75,8 +75,11 @@ object Streams {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.walk holds open directory streams until closed — an
+      // unclosed walk leaks an fd per checkpoint tree per run
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
 
