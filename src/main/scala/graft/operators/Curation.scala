@@ -15,19 +15,28 @@ object Curation {
   // ---- dedup_clusters: pair list → connected components ----
 
   /** Minimum-label connected components over an (a, b) edge list via
-    * iterative label propagation: every vertex starts labeled with
-    * itself; each round replaces a vertex's label with the min label
-    * in its neighborhood; fixpoint = per-component min vertex id.
+    * label propagation WITH POINTER JUMPING: every vertex starts
+    * labeled min(self, min neighbor); each round takes the min label
+    * in its neighborhood (propagate) and then shortcuts through its
+    * own label's label (jump: lab(v) := lab(lab(v)) — safe because a
+    * label is always a same-component vertex id, so composing labels
+    * never leaves the component and never raises the min). The jump
+    * is the doubling trick a graph library uses: distance-to-root
+    * halves per round, so convergence needs ~log2(diameter) rounds
+    * instead of diameter — a 200-vertex chain resolves in 8 rounds
+    * where plain propagation needs 199. Fixpoint = per-component min
+    * vertex id, identical to plain propagation (the jump cannot
+    * change the fixpoint, only reach it sooner).
     *
     * Scale design: the edge list is DUP PAIRS — proportional to the
     * duplicate volume, orders of magnitude below the corpus — and
-    * each round is one shuffle join on it (labels are
-    * vertex-cardinality). Rounds needed = component diameter; dup
-    * clusters are near-cliques from banded candidate generation, so
-    * convergence is fast. The per-round driver work is ONE count
-    * (the convergence test); labels never collect. `maxIters` caps
-    * pathological chains — the cap trades iterations for the
-    * doubling tricks (pointer jumping) a graph library would use. */
+    * each round is two shuffle joins on vertex-cardinality labels
+    * (neighbor min, then the jump's label self-join). The per-round
+    * driver work is ONE observed metric (the convergence test);
+    * labels never collect. `maxIters` caps rounds, and with the
+    * jump's log-convergence the default covers diameters up to
+    * ~2^20 — the cap exists to fail loudly on a logic regression,
+    * not to bound real inputs. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // Both edge directions come from a single explode over `edges`,
     // so the (possibly expensive) upstream pair pipeline is
@@ -71,8 +80,18 @@ object Curation {
       // an un-truncated lineage doubles in size every round and
       // planning time explodes — the standard iterative-graph trap.
       val newLab = least(col("l2.lab"), coalesce(col("nb.nlab"), col("l2.lab")))
-      val next = labels.as("l2").join(neigh.as("nb"), col("l2.v") === col("nb.a"), "left")
-        .select(col("l2.v").as("v"), newLab.as("lab"), (newLab =!= col("l2.lab")).as("chg"))
+      val prop = labels.as("l2").join(neigh.as("nb"), col("l2.v") === col("nb.a"), "left")
+        .select(col("l2.v").as("v"), newLab.as("lab"), col("l2.lab").as("old"))
+      // pointer jump: lab(v) := min(lab(v), lab(lab(v))). Left join:
+      // every label IS a vertex of the edge list (labels start as
+      // vertex ids and only ever copy other labels), so the probe
+      // always matches — the coalesce guards the invariant rather
+      // than a reachable case. The change marker compares the
+      // JUMPED label to the previous round's, so convergence still
+      // means "nothing moved at all".
+      val jumped = least(col("x.lab"), coalesce(col("y.lab"), col("x.lab")))
+      val next = prop.as("x").join(prop.as("y"), col("x.lab") === col("y.v"), "left")
+        .select(col("x.v").as("v"), jumped.as("lab"), (jumped =!= col("x.old")).as("chg"))
         .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
         .select(col("v"), col("lab"))
         .localCheckpoint(true)
@@ -84,12 +103,12 @@ object Curation {
     }
     // fail loudly: returning a partial fixpoint would silently emit
     // wrong cluster roots (and diverge from the exact recursive-CTE
-    // oracle) on components whose min-vertex eccentricity exceeds
-    // the cap — raise maxIters, or pointer-jump, rather than guess
+    // oracle). With pointer jumping the cap covers diameters to
+    // ~2^maxIters, so tripping it signals a regression, not data.
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations; " +
-          "a component's diameter exceeds the cap")
+        s"connectedComponents did not converge in $maxIters doubling rounds " +
+          s"(covers component diameters to ~2^$maxIters) — logic regression likely")
     labels
   }
 

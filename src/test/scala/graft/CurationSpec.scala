@@ -20,6 +20,19 @@ class CurationSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("pointer jumping resolves a 200-vertex chain inside the round cap") {
+    import spark.implicits._
+    // plain min-label propagation needs diameter-1 = 199 rounds — far
+    // past the default cap of 20; the jump (lab(v) := lab(lab(v)))
+    // halves distance-to-root per round, so ~log2(200) rounds
+    // suffice. This pins the doubling behavior, not just the answer.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Curation.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L), "chain must resolve to the single min root")
+  }
+
   test("dedup_clusters: every near-dup pair lands in one cluster rooted at its min doc") {
     val pairs = operators.Dedup.dedupNgramJaccard(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
