@@ -178,7 +178,8 @@ object Dedup {
   /** The UNORDERED near-dup pairs — consumers that feed the pairs
     * into further processing (dedup_clusters) use this form and skip
     * the presentation sort's range-sampling pass + exchange. */
-  def dedupNgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccardPairs(spark: SparkSession, dir: String,
+                             bRestrict: Option[Column] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Global shingle rarity as a count-min sketch: ONE bounded-size
     // aggregate (eps 2e-4 x confidence 0.9, ~300 KB — broadcastable
@@ -238,8 +239,16 @@ object Dedup {
     // a slightly LOW threshold only admits extra candidates.
     val t = JaccardThreshold
     val alpha = ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n")) - lit(1e-9))
+    // bRestrict narrows the HIGHER-id side of every candidate pair
+    // (the incremental form): since doc_a < doc_b always, "the pair
+    // touches the new slice" is exactly "doc_b is new". The filter
+    // pushes through the shared exchange to the b branch's own scan
+    // — deliberate divergence: at warehouse scale the restricted
+    // side shingles only the fresh slice while the a side still
+    // reuses the full-corpus stages.
+    val bSide = bRestrict.fold(prefix)(f => prefix.filter(f))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+      .join(bSide.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) >= lit(t) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
         lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -255,18 +264,45 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccardPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** The denominator of the incremental split: documents with
+    * doc_id >= (max_id * 9) / 10 play the "fresh crawl". A fixed
+    * fraction (not a fixed id) keeps the entry meaningful at every
+    * SF; integer arithmetic keeps the two engines' splits identical. */
+  private def incrementalSplit(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+
+  /** Incremental near-dup detection: pairs that TOUCH the new slice
+    * (doc_id >= the 90% split) against the whole corpus — the
+    * steady-state dedup a warehouse runs when a fresh crawl lands.
+    * Candidate volume is (new x corpus), not (corpus x corpus):
+    * because pairs are enumerated with doc_a < doc_b, restricting
+    * doc_b to the new slice is exactly "the pair involves a new
+    * document" (new-new pairs qualify too — both ids are above the
+    * split). Same PPJoin pruning, same exact verification, same
+    * 2-job shape as the full operator. */
+  def dedupNgramJaccardIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = incrementalSplit(docs)
+    dedupNgramJaccardPairs(spark, dir, Some(col("doc_id") >= lit(split)))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
     * is legal in a parenthesized CTE subquery) — Curation's
     * dedup_clusters oracle builds its component closure on it. */
   private[operators] def dedupNgramJaccardSqlForCte: String = dedupNgramJaccardSql
 
-  private val dedupNgramJaccardSql: String =
+  /** One SQL template for the full and incremental oracles — the
+    * incremental form adds the same doc_b restriction the Spark
+    * side applies (integer-arithmetic split, identical in both
+    * engines). */
+  private def ngramJaccardSqlWith(bPredicate: String): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g
        |  FROM documents, UNNEST(range(1, length(text) - ${ShingleN - 2})) AS t(i)
        |), pair AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id$bPredicate
        |  GROUP BY 1, 2
        |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
        |SELECT doc_a, doc_b,
@@ -274,6 +310,11 @@ object Dedup {
        |FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dedupNgramJaccardSql: String = ngramJaccardSqlWith("")
+
+  private val dedupIncrementalSql: String = ngramJaccardSqlWith(
+    "\n    AND b.doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
   // ---- dedup_minhash_lsh: MinHash signatures + banded LSH ----
   val MinhashPerms = 64
@@ -469,6 +510,7 @@ object Dedup {
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactSql), dedupExact),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
+    GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", None, dedupMinhashLsh),
     GraftQuery("dedup_simhash", None, dedupSimhash),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))

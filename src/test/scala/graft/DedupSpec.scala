@@ -21,6 +21,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("incremental dedup is exactly the full pair set restricted to new doc_b") {
+    import org.apache.spark.sql.functions.max
+    val full = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val inc = Dedup.dedupNgramJaccardIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full.filter(_._2 >= split),
+      s"incremental pairs diverge from the restricted full set (split=$split)")
+    assert(inc.nonEmpty && inc != full, "split must actually restrict on this corpus")
+  }
+
   test("minhash signatures are deterministic across partitionings") {
     val docs = Tables.documents(spark, dir)
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
