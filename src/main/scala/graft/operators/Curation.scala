@@ -120,12 +120,10 @@ object Curation {
     * is the step that turns pairwise dedup SIGNALS into the actual
     * keep/drop decision. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // no checkpoint between the pair pipeline and the clustering:
-    // dedupNgramJaccard is fully lazy (round 5), and although round
-    // 1 of connectedComponents references the edges from several
-    // plan branches, they all canonicalize to the same shuffle
-    // stages — the ngram pipeline executes once, inside the
-    // clustering round's single materializing job
+    // the unordered pair pipeline is fully lazy (round 5);
+    // connectedComponents materializes it exactly once, inside its
+    // up-front symmetrized-edge checkpoint, and every propagation
+    // round iterates over those checkpointed edges
     val pairs = Dedup.dedupNgramJaccardPairs(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(pairs)

@@ -268,8 +268,12 @@ object Dedup {
     * doc_id >= (max_id * 9) / 10 play the "fresh crawl". A fixed
     * fraction (not a fixed id) keeps the entry meaningful at every
     * SF; integer arithmetic keeps the two engines' splits identical. */
-  private def incrementalSplit(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+  private def incrementalSplit(docs: DataFrame): Option[Long] = {
+    // None when the corpus is empty (or has only null ids): no
+    // slice exists, so no pair can touch it
+    val row = docs.agg(max(col("doc_id"))).head
+    if (row.isNullAt(0)) None else Some(row.getLong(0) * 9 / 10)
+  }
 
   /** Incremental near-dup detection: pairs that TOUCH the new slice
     * (doc_id >= the 90% split) against the whole corpus — the
@@ -278,12 +282,15 @@ object Dedup {
     * because pairs are enumerated with doc_a < doc_b, restricting
     * doc_b to the new slice is exactly "the pair involves a new
     * document" (new-new pairs qualify too — both ids are above the
-    * split). Same PPJoin pruning, same exact verification, same
-    * 2-job shape as the full operator. */
+    * split). Same PPJoin pruning and exact verification as the full
+    * operator, plus one bounded pre-pass (the max(doc_id) head that
+    * computes the split) ahead of its CMS head + terminal action. */
   def dedupNgramJaccardIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val split = incrementalSplit(docs)
-    dedupNgramJaccardPairs(spark, dir, Some(col("doc_id") >= lit(split)))
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    dedupNgramJaccardPairs(spark, dir, Some(restrict))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -457,12 +464,12 @@ object Dedup {
   def embeddingsWithNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // pinned repartition before the per-vector compute for the same
-    // reason as hashedShingleArrays: a small embeddings table is one
+    // reason as sharedShingleArrays: a small embeddings table is one
     // parquet file = one partition, which would serialize the
     // double-promotion + norm (and any downstream signature kernel)
     // on a single core. ROUND-ROBIN so a consumer's hash(vec_id)
     // reuse exchange above the compute is not elided as redundant
-    // (see hashedShingleArrays). Filters on vec_id still push past
+    // (see sharedShingleArrays). Filters on vec_id still push past
     // the repartition to the scan (Catalyst pushes predicates
     // through RepartitionOperation), so bounded-query consumers
     // don't pay a corpus shuffle.

@@ -311,12 +311,14 @@ object Similarity {
   // partition discovery + footer reads are driver-side metadata work
   // that would otherwise be re-paid on EVERY probe batch (measured
   // ~100 ms against 128 partition dirs) — exactly the steady-state
-  // cost ann_ivf_probe exists to measure honestly. Keyed by the
-  // owning session too: a DataFrame is session-bound, and serving a
-  // frame from a stopped session after a same-JVM restart would
-  // fail the probe join (code-review r5).
+  // cost ann_ivf_probe exists to measure honestly. A DataFrame is
+  // session-bound, so the outer map is WEAKLY keyed by the owning
+  // SparkSession object: a stopped session's entries become
+  // unreachable with it (no identity-hash collisions, no leak
+  // across same-JVM session restarts — code-review r5).
   private val ivfListsCache =
-    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
   /** Fingerprint of the embeddings table's file listing (names,
     * sizes, mtimes) — a driver metadata op. The index memo keys on
@@ -357,8 +359,9 @@ object Similarity {
       // drop superseded versions of this corpus (and their on-disk lists)
       ivfIndexCache.keys.filter(_._1 == dir).foreach { k =>
         ivfIndexCache.remove(k).foreach { idx =>
-          ivfListsCache.keys.filter(t => (t._2, t._3) == k)
-            .foreach(ivfListsCache.remove)
+          ivfListsCache.synchronized {
+            ivfListsCache.values.forEach(_.remove(k))
+          }
           val p = new org.apache.hadoop.fs.Path(idx.listsPath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
@@ -389,10 +392,18 @@ object Similarity {
 
   /** The memoized posting-list frame for an index (see
     * [[ivfListsCache]]). */
-  private def ivfLists(spark: SparkSession, dir: String, idx: IvfIndex): DataFrame =
-    ivfListsCache.getOrElseUpdate(
-      (String.valueOf(System.identityHashCode(spark)), dir, corpusFingerprint(spark, dir)),
+  private def ivfLists(spark: SparkSession, dir: String, idx: IvfIndex): DataFrame = {
+    val perSession = ivfListsCache.synchronized {
+      var m = ivfListsCache.get(spark)
+      if (m == null) {
+        m = new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+        ivfListsCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, corpusFingerprint(spark, dir)),
       spark.read.parquet(idx.listsPath))
+  }
 
   /** The kernel's exact accumulation order (VectorOps.sqDist:
     * acc += d*d left-to-right), so driver-side centroid ranking
