@@ -312,13 +312,17 @@ object Similarity {
   // that would otherwise be re-paid on EVERY probe batch (measured
   // ~100 ms against 128 partition dirs) — exactly the steady-state
   // cost ann_ivf_probe exists to measure honestly. A DataFrame is
-  // session-bound, so the outer map is WEAKLY keyed by the owning
-  // SparkSession object: a stopped session's entries become
-  // unreachable with it (no identity-hash collisions, no leak
-  // across same-JVM session restarts — code-review r5).
-  private val ivfListsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+  // session-bound, so entries are keyed per session (identity — no
+  // hashCode/equals override on SparkSession) and evicted
+  // DETERMINISTICALLY: every access sweeps entries whose owning
+  // context has stopped, so a same-JVM session restart cannot
+  // accumulate plans. (The r5 WeakHashMap keyed by the session never
+  // collected anything — the cached DataFrames strongly reference
+  // their session through QueryExecution, the exact value→key path
+  // the WeakHashMap javadoc warns voids weak-key semantics.
+  // ADVICE r5.)
+  private val ivfListsCache = new scala.collection.concurrent.TrieMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
   /** Fingerprint of the embeddings table's file listing (names,
     * sizes, mtimes) — a driver metadata op. The index memo keys on
@@ -348,59 +352,140 @@ object Similarity {
     * root (e.g. `<warehouse>/_ivf_index/embeddings`) so the inverted
     * file lives next to the tables and manifest it indexes and
     * participates in the same retention/backup story. The layout
-    * under the root is self-describing: one directory per index
-    * version holding a cid-partitioned parquet table of posting
-    * lists. */
+    * under the root is self-describing: one `ivf_v*` directory per
+    * index version holding a cid-partitioned parquet table of
+    * posting lists plus a `_centroids` parquet, and a
+    * `_ivf_manifest` file mapping (corpus dir, corpus fingerprint)
+    * to its version directory — so a FRESH process reuses a
+    * still-current index instead of rebuilding, and every build
+    * garbage-collects version dirs the manifest no longer
+    * references (superseded versions AND crash leftovers).
+    * Single-writer assumption, like warehouse compaction: run index
+    * builds for one root from one scheduler slot. (ADVICE r5: the
+    * r5 lifecycle was in-memory only — restarts rebuilt from
+    * scratch and orphaned every prior `ivf_v*` dir.) */
   @volatile var ivfIndexRoot: Option[String] = None
+
+  private val IvfManifestName = "_ivf_manifest"
+
+  /** Manifest lines: urlencode(corpusDir) \t fingerprint \t cells \t
+    * version-dir-name. */
+  private def readIvfManifest(root: java.nio.file.Path): Seq[(String, String, Int, String)] = {
+    val mf = root.resolve(IvfManifestName)
+    if (!java.nio.file.Files.exists(mf)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty).map { line =>
+        val Array(d, fp, cells, ver) = line.split('\t')
+        (java.net.URLDecoder.decode(d, "UTF-8"), fp, cells.toInt, ver)
+      }
+    }
+  }
+
+  private def writeIvfManifest(root: java.nio.file.Path,
+                               entries: Seq[(String, String, Int, String)]): Unit = {
+    val tmp = root.resolve(s"$IvfManifestName.tmp")
+    val body = entries.map { case (d, fp, cells, ver) =>
+      s"${java.net.URLEncoder.encode(d, "UTF-8")}\t$fp\t$cells\t$ver"
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    // same-directory rename: readers see the old or the new manifest,
+    // never a torn one
+    java.nio.file.Files.move(tmp, root.resolve(IvfManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build centroids + posting lists and persist both under `path`. */
+  private def buildIndex(spark: SparkSession, dir: String, path: String): IvfIndex = {
+    import spark.implicits._
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val n = e.count()
+    val cells = ivfCells(n)
+    val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
+    val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    // repartition by cid before the partitioned write: every cell
+    // lands in exactly one task, so the index is ONE parquet file
+    // per cid instead of up-to-#tasks files — probe-time planning
+    // and open cost scale with probed cells, not with build
+    // parallelism
+    assign(e, centroids).repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    // centroids ride inside the version dir (underscore prefix =
+    // invisible to the posting-list scan's file listing), so the
+    // version dir is the complete, self-contained index
+    local.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    IvfIndex(cells, local, path)
+  }
+
+  /** Reuse-or-build against the persisted manifest under `root`. */
+  private def persistedIndex(spark: SparkSession, dir: String, fp: String,
+                             root: java.nio.file.Path): IvfIndex = {
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(root)
+    val entries = readIvfManifest(root)
+    entries.find(e => e._1 == dir && e._2 == fp) match {
+      case Some((_, _, cells, ver)) if java.nio.file.Files.exists(root.resolve(ver).resolve("_centroids")) =>
+        // bounded collect: k x dim, the same budget as the build path
+        val local = spark.read.parquet(root.resolve(ver).resolve("_centroids").toString)
+          .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+        IvfIndex(cells, local, root.resolve(ver).toString)
+      case _ =>
+        val verDir = java.nio.file.Files.createTempDirectory(root, "ivf_v")
+        val idx = buildIndex(spark, dir, verDir.toString)
+        val kept = entries.filterNot(_._1 == dir) :+
+          ((dir, fp, idx.cells, verDir.getFileName.toString))
+        writeIvfManifest(root, kept)
+        // GC: any ivf_v* dir the manifest no longer references is a
+        // superseded version or a crashed build — delete it
+        val referenced = kept.map(_._4).toSet
+        val listing = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("ivf_v") &&
+              !referenced.contains(p.getFileName.toString))
+            .foreach { p =>
+              val hp = new org.apache.hadoop.fs.Path(p.toString)
+              hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+            }
+        } finally listing.close()
+        idx
+    }
+  }
 
   def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
     val key = (dir, corpusFingerprint(spark, dir))
     ivfIndexCache.getOrElseUpdate(key, {
-      // drop superseded versions of this corpus (and their on-disk lists)
+      // drop superseded in-memory versions of this corpus (and, for
+      // temp-dir indexes, their on-disk lists — manifest-managed
+      // roots are cleaned by persistedIndex's GC instead)
       ivfIndexCache.keys.filter(_._1 == dir).foreach { k =>
         ivfIndexCache.remove(k).foreach { idx =>
-          ivfListsCache.synchronized {
-            ivfListsCache.values.forEach(_.remove(k))
+          ivfListsCache.values.foreach(_.remove(k))
+          if (ivfIndexRoot.isEmpty) {
+            val p = new org.apache.hadoop.fs.Path(idx.listsPath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           }
-          val p = new org.apache.hadoop.fs.Path(idx.listsPath)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
       }
-      import spark.implicits._
-      val e = Dedup.embeddingsWithNorm(spark, dir)
-      val n = e.count()
-      val cells = ivfCells(n)
-      val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
-      val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-      val path = ivfIndexRoot match {
-        case Some(root) =>
-          val p = java.nio.file.Paths.get(root)
-          java.nio.file.Files.createDirectories(p)
-          java.nio.file.Files.createTempDirectory(p, "ivf_v").toString
-        case None => java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      ivfIndexRoot match {
+        case Some(root) => persistedIndex(spark, dir, key._2, java.nio.file.Paths.get(root))
+        case None => buildIndex(spark, dir,
+          java.nio.file.Files.createTempDirectory("graft_ivf_index").toString)
       }
-      // repartition by cid before the partitioned write: every cell
-      // lands in exactly one task, so the index is ONE parquet file
-      // per cid instead of up-to-#tasks files — probe-time planning
-      // and open cost scale with probed cells, not with build
-      // parallelism
-      assign(e, centroids).repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
-      IvfIndex(cells, local, path)
     })
   }
 
   /** The memoized posting-list frame for an index (see
     * [[ivfListsCache]]). */
   private def ivfLists(spark: SparkSession, dir: String, idx: IvfIndex): DataFrame = {
-    val perSession = ivfListsCache.synchronized {
-      var m = ivfListsCache.get(spark)
-      if (m == null) {
-        m = new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
-        ivfListsCache.put(spark, m)
-      }
-      m
-    }
+    // deterministic eviction: drop every entry whose session has been
+    // stopped (same-JVM restarts) before touching the live one
+    ivfListsCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+    val perSession = ivfListsCache.getOrElseUpdate(spark,
+      new scala.collection.concurrent.TrieMap[(String, String), DataFrame])
     perSession.getOrElseUpdate((dir, corpusFingerprint(spark, dir)),
       spark.read.parquet(idx.listsPath))
   }
