@@ -424,6 +424,18 @@ object Similarity {
       throw new java.io.IOException(s"ivf manifest rename failed: $tmp -> $mf")
   }
 
+  /** Serializes build/GC per index root within this JVM. The
+    * ivfIndexCache memo only serializes per (corpus, fingerprint)
+    * key, so two threads building indexes for DIFFERENT corpora
+    * under the same root would otherwise interleave the manifest
+    * read-modify-write — each writing a manifest missing the other's
+    * entry, and the GC pass then deleting the other's freshly built
+    * live version dir. Keyed by the qualified root URI so `file:/x`
+    * and `/x` share a lock. (Cross-JVM writers remain a documented
+    * single-writer assumption, like warehouse compaction.) */
+  private val ivfRootLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]
+
   /** Build centroids + posting lists and persist both under `path`. */
   private def buildIndex(spark: SparkSession, dir: String, path: String): IvfIndex = {
     import spark.implicits._
@@ -447,40 +459,75 @@ object Similarity {
     IvfIndex(cells, local, path)
   }
 
-  /** Reuse-or-build against the persisted manifest under `root`. */
+  /** Reuse-or-build against the persisted manifest under `root`.
+    * All I/O (mkdirs, manifest, version-dir existence/listing, GC)
+    * goes through the Hadoop FileSystem of the root's URI, so the
+    * root can be hdfs://, s3a://, or a plain local path. The version
+    * dir name is DERIVED (sha-256 of corpus dir + fingerprint, so a
+    * crashed build's leftover dir is simply overwritten by the retry
+    * of the same corpus version) rather than created as a random
+    * temp dir, because Hadoop has no createTempDirectory and a
+    * name-collision-free derivation is exactly what the fingerprint
+    * already provides. */
   private def persistedIndex(spark: SparkSession, dir: String, fp: String,
-                             root: java.nio.file.Path): IvfIndex = {
+                             root: String): IvfIndex = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    java.nio.file.Files.createDirectories(root)
-    val entries = readIvfManifest(root)
-    entries.find(e => e._1 == dir && e._2 == fp) match {
-      case Some((_, _, cells, ver)) if java.nio.file.Files.exists(root.resolve(ver).resolve("_centroids")) =>
-        // bounded collect: k x dim, the same budget as the build path
-        val local = spark.read.parquet(root.resolve(ver).resolve("_centroids").toString)
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-        IvfIndex(cells, local, root.resolve(ver).toString)
-      case _ =>
-        val verDir = java.nio.file.Files.createTempDirectory(root, "ivf_v")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = ivfRootLocks.getOrElseUpdate(
+      fs.makeQualified(rootPath).toString, new Object)
+    lock.synchronized {
+      fs.mkdirs(rootPath)
+      val entries = readIvfManifest(fs, rootPath)
+
+      def rebuild(): IvfIndex = {
+        val verName = "ivf_v" + java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$dir\n$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
+        val verDir = new Path(rootPath, verName)
         val idx = buildIndex(spark, dir, verDir.toString)
-        val kept = entries.filterNot(_._1 == dir) :+
-          ((dir, fp, idx.cells, verDir.getFileName.toString))
-        writeIvfManifest(root, kept)
+        val kept = entries.filterNot(_._1 == dir) :+ ((dir, fp, idx.cells, verName))
+        writeIvfManifest(fs, rootPath, kept)
         // GC: any ivf_v* dir the manifest no longer references is a
-        // superseded version or a crashed build — delete it
+        // superseded version or a crashed build — delete it. Runs
+        // under the root lock, so a concurrent build for another
+        // corpus cannot have an in-flight unreferenced dir here.
         val referenced = kept.map(_._4).toSet
-        val listing = java.nio.file.Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          listing.iterator().asScala
-            .filter(p => p.getFileName.toString.startsWith("ivf_v") &&
-              !referenced.contains(p.getFileName.toString))
-            .foreach { p =>
-              val hp = new org.apache.hadoop.fs.Path(p.toString)
-              hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-            }
-        } finally listing.close()
+        val listing = fs.listStatus(rootPath)
+        if (listing != null) listing.foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("ivf_v") && !referenced.contains(name))
+            fs.delete(st.getPath, true)
+        }
         idx
+      }
+
+      entries.find(e => e._1 == dir && e._2 == fp) match {
+        case Some((_, _, cells, ver))
+            if fs.exists(new Path(new Path(rootPath, ver), "_centroids")) =>
+          val verDir = new Path(rootPath, ver)
+          // bounded collect: k x dim, the same budget as the build path
+          val local = spark.read.parquet(new Path(verDir, "_centroids").toString)
+            .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+          // the manifest's `cells` could drift from the centroids
+          // actually on disk (hand-edited or corrupt entry); trusting
+          // it would yield an index whose ivfProbes disagree with its
+          // centroid table (ADVICE r6 #4) — fall through to a rebuild
+          // on mismatch instead.
+          if (local.nonEmpty && local.length == cells)
+            IvfIndex(cells, local, verDir.toString)
+          else rebuild()
+        case _ => rebuild()
+      }
     }
+  }
+
+  /** Test hook: drop the in-memory index/lists memos WITHOUT
+    * touching on-disk state — simulates a fresh process probing a
+    * persisted root (the reuse path the manifest exists for). */
+  private[graft] def dropInMemoryIndexState(): Unit = {
+    ivfIndexCache.clear()
+    ivfListsCache.clear()
   }
 
   def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
@@ -499,7 +546,7 @@ object Similarity {
         }
       }
       ivfIndexRoot match {
-        case Some(root) => persistedIndex(spark, dir, key._2, java.nio.file.Paths.get(root))
+        case Some(root) => persistedIndex(spark, dir, key._2, root)
         case None => buildIndex(spark, dir,
           java.nio.file.Files.createTempDirectory("graft_ivf_index").toString)
       }

@@ -102,6 +102,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted root: fresh-process reuse without rebuild, fingerprint-change GC") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ivf_root")
+    val corpus = Files.createTempDirectory("graft_ivf_corpus")
+    Files.copy(Paths.get(dir, "embeddings.parquet"), corpus.resolve("embeddings.parquet"))
+    def verDirs(): Seq[java.io.File] =
+      root.toFile.listFiles().toSeq.filter(_.getName.startsWith("ivf_v"))
+    def maxMtime(d: java.io.File): Long =
+      Files.walk(d.toPath).toArray.map(p => p.asInstanceOf[java.nio.file.Path].toFile.lastModified).max
+    try {
+      Similarity.dropInMemoryIndexState()
+      // `file:` scheme: the manifest/version-dir lifecycle must run
+      // through the Hadoop FileSystem API, not java.nio — the root's
+      // documented deployment target is an hdfs:// or s3a:// warehouse
+      Similarity.ivfIndexRoot = Some(s"file:$root")
+      val first = Similarity.ivfIndex(spark, corpus.toString)
+      assert(Files.exists(root.resolve("_ivf_manifest")), "manifest not written")
+      assert(verDirs().size == 1, s"expected one version dir, got ${verDirs()}")
+      val v1 = verDirs().head
+      val builtAt = maxMtime(v1)
+
+      // fresh process: in-memory memos gone, on-disk root intact —
+      // the index must be REUSED from the manifest, not rebuilt
+      Similarity.dropInMemoryIndexState()
+      val second = Similarity.ivfIndex(spark, corpus.toString)
+      assert(second.cells == first.cells && second.centroids == first.centroids,
+        "reloaded index differs from the built one")
+      assert(maxMtime(v1) == builtAt, "reuse path rewrote the version dir (rebuild, not reuse)")
+
+      // corpus change: fingerprint shifts → rebuild under a new
+      // version dir, superseded dir garbage-collected
+      assert(corpus.resolve("embeddings.parquet").toFile
+        .setLastModified(corpus.resolve("embeddings.parquet").toFile.lastModified + 5000))
+      Similarity.dropInMemoryIndexState()
+      val third = Similarity.ivfIndex(spark, corpus.toString)
+      assert(verDirs().size == 1, s"superseded version dir not GC'd: ${verDirs()}")
+      assert(verDirs().head.getName != v1.getName, "fingerprint change did not produce a new version dir")
+      assert(third.centroids == first.centroids, "same data, same deterministic k-means — centroids must match")
+    } finally {
+      Similarity.ivfIndexRoot = None
+      Similarity.dropInMemoryIndexState()
+    }
+  }
+
   test("lsh signatures are deterministic") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val a = Similarity.lshSignature(e).select("vec_id", "sig").orderBy("vec_id").collect()
