@@ -8,26 +8,120 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus decode /
   * feature-extract / resize / frame-sample operators.
   *
-  * The Spark-side plumbing is REAL and tested: schema (binary +
-  * struct metadata), partition-parallel `mapPartitions` batch
-  * iteration (one codec context per partition, no per-row setup),
-  * deterministic repartitioning for balanced decode. The byte-level
-  * codec is a clearly-marked STUB — this environment has no image/
-  * audio libraries, so payloads use a deterministic synthetic format
-  * ("GRAFTMM1" header + dimensions + raw bytes) and "decoding" is
-  * parsing that header. Swapping in a real codec changes only
-  * [[StubCodec]]; every operator signature, schema and partition
-  * property stays.
+  * The IMAGE path is real: payloads are genuine PNG files, decoded
+  * with `javax.imageio` (pure JVM, no native libs) into width /
+  * height / channel count / per-channel means, and resized with an
+  * exact nearest-neighbor kernel then re-encoded as PNG. Audio and
+  * video payloads remain a clearly-marked STUB ("GRAFTMM1" header +
+  * dimensions + raw bytes) — the JVM ships no public audio/video
+  * codec, so those kinds exercise the plumbing (schema, partition-
+  * parallel batch iteration, corrupt-row handling) on a
+  * deterministic synthetic format. Dispatch is by payload magic
+  * bytes, not by the `kind` column, so a mislabeled or corrupt row
+  * degrades the same way a real pipeline's would.
   */
 object Multimodal {
 
   final case class MediaMeta(width: Int, height: Int, nFrames: Int, sampleRate: Int)
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
-                                 n_frames: Int, n_bytes: Long, mean_byte: Double)
+                                 channels: Int, n_frames: Int, n_bytes: Long,
+                                 mean_byte: Double, channel_means: Seq[Double])
 
-  /** STUB CODEC — deterministic fake standing in for jpeg/wav/mp4
-    * decoding. Real libraries are absent in this environment; the
+  /** REAL image codec over `javax.imageio` — PNG in, PNG out.
+    * Deterministic end to end: the synthetic raster is a fixed
+    * function of (id, x, y, channel), PNG is lossless, and the
+    * resize kernel is exact nearest-neighbor (floor(dst*src/size)),
+    * so every decoded sample is reproducible bit-for-bit across
+    * JVMs and partitionings. */
+  object PngCodec {
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+
+    /** Deterministic synthetic RGB image, seeded by id. */
+    def syntheticImage(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            raster.setSample(x, y, c, ((id * 31 + x * 7 + y * 13 + c * 41) % 256).toInt)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: (width, height, bands, per-band mean of the
+      * 0-255 samples), or None for bytes ImageIO cannot parse. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+      decodeImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val sums = new Array[Long](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < bands) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, bands, sums.map(_.toDouble / (w.toLong * h)))
+      }
+
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Exact nearest-neighbor resize: dst(x,y,c) =
+      * src(floor(x*sw/dw), floor(y*sh/dh), c). A hand-rolled kernel
+      * instead of Graphics2D so the sample mapping is a pinned
+      * deterministic contract, not an AWT rendering-hint choice. */
+    def resizeNearest(src: java.awt.image.BufferedImage, dw: Int, dh: Int): java.awt.image.BufferedImage = {
+      val (sw, sh) = (src.getWidth, src.getHeight)
+      val bands = src.getRaster.getNumBands
+      val dst = new java.awt.image.BufferedImage(dw, dh,
+        if (bands >= 3) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val sr = src.getRaster
+      val dr = dst.getRaster
+      val db = dst.getRaster.getNumBands
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * sh / dh).toInt
+        var x = 0
+        while (x < dw) {
+          val sx = (x.toLong * sw / dw).toInt
+          var c = 0
+          while (c < db) { dr.setSample(x, y, c, sr.getSample(sx, sy, c min (bands - 1))); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      dst
+    }
+  }
+
+  /** STUB CODEC — deterministic fake standing in for wav/mp4
+    * decoding (audio and video only; images are real PNG via
+    * [[PngCodec]]). The JVM has no public audio/video codec; the
     * format is: 8-byte magic "GRAFTMM1", then width/height/nFrames
     * as big-endian int32, then the raw payload bytes. */
   object StubCodec {
@@ -49,14 +143,20 @@ object Multimodal {
       Some((w, h, f, payload.drop(HeaderLen)))
     }
 
-    /** Deterministic synthetic media row (seeded by id). */
+    /** Deterministic synthetic media row (seeded by id). Images get
+      * a REAL PNG payload; audio/video keep the stub format. */
     def synthetic(id: Long): MediaRow = {
       val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val w = 16 + (id % 8).toInt; val h = 16 + (id % 5).toInt
-      val frames = if (kind == "video") 8 else 1
-      val body = Array.tabulate((w * h * frames).min(4096))(i => ((id * 31 + i * 7) % 256).toByte)
-      MediaRow(id, kind, encode(w, h, frames, body),
-        MediaMeta(w, h, frames, if (kind == "audio") 16000 else 0))
+      if (kind == "image")
+        MediaRow(id, kind, PngCodec.encode(PngCodec.syntheticImage(id, w, h)),
+          MediaMeta(w, h, 1, 0))
+      else {
+        val frames = if (kind == "video") 8 else 1
+        val body = Array.tabulate((w * h * frames).min(4096))(i => ((id * 31 + i * 7) % 256).toByte)
+        MediaRow(id, kind, encode(w, h, frames, body),
+          MediaMeta(w, h, frames, if (kind == "audio") 16000 else 0))
+      }
     }
   }
 
@@ -68,28 +168,45 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, one codec pass per PARTITION — the
-    * shape a real decoder needs (model/codec init once per batch,
-    * then streamed rows; the Scala twin of a pandas-batch UDF). */
+    * shape a real decoder needs (codec init once per batch, then
+    * streamed rows; the Scala twin of a pandas-batch UDF). PNG
+    * payloads take the real `javax.imageio` path; stub-format
+    * payloads parse the GRAFTMM1 header; anything else (corrupt) is
+    * dropped, never crashed on. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec context (stub: a counter proving batch init)
       it.flatMap { m =>
-        StubCodec.decode(m.payload).map { case (w, h, f, body) =>
+        if (PngCodec.isPng(m.payload))
+          PngCodec.decode(m.payload).map { case (w, h, bands, means) =>
+            MediaFeatures(m.media_id, m.kind, w, h, bands, 1, m.payload.length.toLong,
+              means.sum / bands, means.toSeq)
+          }
+        else StubCodec.decode(m.payload).map { case (w, h, f, body) =>
           val mean = if (body.isEmpty) 0.0
             else body.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / body.length
-          MediaFeatures(m.media_id, m.kind, w, h, f, m.payload.length.toLong, mean)
+          MediaFeatures(m.media_id, m.kind, w, h, 1, f, m.payload.length.toLong,
+            mean, Seq(mean))
         }
       }
     }
   }
 
-  /** STUB resize: re-encodes with new dimensions, subsampling the
-    * body deterministically (a real impl would interpolate pixels). */
+  /** Resize. Images: REAL nearest-neighbor resample via [[PngCodec]]
+    * (decode → exact kernel → PNG re-encode). Stub-format payloads:
+    * deterministic body subsample (a real audio/video impl would
+    * interpolate). Corrupt payloads pass through unchanged. */
   def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      StubCodec.decode(m.payload) match {
+      if (PngCodec.isPng(m.payload))
+        PngCodec.decodeImage(m.payload) match {
+          case Some(img) =>
+            m.copy(payload = PngCodec.encode(PngCodec.resizeNearest(img, newW, newH)),
+              meta = m.meta.copy(width = newW, height = newH))
+          case None => m
+        }
+      else StubCodec.decode(m.payload) match {
         case Some((_, _, f, body)) =>
           val target = (newW * newH * f).min(body.length).max(0)
           val step = if (target == 0) 1 else (body.length.max(1) / target.max(1)).max(1)
