@@ -118,10 +118,16 @@ object Dedup {
     // but not others — divergently-filtered copies of this subtree
     // stop canonicalizing to one exchange, and the whole pipeline
     // re-executes per branch (measured 3x in dedup_clusters' label
-    // round). The corpus has no null doc_ids; a hypothetical one
-    // becomes Long.MinValue instead of silently vanishing.
+    // round). The contract is "no null doc_ids"; a violation FAILS
+    // LOUDLY via the lazy raise_error branch (two null-id docs
+    // remapped to one sentinel would emit spurious pairs — ADVICE
+    // r5 #4). The trailing non-nullable literal exists only to keep
+    // coalesce's output type non-nullable for the exchange hygiene
+    // above; it is unreachable (raise_error throws first).
     docs.repartition(p)
-      .select(coalesce(col("doc_id"), lit(Long.MinValue)).as("doc_id"),
+      .select(coalesce(col("doc_id"),
+          raise_error(lit("dedup: null doc_id in corpus — shingle dedup requires non-null document ids")).cast("long"),
+          lit(Long.MinValue)).as("doc_id"),
         coalesce(expr(s"graft_hash_shingles(text, $ShingleN)"),
           typedLit(Array.empty[Long])).as("ghs"))
       .repartition(p, col("doc_id"))
@@ -518,7 +524,15 @@ object Dedup {
     GraftQuery("dedup_exact", Some(dedupExactSql), dedupExact),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
-    GraftQuery("dedup_minhash_lsh", None, dedupMinhashLsh),
+    // Oracled with the SAME exact-Jaccard SQL as dedup_ngram_jaccard:
+    // the operator's output is the exact-verified pair set at the
+    // threshold, so it EQUALS the full sweep's whenever LSH candidate
+    // recall is 1.0 — which 16 bands x 4 rows gives at t=0.8
+    // (P[all bands miss] = (1 - J^4)^16 ~= 0.02% per pair at J = 0.8,
+    // and in practice every harness-scale true pair shares a band).
+    // A banding regression that drops a true pair now FAILS the hash
+    // check loudly instead of sailing through a rows-only count.
+    GraftQuery("dedup_minhash_lsh", Some(dedupNgramJaccardSql), dedupMinhashLsh),
     GraftQuery("dedup_simhash", None, dedupSimhash),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
 }

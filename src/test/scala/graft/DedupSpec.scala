@@ -84,4 +84,23 @@ class DedupSpec extends AnyFunSuite {
         s"$name plan contains an all-pairs join:\n$physical")
     }
   }
+
+  test("a null doc_id fails loudly instead of being remapped to a sentinel") {
+    import spark.implicits._
+    // two null-id docs remapped to one sentinel identity would emit
+    // spurious pairs; the contract is "no null doc_ids" and a
+    // violation must throw, not guess (ADVICE r5 #4)
+    val docs = Seq((Option(1L), "aaaa bbbb cccc dddd eeee"),
+      (Option.empty[Long], "aaaa bbbb cccc dddd eeee"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] { Dedup.sharedShingleArrays(docs).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null doc_id")),
+      s"expected the null-doc_id raise_error, got: ${messages(ex)}")
+    // and a well-formed corpus is untouched by the guard
+    val ok = Dedup.sharedShingleArrays(
+      Seq((1L, "aaaa bbbb cccc"), (2L, "bbbb cccc dddd")).toDF("doc_id", "text"))
+    assert(ok.count() == 2)
+  }
 }

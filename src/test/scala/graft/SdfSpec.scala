@@ -182,6 +182,30 @@ class SdfSpec extends AnyFunSuite {
     assert(!cids.contains(34516L) && !cids.contains(31040L) && !cids.contains(46774L))
   }
 
+  // --- oracle-generator tag escaping (ADVICE r5 #2) ---
+  test("metacharacter SD tags: Spark matches literally and the DuckDB oracle escapes identically") {
+    import spark.implicits._
+    // a tag full of regex metacharacters: `.` `+` `(` `)` `[` `]` `*`
+    val tag = "X.Y+Z(A)[B]*"
+    val record = s"header\n> <$tag>\n42\n\n> <XAYBZCAD[B]E>\n99\n"
+    // Spark side: Pattern.quote makes the match literal — the
+    // lookalike record (where `.` etc. would match as wildcards)
+    // must NOT be picked up
+    val df = Seq(record, s"header\n> <XAYBZ(A)[B]C>\n7\n").toDF("sdf")
+    val vals = df.select(Sdf.tagValue(col("sdf"), tag).as("v")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(vals.toSeq == Seq("42", null))
+    // DuckDB side: the generated pattern escapes every
+    // non-[A-Za-z0-9_] char, so both engines match the same literal
+    // tag — the two can't silently desync on a metacharacter layout
+    val escaped = sources.SdfQueries.duckdbRegexEscape(tag)
+    assert(escaped == """X\.Y\+Z\(A\)\[B\]\*""")
+    val sql = sources.SdfQueries.duckdbColumn(
+      ColumnSpec("xcol", Seq(tag), "integer"))
+    assert(sql.contains(escaped) && !sql.contains(s"<$tag>"),
+      s"oracle SQL must embed the escaped tag, got:\n$sql")
+  }
+
   // --- layout JSON round-trip against the reference's own file ---
   test("fromFile parses the reference default layout identically to LayoutSpec.default") {
     val parsed = LayoutSpec.fromFile("/root/reference/default_db_layout.json")
