@@ -84,4 +84,84 @@ events = pa.table({
     "props": pa.array([json.dumps({"k": rng.randrange(100)}) for _ in range(N_EVENTS)], pa.string()),
 })
 pq.write_table(events, f"{out}/events.parquet")
-print(json.dumps({"outdir": out, "docs": N_DOCS, "vecs": N_VECS, "events": N_EVENTS}))
+
+# --- TPC-H-ish relational tables (round 7: the join/window families
+# had no measured scale story). Same schema and measured shape as the
+# driver's sf0.1: all column distributions are uniform/independent
+# (corr(l_extendedprice, l_quantity) = 0.001 on sf0.1; shipdate
+# uncorrelated with orderdate), names/enums copied from the sf0.1
+# value sets, timestamps ms-unit like the driver's parquet.
+N_CUST = int(15000 * scale)
+N_SUPP = int(1000 * scale)
+N_PART = int(20000 * scale)
+N_ORDERS = int(150000 * scale)
+N_LINE = int(600000 * scale)
+DAY_MS = 24 * 3600 * 1000
+T95 = 788918400000  # 1995-01-01 in ms
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+pq.write_table(pa.table({
+    "r_regionkey": pa.array(range(5), pa.int32()),
+    "r_name": pa.array(REGIONS, pa.string()),
+}), f"{out}/region.parquet")
+pq.write_table(pa.table({
+    "n_nationkey": pa.array(range(25), pa.int32()),
+    "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+    "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+}), f"{out}/nation.parquet")
+
+SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+pq.write_table(pa.table({
+    "c_custkey": pa.array(range(N_CUST), pa.int64()),
+    "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)], pa.string()),
+    "c_nationkey": pa.array([rng.randrange(25) for _ in range(N_CUST)], pa.int32()),
+    "c_acctbal": pa.array([round(rng.uniform(-1000, 10000), 2) for _ in range(N_CUST)], pa.float64()),
+    "c_mktsegment": pa.array([rng.choice(SEGS) for _ in range(N_CUST)], pa.string()),
+}), f"{out}/customer.parquet")
+pq.write_table(pa.table({
+    "s_suppkey": pa.array(range(N_SUPP), pa.int64()),
+    "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)], pa.string()),
+    "s_nationkey": pa.array([rng.randrange(25) for _ in range(N_SUPP)], pa.int32()),
+    "s_acctbal": pa.array([round(rng.uniform(-1000, 10000), 2) for _ in range(N_SUPP)], pa.float64()),
+}), f"{out}/supplier.parquet")
+
+ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+pq.write_table(pa.table({
+    "p_partkey": pa.array(range(N_PART), pa.int64()),
+    "p_name": pa.array([f"{rng.choice(ADJS)} {rng.choice(NOUNS)}" for _ in range(N_PART)], pa.string()),
+    "p_brand": pa.array([f"Brand#{rng.randrange(25)}" for _ in range(N_PART)], pa.string()),
+    "p_type": pa.array([rng.choice(PTYPES) for _ in range(N_PART)], pa.string()),
+    "p_size": pa.array([rng.randrange(1, 51) for _ in range(N_PART)], pa.int32()),
+    "p_retailprice": pa.array([round(rng.uniform(900, 1000), 2) for _ in range(N_PART)], pa.float64()),
+}), f"{out}/part.parquet")
+
+PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+pq.write_table(pa.table({
+    "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
+    "o_custkey": pa.array([rng.randrange(N_CUST) for _ in range(N_ORDERS)], pa.int64()),
+    "o_orderstatus": pa.array([rng.choice("FOP") for _ in range(N_ORDERS)], pa.string()),
+    "o_totalprice": pa.array([round(rng.uniform(1000, 500000), 2) for _ in range(N_ORDERS)], pa.float64()),
+    # uniform over 1995-01-01..2001-08-01 (2404 days), midnight-only
+    "o_orderdate": pa.array([T95 + rng.randrange(2405) * DAY_MS for _ in range(N_ORDERS)], pa.timestamp("ms")),
+    "o_orderpriority": pa.array([rng.choice(PRIOS) for _ in range(N_ORDERS)], pa.string()),
+}), f"{out}/orders.parquet")
+
+pq.write_table(pa.table({
+    "l_orderkey": pa.array([rng.randrange(N_ORDERS) for _ in range(N_LINE)], pa.int64()),
+    "l_partkey": pa.array([rng.randrange(N_PART) for _ in range(N_LINE)], pa.int64()),
+    "l_suppkey": pa.array([rng.randrange(N_SUPP) for _ in range(N_LINE)], pa.int64()),
+    "l_linenumber": pa.array([rng.randrange(1, 8) for _ in range(N_LINE)], pa.int32()),
+    "l_quantity": pa.array([float(rng.randrange(1, 51)) for _ in range(N_LINE)], pa.float64()),
+    "l_extendedprice": pa.array([round(rng.uniform(900, 105000), 2) for _ in range(N_LINE)], pa.float64()),
+    "l_discount": pa.array([rng.randrange(11) / 100.0 for _ in range(N_LINE)], pa.float64()),
+    "l_tax": pa.array([rng.randrange(9) / 100.0 for _ in range(N_LINE)], pa.float64()),
+    "l_returnflag": pa.array([rng.choice("ANR") for _ in range(N_LINE)], pa.string()),
+    "l_linestatus": pa.array([rng.choice("FO") for _ in range(N_LINE)], pa.string()),
+    # 1995-01-02..2001-11-04, uncorrelated with o_orderdate (as measured)
+    "l_shipdate": pa.array([T95 + DAY_MS + rng.randrange(2499) * DAY_MS for _ in range(N_LINE)], pa.timestamp("ms")),
+}), f"{out}/lineitem.parquet")
+
+print(json.dumps({"outdir": out, "docs": N_DOCS, "vecs": N_VECS, "events": N_EVENTS,
+                  "orders": N_ORDERS, "lineitem": N_LINE}))

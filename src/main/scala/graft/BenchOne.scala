@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time a subset of SparkEntry.queries by name, same
-  * methodology as Bench (best-of-2, cache cleared per run). Usage:
+  * methodology as Bench (best-of-3, cache cleared per run). Usage:
   * `runMain graft.BenchOne q1_agg dedup_ngram_jaccard` — iterating on
   * one operator without paying the full-suite bench. */
 object BenchOne {
@@ -16,7 +16,7 @@ object BenchOne {
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
