@@ -192,8 +192,11 @@ object TextOps {
 
   /** 64-bit FNV-1a document fingerprint via the native Catalyst
     * expression (graft.functions.Fnv1a64 — codegen'd, no UDF).
-    * Not SQL-expressible in DuckDB → rows-only; value-pinning lives
-    * in TextOpsSpec. */
+    * DuckDB-oracled since round 7: the fold is expressible as a
+    * list_reduce over the text's UTF-8 bytes (codepoints re-encoded
+    * to bytes in SQL, 128-bit HUGEINT arithmetic mod 2^64), so both
+    * engines compute the identical public-domain hash bit-for-bit;
+    * value-pinning additionally lives in TextOpsSpec. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
@@ -241,5 +244,34 @@ object TextOps {
     GraftQuery("text_langid", Some(textLangidSql), textLangid),
     GraftQuery("text_langid_eval", Some(textLangidEvalSql), textLangidEval),
     GraftQuery("text_pii", Some(textPiiSql), textPii),
-    GraftQuery("text_fingerprint", None, textFingerprint))
+    GraftQuery("text_fingerprint", Some(textFingerprintSql), textFingerprint))
+
+  /** DuckDB twin of Fnv1a64.hash: re-encode each codepoint to its
+    * UTF-8 bytes (DuckDB exposes codepoints, not bytes), then fold
+    * h = (h XOR byte) * prime with 128-bit HUGEINT intermediates
+    * reduced mod 2^64, and map the final value into signed BIGINT
+    * range to match the JVM long. list_reduce seeds from the list
+    * head, so the offset basis is prepended — an empty document
+    * folds to the basis, same as the kernel. */
+  private lazy val textFingerprintSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, flatten(list_transform(
+      |    list_transform(range(1, length(text)+1), i -> unicode(substring(text, CAST(i AS INT), 1))),
+      |    cp -> CASE
+      |      WHEN cp < 128 THEN [cp]
+      |      WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]
+      |      WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]
+      |      ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64, 128 + cp%64]
+      |    END)) AS bytes
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+      |FROM (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT, list_transform(bytes, x -> CAST(x AS HUGEINT))),
+      |    (h, x) -> (xor(h, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+      |  FROM b)
+      |ORDER BY doc_id""".stripMargin
 }
