@@ -405,13 +405,20 @@ object Dedup {
   val SimhashBands = 4 // 4 bands x 16 bits: catches hamming <= 3
   val HammingMax = 3
 
-  /** (doc_id, sim): 64-bit SimHash over whitespace-token xxhash64s.
+  /** (doc_id, sim): 64-bit SimHash over whitespace-token hashes.
     * Explode + 64 conditional-sum aggregates (map-side combined, one
     * shuffle of 64 longs per doc) instead of per-row nested-array
-    * folds — same output, none of the per-token array allocation. */
+    * folds — same output, none of the per-token array allocation.
+    *
+    * Token hash is the native fnv1a64 kernel (round 7; was
+    * xxhash64): equally codegen'd and zero-cost to swap, but FNV-1a
+    * has an exact DuckDB SQL twin (TextOps.fnv1a64FoldSql) while
+    * xxhash64 has none — which turns the whole operator from a
+    * rows-only driver check into a hash-verified oracle entry. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = TextOps.whitespaceTokens(docs) // shared `\S+` segmentation
-      .withColumn("h", xxhash64(col("term")))
+      .withColumn("h", expr("fnv1a64(term)"))
     val bitSums = (0 until 64).map(i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b_$i"))
     val sim = (0 until 64)
@@ -441,6 +448,41 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of dedup_simhash — EXACT, not approximate: the
+    * pigeonhole banding guarantees every hamming<=3 pair survives
+    * candidate generation and the popcount filter is exact, so the
+    * operator's output IS "all pairs within hamming <= 3" and the
+    * oracle can brute-force that definition over all pairs. Token
+    * hashes via the shared FNV-1a SQL fold; 64 conditional bit-sums
+    * per doc (the same sign convention: ties at 0 -> bit 0); the
+    * signature is assembled in HUGEINT (1::BIGINT << 63 overflows
+    * DuckDB's checked shift) then mapped into signed-long range. */
+  private lazy val dedupSimhashSql: String = {
+    val bitSums = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i").mkString(",\n    ")
+    val simSum = (0 until 64).map(i =>
+      s"CASE WHEN b_$i > 0 THEN (1::HUGEINT << $i) ELSE 0::HUGEINT END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents
+       |), th AS (
+       |  SELECT doc_id, ${TextOps.fnv1a64FoldSql("term")} AS uh FROM tok
+       |), ths AS (
+       |  SELECT doc_id, ${TextOps.signedInt64Sql("uh")} AS h FROM th
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM ths GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, ${TextOps.signedInt64Sql("s")} AS sim
+       |  FROM (SELECT doc_id, ($simSum) AS s FROM bits)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---- dedup_embedding: exact cosine pairs (brute-force baseline) ----
@@ -533,6 +575,6 @@ object Dedup {
     // A banding regression that drops a true pair now FAILS the hash
     // check loudly instead of sailing through a rows-only count.
     GraftQuery("dedup_minhash_lsh", Some(dedupNgramJaccardSql), dedupMinhashLsh),
-    GraftQuery("dedup_simhash", None, dedupSimhash),
+    GraftQuery("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
 }

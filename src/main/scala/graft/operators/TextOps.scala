@@ -246,32 +246,38 @@ object TextOps {
     GraftQuery("text_pii", Some(textPiiSql), textPii),
     GraftQuery("text_fingerprint", Some(textFingerprintSql), textFingerprint))
 
-  /** DuckDB twin of Fnv1a64.hash: re-encode each codepoint to its
-    * UTF-8 bytes (DuckDB exposes codepoints, not bytes), then fold
-    * h = (h XOR byte) * prime with 128-bit HUGEINT intermediates
-    * reduced mod 2^64, and map the final value into signed BIGINT
-    * range to match the JVM long. list_reduce seeds from the list
-    * head, so the offset basis is prepended — an empty document
-    * folds to the basis, same as the kernel. */
+  /** DuckDB twin of Fnv1a64.hash over a string-typed SQL expression:
+    * re-encode each codepoint to its UTF-8 bytes (DuckDB exposes
+    * codepoints, not bytes — the CASE covers all four encoding
+    * lengths), then fold h = (h XOR byte) * prime with 128-bit
+    * HUGEINT intermediates reduced mod 2^64, and map the final value
+    * into signed BIGINT range to match the JVM long. list_reduce
+    * seeds from the list head, so the offset basis is prepended — an
+    * empty string folds to the basis, same as the kernel. Shared by
+    * the fingerprint oracle here and Dedup's simhash oracle. */
+  /** The unsigned fold, as a HUGEINT-typed SQL expression over
+    * `strExpr`. Wrap with [[signedInt64Sql]] (naming the projected
+    * fold once) to land in JVM-long range. */
+  private[operators] def fnv1a64FoldSql(strExpr: String): String =
+    s"""list_reduce(
+       |list_prepend(14695981039346656037::HUGEINT, list_transform(flatten(list_transform(
+       |  list_transform(range(1, length($strExpr)+1), i -> unicode(substring($strExpr, CAST(i AS INT), 1))),
+       |  cp -> CASE
+       |    WHEN cp < 128 THEN [cp]
+       |    WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]
+       |    WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]
+       |    ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64, 128 + cp%64]
+       |  END)), x -> CAST(x AS HUGEINT))),
+       |(h, x) -> (xor(h, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Map an unsigned-64 HUGEINT expression into signed BIGINT range
+    * (two's-complement reinterpretation, the JVM long's view). */
+  private[operators] def signedInt64Sql(hExpr: String): String =
+    s"""CAST(CASE WHEN $hExpr >= 9223372036854775808::HUGEINT
+       |          THEN $hExpr - 18446744073709551616::HUGEINT ELSE $hExpr END AS BIGINT)""".stripMargin
+
   private lazy val textFingerprintSql: String =
-    """WITH b AS (
-      |  SELECT doc_id, flatten(list_transform(
-      |    list_transform(range(1, length(text)+1), i -> unicode(substring(text, CAST(i AS INT), 1))),
-      |    cp -> CASE
-      |      WHEN cp < 128 THEN [cp]
-      |      WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]
-      |      WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]
-      |      ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64, 128 + cp%64]
-      |    END)) AS bytes
-      |  FROM documents
-      |)
-      |SELECT doc_id,
-      |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-      |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
-      |FROM (
-      |  SELECT doc_id, list_reduce(
-      |    list_prepend(14695981039346656037::HUGEINT, list_transform(bytes, x -> CAST(x AS HUGEINT))),
-      |    (h, x) -> (xor(h, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-      |  FROM b)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, ${signedInt64Sql("h")} AS fingerprint
+       |FROM (SELECT doc_id, ${fnv1a64FoldSql("text")} AS h FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }
