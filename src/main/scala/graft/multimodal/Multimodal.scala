@@ -234,15 +234,36 @@ object Multimodal {
     })
   }
 
-  /** Driver entry: synthesize → decode → aggregate per kind. */
+  /** Where per-media decoded features are staged for the DuckDB
+    * oracle — same lifecycle contract as SdfQueries.StagePath
+    * (process-unique; must outlive this JVM for the driver's
+    * post-exit oracle run; that file's creation-time GC already
+    * bounds accumulation for both stage roots). */
+  val FeatureStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "media_features.parquet"
+
+  /** Driver entry: synthesize → decode → aggregate per kind. The
+    * per-media features (the decode itself — PNG via javax.imageio
+    * for images, which DuckDB cannot replicate) are staged to
+    * parquet, and the oracle re-aggregates them with DuckDB's own
+    * count/sum/avg — a cross-engine check of the aggregation
+    * semantics on top of the spec-pinned bit-exact decode. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    decodeFeatures(syntheticMedia(spark, 500))
+    val feats = decodeFeatures(syntheticMedia(spark, 500))
+    feats.write.mode("overwrite").parquet(FeatureStagePath)
+    feats
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("mean_byte")), 6).as("avg_mean_byte"))
       .orderBy(col("kind"))
   }
 
+  private lazy val mediaFeaturesSql: String =
+    s"""SELECT kind, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  round(avg(mean_byte), 6) AS avg_mean_byte
+       |FROM read_parquet('$FeatureStagePath/*.parquet')
+       |GROUP BY kind ORDER BY kind""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
-    GraftQuery("multimodal_features", None, mediaFeatures))
+    GraftQuery("multimodal_features", Some(mediaFeaturesSql), mediaFeatures))
 }

@@ -146,6 +146,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent builds for different corpora under one root keep both manifest entries") {
+    import java.nio.file.{Files, Paths}
+    // the manifest read-modify-write plus GC must be serialized per
+    // root: unsynchronized, each builder writes a manifest missing
+    // the other's entry and the GC pass deletes the other's freshly
+    // built live version dir (ADVICE r6, medium)
+    val root = Files.createTempDirectory("graft_ivf_root_conc")
+    val corpora = (0 until 2).map { i =>
+      val c = Files.createTempDirectory(s"graft_ivf_corpus_$i")
+      Files.copy(Paths.get(dir, "embeddings.parquet"), c.resolve("embeddings.parquet"))
+      // distinct mtimes -> distinct fingerprints -> distinct version dirs
+      assert(c.resolve("embeddings.parquet").toFile
+        .setLastModified(1700000000000L + i * 60000L))
+      c.toString
+    }
+    try {
+      Similarity.dropInMemoryIndexState()
+      Similarity.ivfIndexRoot = Some(root.toString)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val built = Await.result(
+        Future.sequence(corpora.map(c => Future(Similarity.ivfIndex(spark, c)))), 5.minutes)
+      assert(built.map(_.listsPath).distinct.size == 2)
+      built.foreach(idx => assert(new java.io.File(idx.listsPath).exists,
+        s"live version dir GC'd by the concurrent build: ${idx.listsPath}"))
+      val versions = root.toFile.listFiles().filter(_.getName.startsWith("ivf_v")).map(_.getName)
+      assert(versions.length == 2, s"expected both version dirs, got ${versions.toSeq}")
+      // a fresh process resolves BOTH corpora from the one manifest
+      Similarity.dropInMemoryIndexState()
+      corpora.zip(built).foreach { case (c, first) =>
+        val again = Similarity.ivfIndex(spark, c)
+        assert(again.listsPath == first.listsPath && again.centroids == first.centroids)
+      }
+    } finally {
+      Similarity.ivfIndexRoot = None
+      Similarity.dropInMemoryIndexState()
+    }
+  }
+
   test("lsh signatures are deterministic") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val a = Similarity.lshSignature(e).select("vec_id", "sig").orderBy("vec_id").collect()
