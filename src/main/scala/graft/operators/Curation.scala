@@ -230,8 +230,75 @@ object Curation {
        |  FROM scored) t
        |WHERE term_rank <= $TfidfTopK ORDER BY doc_id, term_rank""".stripMargin
 
+  // ---- text_decontaminate: benchmark-leakage check ----
+  /** A corpus document is flagged when at least this fraction of its
+    * distinct shingles appears somewhere in the benchmark slice —
+    * set containment, the decontamination analogue of Jaccard (a
+    * short eval prompt embedded in a long document still flags the
+    * PROMPT's presence; symmetric Jaccard would dilute it). */
+  val ContainmentThreshold = 0.5
+
+  /** Benchmark decontamination — the training-data hygiene op the
+    * dedup family exists to support: flag corpus documents whose
+    * 16-char shingle set is substantially contained in the
+    * "benchmark" slice's union shingle set (eval-set leakage into
+    * training data). The benchmark slice reuses the incremental
+    * split (doc_id >= max*9/10 — a fixed fraction, identical
+    * integer arithmetic in both engines).
+    *
+    * Scale shape: the benchmark side is BOUNDED (eval suites are
+    * MBs, not TBs) — its distinct shingles broadcast, so the corpus
+    * is touched by one kernel pass + one map-side semi-join + one
+    * doc_id-partitioned count; no corpus-vs-corpus shuffle exists.
+    * The doc_id filters push to the parquet scan, so each branch
+    * shingles only its own slice (disjoint — the kernel total stays
+    * one corpus pass). */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val hashed = Dedup.sharedShingleArrays(docs)
+    val corpus = hashed.filter(col("doc_id") < lit(split))
+      .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+        explode(col("ghs")).as("gh"))
+    val bench = hashed.filter(col("doc_id") >= lit(split))
+      .select(explode(col("ghs")).as("gh")).distinct()
+    corpus.join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_contaminated"))
+      .withColumn("containment",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .filter(col("n_contaminated").cast("double") / col("n_shingles") >= ContainmentThreshold)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin on string shingles (the hashed counts equal the
+    * string-set counts up to the family's 64-bit collision bound). */
+  private val textDecontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), ${Dedup.ShingleN}) AS g
+       |  FROM documents, UNNEST(range(1, length(text) - ${Dedup.ShingleN - 2})) AS t(i)
+       |), s AS (SELECT MAX(doc_id) * 9 // 10 AS v FROM documents
+       |), bs AS (
+       |  SELECT DISTINCT g FROM sh WHERE doc_id >= (SELECT v FROM s)
+       |), cs AS (
+       |  SELECT doc_id, g FROM sh WHERE doc_id < (SELECT v FROM s)
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles FROM cs GROUP BY 1
+       |), hit AS (
+       |  SELECT doc_id, COUNT(*) AS n_contaminated
+       |  FROM cs WHERE g IN (SELECT g FROM bs) GROUP BY 1
+       |)
+       |SELECT t.doc_id, n_shingles, n_contaminated,
+       |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS containment
+       |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+       |WHERE CAST(n_contaminated AS DOUBLE) / n_shingles >= $ContainmentThreshold
+       |ORDER BY t.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
-    GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms))
+    GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
+    GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
 }

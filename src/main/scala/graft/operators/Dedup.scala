@@ -274,7 +274,7 @@ object Dedup {
     * doc_id >= (max_id * 9) / 10 play the "fresh crawl". A fixed
     * fraction (not a fixed id) keeps the entry meaningful at every
     * SF; integer arithmetic keeps the two engines' splits identical. */
-  private def incrementalSplit(docs: DataFrame): Option[Long] = {
+  private[operators] def incrementalSplit(docs: DataFrame): Option[Long] = {
     // None when the corpus is empty (or has only null ids): no
     // slice exists, so no pair can touch it
     val row = docs.agg(max(col("doc_id"))).head

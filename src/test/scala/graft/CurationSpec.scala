@@ -75,4 +75,43 @@ class CurationSpec extends AnyFunSuite {
     val rank1 = top.filter(_._4 == 1L).map(t => t._1 -> t._2).toMap
     assert(rank1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"), top.mkString(", "))
   }
+
+  test("decontamination flags exactly the corpus docs leaked into the benchmark slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // ids 0..8 are corpus, 9..10 the benchmark slice (split = 10*9/10 = 9).
+    // Doc 2's text is copied into benchmark doc 9 (with a suffix) —
+    // classic eval-set leakage; every other corpus doc is distinct
+    // prose sharing no 16-char window with the benchmark.
+    val leak = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq(
+      0L -> "completely unrelated first document with its own words",
+      1L -> "another separate piece of text that stands alone here",
+      2L -> leak,
+      3L -> "yet more filler content that overlaps with nothing else",
+      4L -> "spark catalyst plans optimize declarative queries nicely",
+      5L -> "parquet files store columnar data with statistics pages",
+      6L -> "shuffle exchanges partition rows across executor cores",
+      7L -> "broadcast joins ship the small side to every task slot",
+      8L -> "window functions rank rows within their partitions",
+      9L -> (leak + " EVAL-SUFFIX"),
+      10L -> "an uncontaminated benchmark question about other topics"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.textDecontaminate(spark, tmp).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L), s"flagged: ${out.mkString(", ")}")
+    // the leaked doc is a strict prefix of its benchmark copy, so
+    // every one of its shingles is contained: containment == 1.0
+    assert(out.head.getAs[Double]("containment") == 1.0)
+    assert(out.head.getAs[Long]("n_contaminated") == out.head.getAs[Long]("n_shingles"))
+    // plan shape: the benchmark side broadcasts; no corpus-vs-corpus
+    // join exists anywhere in the operator
+    val plan = Curation.textDecontaminate(spark, tmp).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus-sized join in the decontamination plan:\n$plan")
+  }
 }
