@@ -36,25 +36,52 @@ object VectorOps {
     acc
   }
 
-  /** Sign signature against `nbits` Rademacher hyperplanes. The
-    * plane weights reproduce the SQL form's derivation EXACTLY:
-    * sign(j, d) = low bit of xxhash64(j, d), where Spark's two-arg
-    * xxhash64 over ints is XXH64.hashInt(d, XXH64.hashInt(j, 42L)).
-    * The per-plane dot accumulates left-to-right in double — the
-    * same IEEE op sequence as the aggregate(zip_with(...)) fold this
-    * kernel replaces, so signatures (and LSH buckets) are unchanged
-    * bit-for-bit. */
+  /** Rademacher sign of plane j at dimension d: low bit of
+    * xxhash64(j, d), where Spark's two-arg xxhash64 over ints is
+    * XXH64.hashInt(d, XXH64.hashInt(j, 42L)). THE one definition of
+    * the plane derivation — the kernel's cached matrix and the
+    * DuckDB oracle generator's embedded literals both come from
+    * here, so they cannot desync. */
+  def planeSign(j: Int, d: Int): Double =
+    if ((XXH64.hashInt(d, XXH64.hashInt(j, 42L)) & 1L) == 1L) 1.0 else -1.0
+
+  // grow-only cache of the ±1.0 plane matrix, indexed [j][d]. Plane
+  // signs are a pure function of (j, d), so concurrent re-derivation
+  // is harmless (identical replacement); volatile publish suffices.
+  @volatile private var signCache: Array[Array[Double]] = Array.empty
+
+  /** The sign matrix covering at least (nbits x dims), cached — the
+    * round-7 replacement for hashing inside the per-vector loop
+    * (16 x 64 XXH64 calls per corpus row, measured as the bulk of
+    * signature cost; the cached multiply is pure FP work). */
+  def planeSignMatrix(nbits: Int, dims: Int): Array[Array[Double]] = {
+    val cur = signCache
+    if (cur.length >= nbits && (nbits == 0 || cur(0).length >= dims)) cur
+    else {
+      val grown = Array.tabulate(math.max(nbits, cur.length))(j =>
+        Array.tabulate(math.max(dims, if (cur.isEmpty) 0 else cur(0).length))(d => planeSign(j, d)))
+      signCache = grown
+      grown
+    }
+  }
+
+  /** Sign signature against `nbits` Rademacher hyperplanes (see
+    * [[planeSign]] for the weight derivation). The per-plane dot
+    * accumulates left-to-right in double — the same IEEE op sequence
+    * as the aggregate(zip_with(...)) fold this kernel replaces (and
+    * as the oracle's list_reduce), so signatures and LSH buckets are
+    * bit-identical across all three forms. */
   def lshSign(v: ArrayData, nbits: Int): ArrayData = {
     val n = v.numElements()
+    val m = planeSignMatrix(nbits, n)
     val out = new Array[Any](nbits)
     var j = 0
     while (j < nbits) {
-      val hj = XXH64.hashInt(j, 42L)
+      val row = m(j)
       var acc = 0.0
       var d = 0
       while (d < n) {
-        val s = if ((XXH64.hashInt(d, hj) & 1L) == 1L) 1.0 else -1.0
-        acc += v.getDouble(d) * s
+        acc += v.getDouble(d) * row(d)
         d += 1
       }
       out(j) = if (acc > 0.0) 1 else 0

@@ -154,6 +154,72 @@ object Similarity {
     topkWindow(scored)
   }
 
+  /** DuckDB twin of ann_topk_lsh — EXACT, not approximate: both
+    * engines compute the identical candidate set (same plane signs,
+    * same left-to-right double accumulation, same banding arithmetic
+    * and hamming-1 multi-probe) and the identical scores/ranking
+    * (the brute oracle's cosine tail), so the outputs match
+    * bit-for-bit. The plane-sign matrix is embedded as literals by
+    * this generator FROM THE SAME derivation function the kernel
+    * uses (VectorOps.planeSign), so kernel and oracle cannot desync.
+    * Literal planes cover [[LshOracleMaxDim]] dimensions — corpora
+    * beyond that have no oracle (the testdata is 64-dim). */
+  val LshOracleMaxDim = 256
+
+  private lazy val annTopkLshSql: String = {
+    val rows = LshBits / LshBands
+    def planeLit(j: Int): String =
+      (0 until LshOracleMaxDim).map(d =>
+        if (graft.functions.VectorOps.planeSign(j, d) > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+    val sigBits = (0 until LshBits).map { j =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(v)+1), i -> v[i] * (${planeLit(j)})[i])),
+         |      (a, b) -> a + b) > 0 THEN 1 ELSE 0 END AS s_$j""".stripMargin
+    }.mkString(",\n    ")
+    val sigArray = (0 until LshBits).map(j => s"s_$j").mkString("[", ", ", "]")
+    val bval = (0 until rows).map(r =>
+      s"sig[CAST(band * $rows + ${r + 1} AS INT)] * ${1 << (rows - 1 - r)}").mkString(" + ")
+    val probes = (0 until rows).map(r =>
+      s"UNION SELECT q_id, band, xor(bval, ${1 << r}) FROM qb").mkString("\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, p) -> a + p)) AS nrm
+       |  FROM e
+       |), sigs AS (
+       |  SELECT vec_id,
+       |    $sigBits
+       |  FROM e
+       |), sigt AS (
+       |  SELECT vec_id, $sigArray AS sig FROM sigs
+       |), cb AS (
+       |  SELECT vec_id, band, $bval AS bval
+       |  FROM sigt, UNNEST(range(0, $LshBands)) AS t(band)
+       |), qb AS (
+       |  SELECT vec_id AS q_id, band, bval FROM cb WHERE vec_id < $QueryCount
+       |), qp AS (
+       |  SELECT q_id, band, bval FROM qb
+       |  $probes
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id
+       |  FROM qp p JOIN cb c ON p.band = c.band AND p.bval = c.bval
+       |  WHERE p.q_id <> c.vec_id
+       |), sc AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    round(list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]),
+       |          (x, y) -> x + y) / (q.nrm * b.nrm), 6) AS score
+       |  FROM cand JOIN n q ON cand.q_id = q.vec_id JOIN n b ON cand.vec_id = b.vec_id
+       |)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc) t
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- ann_ivf: k-means-lite inverted file ----
   // Cells scale as ~sqrt(n) (the classical IVF balance point:
   // probe cost ~ probes * n/cells, centroid scan ~ cells), clamped
@@ -666,7 +732,7 @@ object Similarity {
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_topk_brute", Some(annTopkBruteSql), annTopkBrute),
-    GraftQuery("ann_topk_lsh", None, annTopkLsh),
+    GraftQuery("ann_topk_lsh", Some(annTopkLshSql), annTopkLsh),
     GraftQuery("ann_ivf", None, annIvf),
     GraftQuery("ann_ivf_probe", None, annIvfProbe),
     GraftQuery("ann_recall", None, annRecall))
