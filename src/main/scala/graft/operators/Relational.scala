@@ -225,13 +225,31 @@ object Relational {
   // construction; VERDICT r1.)
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // l_quantity closes the one ambiguity the first three keys
+    // leave open: (shipdate, orderkey, linenumber) is NOT unique in
+    // the data (measured: one duplicate full-key group at sf0.1),
+    // and rows tied there got run-varying running sums from DuckDB's
+    // parallel window sort. With quantity in the order, any rows
+    // STILL tied carry equal quantities, so swapping them leaves
+    // every prefix sum unchanged — the running sum is deterministic
+    // without needing a unique key the table doesn't have.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // running_qty completes the presentation order into a TOTAL
+      // one: (suppkey, orderkey, linenumber) is NOT unique (the
+      // testdata's linenumber repeats within an order), and the
+      // ambiguous rows differ in shipdate — i.e. in window position,
+      // and the running sum is strictly increasing within a
+      // partition (quantity >= 1), so it discriminates exactly the
+      // rows the first three keys cannot. Without it DuckDB's
+      // parallel sort emits tied rows in run-varying order and the
+      // row-order-sensitive hash compare flakes (caught at sf0.1,
+      // round 7 — latent at every SF).
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
 
   private val qWindowRunningSql: String = {
@@ -239,10 +257,10 @@ object Relational {
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
        |  CAST(SUM(${sdec("l_quantity")}) OVER (
        |    PARTITION BY l_suppkey
-       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
        |FROM lineitem
-       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
   }
 
   // ---- q_topk: global ordered top-k (TakeOrderedAndProject) ----
