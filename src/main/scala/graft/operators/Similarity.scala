@@ -162,8 +162,12 @@ object Similarity {
     * bit-for-bit. The plane-sign matrix is embedded as literals by
     * this generator FROM THE SAME derivation function the kernel
     * uses (VectorOps.planeSign), so kernel and oracle cannot desync.
-    * Literal planes cover [[LshOracleMaxDim]] dimensions — corpora
-    * beyond that have no oracle (the testdata is 64-dim). */
+    * Literal planes cover [[LshOracleMaxDim]] dimensions — a corpus
+    * beyond that FAILS the oracle loudly (the [i] lookups past the
+    * literal's end NULL-degrade every signature bit, so the hash
+    * check mismatches rather than silently passing); regenerate with
+    * a larger LshOracleMaxDim for wider embeddings. The testdata is
+    * 64-dim. */
   val LshOracleMaxDim = 256
 
   private lazy val annTopkLshSql: String = {
