@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.StubCodec
+import graft.multimodal.Multimodal.{PngCodec, StubCodec, WavCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -19,15 +19,22 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("decodeFeatures keeps schema and survives corrupt rows") {
     import spark.implicits._
-    val good = Multimodal.syntheticMedia(spark, 20, partitions = 4)
+    val good = Multimodal.syntheticMedia(spark, 21, partitions = 4)
     val corrupt = Seq(Multimodal.MediaRow(999L, "image", "garbage".getBytes,
       Multimodal.MediaMeta(0, 0, 0, 0))).toDS()
     val out = Multimodal.decodeFeatures(good.union(corrupt))
     assert(out.columns.toSeq ==
-      Seq("media_id", "kind", "width", "height", "channels", "n_frames", "n_bytes", "mean_byte", "channel_means"))
+      Seq("media_id", "kind", "width", "height", "channels", "n_frames", "n_bytes",
+        "sample_rate", "n_samples", "mean_byte", "channel_means", "channel_rms"))
     val rows = out.collect()
-    assert(rows.length == 20) // corrupt row dropped, not crashed
+    assert(rows.length == 21) // corrupt row dropped, not crashed
     assert(rows.forall(_.mean_byte >= 0))
+    // every kind fills its own fields: spatial dims for image/video,
+    // rate+samples for audio
+    assert(rows.filter(_.kind == "image").forall(r => r.width > 0 && r.sample_rate == 0))
+    assert(rows.filter(_.kind == "audio").forall(r =>
+      r.sample_rate >= 8000 && r.n_samples == r.n_frames.toLong * r.channels && r.width == 0))
+    assert(rows.filter(_.kind == "video").forall(r => r.width > 0 && r.n_frames == 8))
   }
 
   test("mapPartitions operators preserve partitioning (no shuffle)") {
@@ -44,43 +51,69 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resize(media, 4, 4).collect()
     resized.foreach { m =>
       assert(m.meta.width == 4 && m.meta.height == 4)
-      if (m.kind == "image")
-        assert(Multimodal.PngCodec.decode(m.payload).exists { case (w, h, _, _) => w == 4 && h == 4 })
-      else
-        assert(StubCodec.decode(m.payload).exists { case (w, h, _, _) => w == 4 && h == 4 })
+      m.kind match {
+        case "image" =>
+          assert(PngCodec.decode(m.payload).exists { case (w, h, _, _, _) => w == 4 && h == 4 })
+        case "audio" => // audio resize = real resample to w*h frames
+          assert(WavCodec.decode(m.payload).exists { case (_, _, f, _) => f == 16 })
+          assert(m.meta.nFrames == 16)
+        case _ =>
+          assert(StubCodec.decode(m.payload).exists { case (w, h, _, _) => w == 4 && h == 4 })
+      }
     }
     val sampled = Multimodal.frameSample(media, 2).collect()
     sampled.filter(_.kind == "video").foreach { m =>
       assert(m.meta.nFrames == 4) // 8 frames sampled every 2nd
       assert(StubCodec.decode(m.payload).exists(_._3 == 4))
     }
-    sampled.filter(_.kind != "video").foreach(m => assert(m.meta.nFrames == 1))
+    // frame-sampling must not touch non-video rows
+    sampled.filter(_.kind == "image").foreach(m => assert(m.meta.nFrames == 1))
+    sampled.filter(_.kind == "audio").foreach(m => assert(m.meta.nFrames >= 300))
   }
 
   test("PNG decode is real: exact dimensions, channels, per-channel means from the raster") {
-    import Multimodal.PngCodec
     val id = 42L
     val (w, h) = (20, 15)
     val img = PngCodec.syntheticImage(id, w, h)
     val png = PngCodec.encode(img)
     assert(PngCodec.isPng(png) && !PngCodec.isPng("GRAFTMM1????".getBytes))
-    val Some((dw, dh, bands, means)) = PngCodec.decode(png)
+    val Some((dw, dh, bands, means, rms)) = PngCodec.decode(png)
     assert(dw == w && dh == h && bands == 3)
-    // PNG is lossless, so the decoded per-channel means must equal
-    // the means computed straight off the source pixel function —
-    // bit-exact, not approximate
-    val expected = (0 until 3).map { c =>
-      val s = (for (y <- 0 until h; x <- 0 until w)
-        yield (id * 31 + x * 7 + y * 13 + c * 41) % 256).sum
-      s.toDouble / (w * h)
+    // PNG is lossless, so the decoded per-channel means/RMS must
+    // equal the stats computed straight off the source pixel
+    // function — bit-exact, not approximate
+    val samples = (0 until 3).map { c =>
+      for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13 + c * 41) % 256
     }
-    assert(means.toSeq == expected, s"decoded means $means != raster means $expected")
+    val expMeans = samples.map(s => s.sum.toDouble / (w * h))
+    val expRms = samples.map(s => math.sqrt(s.map(v => v.toDouble * v).sum / (w * h)))
+    assert(means.toSeq == expMeans, s"decoded means ${means.toSeq} != raster means $expMeans")
+    assert(rms.toSeq == expRms, s"decoded rms ${rms.toSeq} != raster rms $expRms")
     // decode rejects non-image bytes instead of crashing
     assert(PngCodec.decode(Array.fill[Byte](64)(0x11)).isEmpty)
   }
 
+  test("PNG decode drops adversarial payloads: truncation and dimension bombs") {
+    val png = PngCodec.encode(PngCodec.syntheticImage(3L, 12, 9))
+    // truncated mid-IDAT but with a valid signature + IHDR — must be
+    // dropped (None), not thrown
+    assert(PngCodec.decodeImage(png.take(40)).isEmpty)
+    assert(PngCodec.decodeImage(png.take(8)).isEmpty)
+    // dimension bomb: same bytes with the IHDR width field rewritten
+    // to 2^31-1 — the declared-dims bound must reject it BEFORE any
+    // decoder allocation
+    val bomb = png.clone()
+    bomb(16) = 0x7f.toByte; bomb(17) = 0xff.toByte; bomb(18) = 0xff.toByte; bomb(19) = 0xff.toByte
+    assert(PngCodec.declaredDims(bomb).exists(_._1 == 0x7fffffffL))
+    assert(PngCodec.decodeImage(bomb).isEmpty)
+    // zero-dimension header is equally invalid
+    val zero = png.clone()
+    zero(16) = 0; zero(17) = 0; zero(18) = 0; zero(19) = 0
+    assert(PngCodec.decodeImage(zero).isEmpty)
+  }
+
   test("image resize is exact nearest-neighbor: dst(x,y,c) == src(floor(x*sw/dw), floor(y*sh/dh), c)") {
-    import Multimodal.PngCodec
     val src = PngCodec.syntheticImage(7L, 17, 11)
     val (dw, dh) = (5, 4)
     val dst = PngCodec.resizeNearest(src, dw, dh)
@@ -95,6 +128,60 @@ class MultimodalSpec extends AnyFunSuite {
     val reenc = PngCodec.decodeImage(PngCodec.encode(dst)).get
     for (y <- 0 until dh; x <- 0 until dw; c <- 0 until 3)
       assert(reenc.getRaster.getSample(x, y, c) == dst.getRaster.getSample(x, y, c))
+  }
+
+  test("WAV decode is real: AudioSystem parses rate/channels/frames and PCM round-trips bit-exactly") {
+    val (id, frames, channels, rate) = (11L, 347, 2, 12000)
+    val samples = WavCodec.syntheticSamples(id, frames, channels)
+    val wav = WavCodec.encode(rate, channels, samples)
+    assert(WavCodec.isWav(wav) && !WavCodec.isWav("GRAFTMM1????".getBytes))
+    val Some((dr, dc, df, ds)) = WavCodec.decode(wav)
+    assert(dr == rate && dc == channels && df == frames)
+    // PCM is lossless: every decoded 16-bit sample equals the source
+    // waveform function, bit-for-bit
+    assert(ds.sameElements(samples))
+    for (t <- 0 until 5; c <- 0 until channels)
+      assert(ds(t * channels + c) == (((id * 31 + t * 7 + c * 41) % 65536) - 32768).toShort)
+    // per-channel stats match the waveform computed directly
+    val (means, rms) = WavCodec.channelStats(ds, channels)
+    for (c <- 0 until channels) {
+      val ch = (0 until frames).map(t => (((id * 31 + t * 7 + c * 41) % 65536) - 32768).toDouble)
+      assert(means(c) == ch.sum / frames)
+      assert(rms(c) == math.sqrt(ch.map(v => v * v).sum / frames))
+    }
+  }
+
+  test("WAV decode drops corrupt/adversarial payloads") {
+    val wav = WavCodec.encode(16000, 1, WavCodec.syntheticSamples(5L, 100, 1))
+    // truncated inside the fmt chunk, valid RIFF/WAVE magic
+    assert(WavCodec.decode(wav.take(20)).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    // decodeFeatures drops a corrupt WAV row, never crashes
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRow(7L, "audio", wav.take(20),
+      Multimodal.MediaMeta(0, 0, 0, 0))).toDS()
+    assert(Multimodal.decodeFeatures(corrupt).collect().isEmpty)
+  }
+
+  test("audio resample is exact nearest-neighbor in the frame domain") {
+    val (frames, channels) = (100, 2)
+    val samples = WavCodec.syntheticSamples(9L, frames, channels)
+    val res = WavCodec.resampleNearest(samples, channels, frames, 37)
+    for (i <- 0 until 37; c <- 0 until channels) {
+      val si = i * frames / 37
+      assert(res(i * channels + c) == samples(si * channels + c),
+        s"frame $i ch $c not the nearest-neighbor source frame")
+    }
+    // the full operator: rate conversion scales the frame count and
+    // stamps the new rate into payload AND metadata
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(1L, "audio",
+      WavCodec.encode(16000, 1, WavCodec.syntheticSamples(1L, 320, 1)),
+      Multimodal.MediaMeta(0, 0, 320, 16000))).toDS()
+    val out = Multimodal.resampleAudio(row, 8000).collect().head
+    assert(out.meta.sampleRate == 8000 && out.meta.nFrames == 160)
+    assert(WavCodec.decode(out.payload).exists { case (r, _, f, _) => r == 8000 && f == 160 })
   }
 
   test("synthetic generation is deterministic") {
