@@ -356,11 +356,27 @@ object Similarity {
     topkWindow(scored)
   }
 
+  /** Where the FRESH build's centroids are staged for the ann_ivf
+    * oracle — separate from [[CentroidStagePath]] (the persisted
+    * probe's), because a fresh k-means's avg() merge order is not
+    * contractually pinned across runs: the oracle must re-derive the
+    * probe from the centroids of the run whose output it checks, so
+    * annIvf re-stages on EVERY call (k x dim, a few ms — unlike the
+    * memoized stagings this one is version-less by nature). This is
+    * the same self-staging move ann_ivf_probe made in r7; it closes
+    * the last rows-only driver entry (VERDICT r7 item 5). */
+  val FreshCentroidStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ivf_fresh_centroids.parquet"
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
     val cells = ivfCells(n)
     val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
+    // kmeansCentroids already collected: the staged values ARE the
+    // values the plan below broadcasts, so the SQL twin reads the
+    // exact doubles this run's output was computed from
+    centroids.coalesce(1).write.mode("overwrite").parquet(FreshCentroidStagePath)
     val lists = assign(e, centroids) // inverted lists: (vec_id, ..., cid)
     probeLists(e, centroids, lists, cells)
   }
@@ -444,6 +460,11 @@ object Similarity {
 
   private val IvfManifestName = "_ivf_manifest"
 
+  /** Cross-JVM writer lease file under the index root (see
+    * [[graft.FsLease]]); underscore prefix keeps it invisible to the
+    * posting-list scans and the ivf_v* GC. */
+  private[graft] val IvfLockName = "_ivf_lock"
+
   /** Manifest lines: urlencode(corpusDir) \t fingerprint \t cells \t
     * version-dir-name. All manifest/version-dir I/O goes through the
     * Hadoop FileSystem API — ivfIndexRoot's documented deployment
@@ -501,8 +522,9 @@ object Similarity {
     * read-modify-write — each writing a manifest missing the other's
     * entry, and the GC pass then deleting the other's freshly built
     * live version dir. Keyed by the qualified root URI so `file:/x`
-    * and `/x` share a lock. (Cross-JVM writers remain a documented
-    * single-writer assumption, like warehouse compaction.) */
+    * and `/x` share a lock. Cross-JVM writers are fenced by the
+    * [[graft.FsLease]] lease file (round 8) — a second driver fails
+    * loudly instead of corrupting. */
   private val ivfRootLocks =
     new scala.collection.concurrent.TrieMap[String, Object]
 
@@ -551,17 +573,25 @@ object Similarity {
       fs.mkdirs(rootPath)
       val entries = readIvfManifest(fs, rootPath)
 
-      def rebuild(): IvfIndex = {
+      // cross-JVM lease around the whole writer cycle (manifest
+      // re-read + build + manifest write + GC): a second driver
+      // building against this root now fails loudly instead of
+      // GC-ing this build's live version dir (VERDICT r7 item 4).
+      // The manifest is re-read INSIDE the lease — the pre-lease
+      // `entries` read may predate another JVM's just-finished build,
+      // and writing from the stale view would drop its entry.
+      def rebuild(): IvfIndex = graft.FsLease.withLease(fs, rootPath, IvfLockName) {
+        val fresh = readIvfManifest(fs, rootPath)
         val verName = "ivf_v" + java.security.MessageDigest.getInstance("SHA-256")
           .digest(s"$dir\n$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
         val verDir = new Path(rootPath, verName)
         val idx = buildIndex(spark, dir, verDir.toString)
-        val kept = entries.filterNot(_._1 == dir) :+ ((dir, fp, idx.cells, verName))
+        val kept = fresh.filterNot(_._1 == dir) :+ ((dir, fp, idx.cells, verName))
         writeIvfManifest(fs, rootPath, kept)
         // GC: any ivf_v* dir the manifest no longer references is a
         // superseded version or a crashed build — delete it. Runs
-        // under the root lock, so a concurrent build for another
-        // corpus cannot have an in-flight unreferenced dir here.
+        // under the root lock + lease, so a concurrent build cannot
+        // have an in-flight unreferenced dir here.
         val referenced = kept.map(_._4).toSet
         val listing = fs.listStatus(rootPath)
         if (listing != null) listing.foreach { st =>
@@ -725,7 +755,7 @@ object Similarity {
     * the staged centroid count, the same ivfProbes arithmetic), and
     * the brute oracle's cosine/rank tail. Distances use the
     * kernel's exact left-to-right accumulation. */
-  private lazy val annIvfProbeSql: String = {
+  private def ivfProbeSqlFor(centroidPath: String): String = {
     def distFold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
@@ -738,7 +768,7 @@ object Similarity {
        |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, p) -> a + p)) AS nrm
        |  FROM e
        |), c AS (
-       |  SELECT cid, cv FROM read_parquet('$CentroidStagePath/*.parquet')
+       |  SELECT cid, cv FROM read_parquet('$centroidPath/*.parquet')
        |), k AS (
        |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS np FROM c
        |), ad AS (
@@ -771,6 +801,16 @@ object Similarity {
        |  FROM sc) t
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
+
+  private lazy val annIvfProbeSql: String = ivfProbeSqlFor(CentroidStagePath)
+
+  /** The fused fresh-build's oracle: the identical steady-state-probe
+    * re-derivation, but over the centroids THIS run's build staged —
+    * so the k-means itself stays Spark-side (its avg() merge order
+    * is not pinned across runs) while everything downstream of the
+    * centroids (cell assignment, query cell ranking, candidate
+    * scoring, top-k) is hash-verified cross-engine. */
+  private lazy val annIvfSql: String = ivfProbeSqlFor(FreshCentroidStagePath)
 
   /** DuckDB twin of ann_recall, composed from the three already-
     * exact oracles (brute, LSH, IVF-probe) as parenthesized
@@ -840,14 +880,13 @@ object Similarity {
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_topk_brute", Some(annTopkBruteSql), annTopkBrute),
     GraftQuery("ann_topk_lsh", Some(annTopkLshSql), annTopkLsh),
-    // ann_ivf (the fused fresh-build) stays rows-only BY CHOICE: its
-    // centroids come from a fresh in-session k-means whose avg()
-    // merge order Spark does not contractually pin across runs — an
-    // oracle against the staged (memoized) centroids would be
-    // betting the round on last-ulp equality of two builds. The
-    // probe==fused spec checks that equality where a failure is a
-    // test failure, not a gate err.
-    GraftQuery("ann_ivf", None, annIvf),
+    // ann_ivf self-stages each build's centroids (see
+    // FreshCentroidStagePath), so the fused fresh-build path is
+    // hash-verified too — the r7 rows-only choice existed only
+    // because the oracle would otherwise bet on last-ulp equality of
+    // TWO independent k-means builds; staging the checked run's own
+    // centroids removes that channel entirely.
+    GraftQuery("ann_ivf", Some(annIvfSql), annIvf),
     GraftQuery("ann_ivf_probe", Some(annIvfProbeSql), annIvfProbe),
     GraftQuery("ann_recall", Some(annRecallSql), annRecall))
 }
