@@ -27,6 +27,22 @@ object Warehouse {
   def compoundsDir(warehouseDir: String): String = s"$warehouseDir/compounds"
   def manifestDir(warehouseDir: String): String = s"$warehouseDir/_manifest"
 
+  /** Cross-JVM writer lease file at the warehouse root, shared by
+    * ingest and compact (see [[graft.FsLease]]): the manifest append
+    * and the compaction swap both assume a single writer, and the
+    * unrecoverable compact crash state (dir+old+tmp all present) is
+    * precisely an ingest interleaving a compaction — one lease for
+    * both writers makes that state unreachable instead of merely
+    * documented. */
+  private[graft] val WriterLockName = "_graft_writer_lock"
+
+  private def withWriterLease[T](spark: SparkSession, warehouseDir: String)(body: => T): T = {
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.FsLease.withLease(fs, root, WriterLockName)(body)
+  }
+
   /** Manifest rows: filename, lowest_cid, highest_cid, date_added,
     * n_compounds — the sdf_file schema (utils.py:222-227). */
   def manifest(spark: SparkSession, warehouseDir: String): DataFrame = {
@@ -88,7 +104,14 @@ object Warehouse {
     val all = listSdfFiles(spark, glob)
     val todo = pendingFiles(spark, warehouseDir, all)
     if (todo.isEmpty) return IngestResult(Nil, 0L)
+    // lease held across data write + manifest append: a concurrent
+    // ingest/compact against the same root fails loudly instead of
+    // double-appending manifest rows or racing the compaction swap
+    withWriterLease(spark, warehouseDir)(ingestFiles(spark, todo, warehouseDir, layout))
+  }
 
+  private def ingestFiles(spark: SparkSession, todo: Seq[String], warehouseDir: String,
+                          layout: LayoutSpec): IngestResult = {
     // One distributed read over exactly the pending files. Keeping
     // src_file through extraction lets both the manifest stats and
     // the append happen in a single pass over the data.
@@ -158,16 +181,25 @@ object Warehouse {
     * source SDF per run; at warehouse scale thousands of tiny files
     * tax the metadata service and every scan's split planning. The
     * rewrite goes to a sibling temp directory and swaps in with two
-    * renames (single-writer assumption — run compaction from the
-    * same scheduler slot as ingest); the manifest is untouched, so
-    * incremental ingest semantics survive compaction unchanged.
+    * renames, under the shared writer lease (a concurrent ingest or
+    * second compactor fails loudly at acquisition — round 8; before
+    * that, single-writer was an honor-system assumption); the
+    * manifest is untouched, so incremental ingest semantics survive
+    * compaction unchanged.
     *
     * Sizing is driven by a driver-side file listing (a metadata op,
     * O(#files)): partitions get ceil(bytes/target) output files via
     * a salted repartition, so a hot partition still splits while
     * small ones collapse to one file. Returns the new file count. */
   def compact(spark: SparkSession, warehouseDir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+              targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    // same lease as ingest: the swap and the crash-recovery renames
+    // assume no other writer; a second compactor or a concurrent
+    // ingest now fails loudly at acquisition
+    withWriterLease(spark, warehouseDir)(compactLocked(spark, warehouseDir, targetFileBytes))
+
+  private def compactLocked(spark: SparkSession, warehouseDir: String,
+                            targetFileBytes: Long): Long = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(compoundsDir(warehouseDir))
