@@ -562,19 +562,58 @@ object Dedup {
        |      (x, y) -> x + y) / (a.nrm * b.nrm) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Where the LSH entry's verified pairs are staged for its oracle
+    * (same stage-dir lifecycle as the SDF/centroid stagings). The
+    * write IS the entry's terminal action — the pipeline runs once,
+    * the returned frame is the read-back — so staging adds only a
+    * tiny result-sized parquet write to the timed path. */
+  val MinhashPairStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_pairs.parquet"
+
+  /** The driver entry for dedup_minhash_lsh: run the pipeline, stage
+    * the verified pairs, return the read-back. */
+  def dedupMinhashLshStaged(spark: SparkSession, dir: String): DataFrame = {
+    dedupMinhashLsh(spark, dir).write.mode("overwrite").parquet(MinhashPairStagePath)
+    spark.read.parquet(MinhashPairStagePath).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of dedup_minhash_lsh over the staged pair list:
+    * re-derives the EXACT Jaccard of every pair the operator emitted
+    * from the raw documents (DuckDB's own shingling, intersection
+    * counts, sizes, division) and re-applies the threshold — so a
+    * wrong score, a below-threshold emission, or a broken
+    * verification stage all fail the hash check, while a
+    * probabilistic banding miss (which shrinks the pair list on BOTH
+    * sides identically) cannot flake the gate. Candidate RECALL
+    * against the full exact sweep is pinned separately in DedupSpec
+    * on the deterministic test corpus, where a miss is a test
+    * failure, not a spurious gate err. (ADVICE r7: the r7 oracle
+    * asserted set equality with the full sweep — green builds could
+    * turn red with no code change once corpus regeneration raised
+    * the cumulative ~2e-4-per-true-pair miss probability.) */
+  private val dedupMinhashLshSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g
+       |  FROM documents, UNNEST(range(1, length(text) - ${ShingleN - 2})) AS t(i)
+       |), p AS (
+       |  SELECT doc_a, doc_b FROM read_parquet('$MinhashPairStagePath/*.parquet')
+       |), pair AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+       |  FROM p JOIN sh a ON a.doc_id = p.doc_a
+       |         JOIN sh b ON b.doc_id = p.doc_b AND b.g = a.g
+       |  GROUP BY 1, 2
+       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+       |FROM pair JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactSql), dedupExact),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
-    // Oracled with the SAME exact-Jaccard SQL as dedup_ngram_jaccard:
-    // the operator's output is the exact-verified pair set at the
-    // threshold, so it EQUALS the full sweep's whenever LSH candidate
-    // recall is 1.0 — which 16 bands x 4 rows gives at t=0.8
-    // (P[all bands miss] = (1 - J^4)^16 ~= 0.02% per pair at J = 0.8,
-    // and in practice every harness-scale true pair shares a band).
-    // A banding regression that drops a true pair now FAILS the hash
-    // check loudly instead of sailing through a rows-only count.
-    GraftQuery("dedup_minhash_lsh", Some(dedupNgramJaccardSql), dedupMinhashLsh),
+    GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),
     GraftQuery("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
 }
