@@ -8,6 +8,15 @@ object Bench {
     // A failed query must not masquerade as a timing — record it in
     // "errors" and exclude it from the per-query timings (VERDICT r1).
     val errors = collection.mutable.ListBuffer.empty[String]
+    // Settle gap before any timing: the driver invokes this right
+    // after the test suite, and the box is still draining that JVM's
+    // shutdown + page-cache churn — best-of-3 absorbed most of it,
+    // but BENCH_r07 still recorded one ~2x phantom on a heavy ann
+    // entry that an idle-box re-run didn't reproduce (VERDICT r7
+    // item 7). A few idle seconds + a GC of THIS JVM's sbt/compile
+    // garbage is the cheapest insurance; 0 disables.
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "5000").toLong
+    if (settleMs > 0) { System.gc(); Thread.sleep(settleMs) }
     // Untimed JVM warmup before the loop: the alphabetically-first
     // entries (the heaviest ann_* queries) otherwise absorb the
     // one-time JIT of Spark's join/aggregate/codegen infrastructure
