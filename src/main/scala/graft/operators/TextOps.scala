@@ -237,7 +237,70 @@ object TextOps {
       |SELECT bigram, COUNT(*) AS freq FROM b
       |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- text_repetition: duplicated-ngram quality filter ----
+  /** Flag threshold on the duplicated-bigram fraction, after the
+    * Gopher repetition rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1: documents with a high fraction of characters inside
+    * duplicated word n-grams are boilerplate/spam and are removed
+    * before training). 0.2 is the paper's duplicate-bigram cut. */
+  val RepetitionDupFracMax = 0.2
+
+  /** Per-document repetition metrics — the training-data quality
+    * filter the Gopher/C4 pipelines run corpus-wide: the fraction of
+    * word-bigram instances whose bigram occurs more than once in the
+    * document (`dup_frac`), the share of the single most frequent
+    * bigram (`top_frac`), and the resulting flag. Uses the same
+    * native bigram kernel as text_ngram_freq (single-space split,
+    * one Java loop per doc).
+    *
+    * Scale shape: explode → two partially-aggregated groupBys
+    * ((doc_id, bigram) then doc_id), both map-side combined; no
+    * joins, no corpus-wide state — scan-bound at 100 TB like the
+    * rest of the text family. Docs with no bigram (≤1 word) have no
+    * row, identically in both engines. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = spark.sparkContext.defaultParallelism
+    val counts = Tables.documents(spark, dir)
+      // pinned-count repartition: see whitespaceTokens (AQE would
+      // coalesce a by-col shuffle of the byte-small doc relation to
+      // one partition and run the kernel serially)
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"), explode(expr("graft_word_bigrams(text)")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val nDup = coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), nDup.as("n_dup"), max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("n_dup").cast("double") / col("n_bigrams")).as("dup_frac"),
+        (col("max_c").cast("double") / col("n_bigrams")).as("top_frac"),
+        (col("n_dup").cast("double") / col("n_bigrams") >= RepetitionDupFracMax)
+          .cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin on the same single-space bigram grammar as
+    * textNgramFreqSql; long/long ratios via explicit DOUBLE casts so
+    * both engines perform the identical single IEEE division. */
+  private lazy val textRepetitionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), b AS (
+       |  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS bigram
+       |  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+       |), c AS (
+       |  SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+       |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+       |  CAST(CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+       |    >= $RepetitionDupFracMax AS BIGINT) AS flagged
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_repetition", Some(textRepetitionSql), textRepetition),
     GraftQuery("text_ngram_freq", Some(textNgramFreqSql), textNgramFreq),
     GraftQuery("text_tokens", Some(textTokensSql), textTokens),
     GraftQuery("text_quality", Some(textQualitySql), textQuality),

@@ -94,6 +94,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((0L, 0L, 0L)), out.mkString(", "))
   }
 
+  test("text_repetition pins the Gopher duplicate-bigram metrics on hand-checked docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"),              // bigrams: 3x"a b", 2x"b a" -> all duplicated
+      (1L, "u v w x y z"),              // 5 distinct bigrams, none repeated
+      (2L, "one two one three one two"),// 2x"one two", 3 singletons
+      (3L, "solo")                      // no bigram -> no output row
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextOps.textRepetition(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 5L, 1.0, 3.0 / 5, 1L),
+      (1L, 5L, 0.0, 1.0 / 5, 0L),
+      (2L, 5L, 2.0 / 5, 2.0 / 5, 1L)), out.mkString(", "))
+  }
+
   test("text_quality ratios are well-formed on real data") {
     val rows = operators.TextOps.textQuality(spark, dir).collect()
     assert(rows.length == 500)
