@@ -804,6 +804,128 @@ object Similarity {
 
   private lazy val annIvfProbeSql: String = ivfProbeSqlFor(CentroidStagePath)
 
+  // ---- dedup_semantic: SemDeDup-style clustered embedding dedup ----
+  /** Same cosine cut as the brute dedup_embedding baseline, so the
+    * two entries answer the same question at two scale points. */
+  val SemanticThreshold: Double = Dedup.CosineThreshold
+
+  /** Cells each vector is assigned to. Single assignment (the
+    * SemDeDup paper's form) measured 0.20-0.22 recall against the
+    * brute pair set on the test corpora — sqrt(n) k-means cells
+    * subdivide the natural embedding clusters, so most near-dup
+    * pairs straddle a boundary. Multi-assignment to the 4 nearest
+    * cells (pairs compared when they SHARE any cell) measured
+    * 0.97/0.98 recall at sf0.001/sf0.01 for 4x the per-vector
+    * replication — the same overlap move IVF probing and LSH
+    * multi-probe already make. */
+  val SemanticAssign = 4
+
+  /** Top-P cell assignment WITHOUT a corpus x k shuffle: P chained
+    * min-struct aggregations, each excluding the already-chosen
+    * cells — the generalization of [[assign]]'s partial-aggregated
+    * argmin. Shuffle volume is P x corpus rows (each round's groupBy
+    * is map-side combined); the corpus x k distance compute is paid
+    * P times, the irreducible price of P-way assignment. (The
+    * tempting window-over-(vec, cell) form shuffles corpus x k rows
+    * — 4096x corpus at the cell cap — which is exactly the
+    * non-plan [[assign]]'s docs rule out.) */
+  private def assignMulti(e: DataFrame, centroids: DataFrame, p: Int): DataFrame = {
+    var cur = e.select(col("vec_id"), col("v"), col("nrm"),
+      array().cast("array<int>").as("cids"))
+    for (_ <- 1 to p) {
+      cur = cur.join(broadcast(centroids))
+        .filter(!array_contains(col("cids"), col("cid")))
+        .withColumn("dc", struct(sqDist("v", "cv").as("dist"), col("cid").as("cid")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          first(col("cids")).as("cids"), min(col("dc")).as("m"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          array_append(col("cids"), col("m.cid")).as("cids"))
+    }
+    cur.select(col("vec_id"), col("v"), col("nrm"), explode(col("cids")).as("cid"))
+  }
+
+  /** The SCALE PATH for embedding near-dup detection, after SemDeDup
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the corpus
+    * with the persisted IVF index's k-means centroids, then compare
+    * pairs only within a shared cell. dedup_embedding is the
+    * documented brute all-pairs baseline (O(n²), the verification
+    * oracle for ANN); this entry is what a 100 TB pipeline actually
+    * runs — with cells ~ sqrt(n) and P-way assignment, pair work
+    * totals ~P²·n^1.5 and each cell's quadratic is bounded, while
+    * the bucket self-join shuffles on cid (no corpus-wide cross
+    * pairs ever materialized). Candidate ids are deduped BEFORE the
+    * exact cosine (the LSH pipeline's shape); the miss set
+    * (near-dups sharing no cell) is the SemDeDup trade —
+    * SimilaritySpec pins containment-in-brute (every emitted pair is
+    * exact) and the measured recall floor. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    stageCentroids(spark, idx)
+    import spark.implicits._
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val centroids = idx.centroids.toDF("cid", "cv")
+    val multi = assignMulti(e, centroids, math.min(SemanticAssign, idx.cells))
+      .select(col("vec_id"), col("cid"))
+    val cand = multi.as("a")
+      .join(multi.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", Dedup.cosine("va", "vb", col("na"), col("nb")))
+      .filter(col("cos") >= SemanticThreshold)
+    scored.select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** DuckDB twin over the staged centroids: top-P cell assignment
+    * (rank by the probe oracle's (dist, cid) rule — the chained
+    * min-excluding aggregation picks exactly the P smallest), shared-
+    * cell candidate pairs deduped, then the brute oracle's cosine —
+    * the whole clustered-dedup pipeline re-derived cross-engine from
+    * the same staged doubles the Spark plan used. */
+  private lazy val dedupSemanticSql: String = {
+    def distFold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, p) -> a + p)) AS nrm
+       |  FROM e
+       |), c AS (
+       |  SELECT cid, cv FROM read_parquet('$CentroidStagePath/*.parquet')
+       |), k AS (
+       |  SELECT least($SemanticAssign, count(*)) AS np FROM c
+       |), ad AS (
+       |  SELECT vec_id, cid, ${distFold("v", "cv")} AS dist
+       |  FROM n, c
+       |), multi AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM ad) t
+       |  WHERE rn <= (SELECT np FROM k)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM multi a JOIN multi b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |  round(list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]),
+       |        (p, q) -> p + q) / (x.nrm * y.nrm), 6) AS cosine
+       |FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+       |WHERE list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]),
+       |      (p, q) -> p + q) / (x.nrm * y.nrm) >= $SemanticThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** The fused fresh-build's oracle: the identical steady-state-probe
     * re-derivation, but over the centroids THIS run's build staged —
     * so the k-means itself stays Spark-side (its avg() merge order
@@ -888,5 +1010,6 @@ object Similarity {
     // centroids removes that channel entirely.
     GraftQuery("ann_ivf", Some(annIvfSql), annIvf),
     GraftQuery("ann_ivf_probe", Some(annIvfProbeSql), annIvfProbe),
-    GraftQuery("ann_recall", Some(annRecallSql), annRecall))
+    GraftQuery("ann_recall", Some(annRecallSql), annRecall),
+    GraftQuery("dedup_semantic", Some(dedupSemanticSql), dedupSemantic))
 }

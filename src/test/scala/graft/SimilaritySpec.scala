@@ -55,6 +55,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= Similarity.RecallFloorIvf, s"ivf recall at sf0.1 $recall < ${Similarity.RecallFloorIvf}")
   }
 
+  test("semantic dedup: every emitted pair is exact, and multi-assign recall clears the floor") {
+    val brute = operators.Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brutePairs = brute.map(t => (t._1, t._2))
+    val sem = Similarity.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is 1 by construction (candidates are exact-verified)
+    // AND scores are bit-identical to the brute baseline's
+    sem.foreach(t => assert(brute.contains(t), s"pair $t not in the brute >=threshold set"))
+    // recall: single assignment measured 0.20-0.22 (cells subdivide
+    // the natural clusters); 4-way multi-assign measured 0.97/0.98
+    // at sf0.001/sf0.01. Floor is measured-minus-margin, covering
+    // the k-means wobble band across corpus regenerations.
+    val recall = sem.count(t => brutePairs.contains((t._1, t._2))).toDouble / brutePairs.size
+    assert(recall >= 0.85, s"semantic dedup recall $recall < 0.85")
+  }
+
   test("ivf centroids are k x dim and cells partition the corpus usefully") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
