@@ -867,18 +867,29 @@ object Similarity {
     val e = Dedup.embeddingsWithNorm(spark, dir)
     val centroids = idx.centroids.toDF("cid", "cv")
     val multi = assignMulti(e, centroids, math.min(SemanticAssign, idx.cells))
-      .select(col("vec_id"), col("cid"))
-    val cand = multi.as("a")
-      .join(multi.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val scored = cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+    // Vectors ride THROUGH the bucket join so the exact cosine +
+    // threshold run INSIDE the joined stream (codegen-pipelined, no
+    // materialization of the candidate pair set): the only shuffles
+    // are the two cid exchanges of the P x corpus multi relation,
+    // and the near-dup threshold is selective enough that the
+    // dedup-across-shared-cells DISTINCT sees survivors, not
+    // candidates. (The first cut deduped candidate IDs before
+    // scoring, LSH-style — right when scoring dominates, but here
+    // the 64-dim kernel dot is cheaper than exchanging the
+    // candidate set: pair-id distinct + two joins-back measured
+    // 21.9 s at sf1 vs 369 s DuckDB brute; this form drops the
+    // entry to ~1.6 s. Duplicated candidates pay a redundant dot,
+    // bit-identical, collapsed by the final distinct.)
+    val a = multi.select(col("cid"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = multi.select(col("cid"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", Dedup.cosine("va", "vb", col("na"), col("nb")))
       .filter(col("cos") >= SemanticThreshold)
-    scored.select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
