@@ -171,6 +171,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"assign argmin is not partially aggregated:\n$plan")
   }
 
+  test("text_repetition aggregates partially and prunes the documents scan") {
+    val plan = formatted(operators.TextOps.textRepetition(spark, dir))
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source"),
+      s"unpruned documents scan: $readSchemas")
+  }
+
+  test("dedup_semantic at scale: pair join shuffles on cid, no cartesian, no corpus x k window") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val sp = operators.Similarity.dedupSemantic(spark, dir).queryExecution.sparkPlan
+      val plan = sp.toString
+      // the corpus-vs-corpus pair join must key on cid — an unkeyed
+      // all-pairs product here is the brute plan this entry exists
+      // to avoid
+      assert(!plan.contains("CartesianProduct"),
+        s"semantic dedup degenerates to a cartesian product at scale:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("cid")),
+        s"pair join is not a cid-keyed shuffle join:\n$plan")
+      // BroadcastNestedLoopJoins DO appear — the exclusion rounds of
+      // the chained argmin are non-equi joins — but each must build
+      // on the bounded k x dim centroid LocalTableScan, never a
+      // corpus-sized side
+      sp.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val build = if (j.buildSide == BuildRight) j.right else j.left
+        assert(build.collectLeaves().forall(_.isInstanceOf[LocalTableScanExec]),
+          s"a BroadcastNestedLoopJoin builds on a non-local (corpus-sized) side:\n$plan")
+      }
+      // top-P assignment must stay the chained partial-aggregated
+      // argmin — a Window here means a corpus x k shuffle
+      assert(!plan.contains("Window"), s"multi-assignment plans a window:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
