@@ -137,6 +137,46 @@ object Streams {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- stream-static enrichment join + windowed agg ----
+  /** The static event-type dimension for the enrichment entry. A
+    * stream-STATIC join is the standard Structured Streaming
+    * enrichment pattern (the static side is re-planned per
+    * micro-batch, needs no state store and no watermark coupling) —
+    * the streaming family's missing join shape until round 8. The
+    * dim lives in code so the broadcast side is bounded by
+    * construction, and the oracle embeds the SAME rows as a VALUES
+    * literal, so the two engines cannot desync on the mapping. */
+  val EnrichDim: Seq[(String, String, Int)] = Seq(
+    ("click", "engagement", 1), ("view", "engagement", 1),
+    ("signup", "conversion", 10), ("purchase", "conversion", 25),
+    ("error", "reliability", 0))
+
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = EnrichDim.toDF("event_type", "category", "weight")
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("event_type")) // stateless stream-static join
+      .groupBy(window(col("ts"), "5 minutes"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value") * col("weight")).as("sum_weighted"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("category"), col("n_events"), col("sum_weighted"))
+    runToMemory(spark, agg, "graft_stream_enrich", OutputMode.Complete())
+      .orderBy(col("bucket_us"), col("category"))
+  }
+
+  private val streamEnrichSql: String = {
+    import Exact.sql._
+    val windowUs = 300L * 1000 * 1000
+    val dimValues = EnrichDim.map { case (t, c, w) => s"('$t', '$c', $w)" }.mkString(", ")
+    s"""WITH dim(event_type, category, weight) AS (VALUES $dimValues)
+       |SELECT epoch_us(CAST(ts AS TIMESTAMP)) - (epoch_us(CAST(ts AS TIMESTAMP)) % $windowUs) AS bucket_us,
+       |  category, COUNT(*) AS n_events, ${sdsum("value * weight")} AS sum_weighted
+       |FROM events JOIN dim USING (event_type)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---- streaming dedup with state ----
   // dropDuplicates on the key columns; emitting ONLY the key columns
   // keeps the result deterministic (which physical row survives is
@@ -299,6 +339,7 @@ object Streams {
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("stream_tumbling", Some(streamTumblingSql), streamTumbling),
+    GraftQuery("stream_enrich", Some(streamEnrichSql), streamEnrich),
     GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup),
     GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))
 }

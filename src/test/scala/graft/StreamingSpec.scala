@@ -17,6 +17,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-static enrichment join equals the batch equivalent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stream = Streams.streamEnrich(spark, dir).collect().map(_.toString).toSeq
+    val dim = Streams.EnrichDim.toDF("event_type", "category", "weight")
+    val batch = Tables.events(spark, dir)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), "5 minutes"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value") * col("weight")).as("sum_weighted"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("category"), col("n_events"), col("sum_weighted"))
+      .orderBy(col("bucket_us"), col("category")).collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+    // every input category appears (the dim covers all 5 types)
+    val cats = Streams.streamEnrich(spark, dir).select("category").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cats == Set("engagement", "conversion", "reliability"))
+  }
+
   test("stream dedup emits exactly the distinct key set") {
     val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
     val batch = Tables.events(spark, dir)
