@@ -12,33 +12,48 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * GC deletes the other's live data (VERDICT r7 item 4). The lease
   * turns that into a LOUD failure.
   *
-  * Mechanism: `fs.create(lockFile, overwrite = false)` — atomic
-  * create-if-absent on HDFS and the local filesystem (s3a provides
-  * conditional create on recent Hadoop; older object stores make
-  * this best-effort, which is still strictly better than the
-  * honor-system it replaces). The file body records pid@host and a
-  * wall-clock stamp for diagnostics. A lease older than
-  * [[StaleAfterMs]] is presumed abandoned by a crashed writer and is
-  * taken over (delete + one retry) — crash recovery therefore waits
-  * at most the stale window, and the takeover race between two
-  * waiting writers resolves at the atomic re-create. */
+  * Mechanism, per filesystem:
+  *  - `file:` scheme — `java.nio.file.Files.createFile` (a true
+  *    O_EXCL atomic create; Hadoop's RawLocalFileSystem
+  *    `create(overwrite = false)` is a non-atomic exists-then-open,
+  *    so two local JVMs could both pass it).
+  *  - everything else — `fs.create(lock, overwrite = false)`, atomic
+  *    on HDFS; object stores without conditional create degrade to
+  *    best-effort, still strictly better than the honor system.
+  *
+  * The file body records pid@host + a stamp for diagnostics. While
+  * the body runs, a daemon heartbeat re-touches the lease mtime
+  * every [[StaleAfterMs]]/3, so a LIVE long-running holder (a
+  * multi-hour index build) is never presumed dead; only a crashed
+  * holder's lease goes stale and is taken over (re-verified status +
+  * delete + one retry). The takeover race between two waiting
+  * writers is further narrowed by a read-back: after creating, the
+  * acquirer re-reads the lock and aborts loudly if the content is
+  * not its own tag (a rival's delete+create slipped in between).
+  * Residual windows exist (this is an advisory lease, not a
+  * consensus protocol) — the goal is turning ordinary double-writer
+  * misconfiguration from silent corruption into a loud error. */
 object FsLease {
 
   /** How old a lease file must be before a new writer may presume
-    * its holder crashed. 10 minutes: far above any manifest write,
-    * far below an operator's patience. */
+    * its holder crashed. The holder heartbeats at a third of this,
+    * so staleness genuinely implies a dead (or wholly stalled)
+    * process, not just a long build. */
   val StaleAfterMs: Long = 10 * 60 * 1000L
 
   /** Run `body` holding an exclusive lease file `name` under `dir`.
     * Throws [[IllegalStateException]] (naming the current holder) if
     * a fresh lease is already present. The lease is always released
-    * on exit, including on exception. */
+    * (and its heartbeat stopped) on exit, including on exception. */
   def withLease[T](fs: FileSystem, dir: Path, name: String,
                    staleAfterMs: Long = StaleAfterMs)(body: => T): T = {
     val lock = new Path(dir, name)
-    acquire(fs, lock, staleAfterMs, retry = true)
+    val tag = holderTag
+    acquire(fs, lock, tag, staleAfterMs, retry = true)
+    val beat = startHeartbeat(fs, lock, staleAfterMs)
     try body
     finally {
+      beat.interrupt()
       try fs.delete(lock, false)
       catch { case _: java.io.IOException => () } // release is best-effort
     }
@@ -46,38 +61,91 @@ object FsLease {
 
   private def holderTag: String = {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean.getName // pid@host
-    s"$rt ${System.currentTimeMillis()}"
+    s"$rt ${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
   }
 
-  private def acquire(fs: FileSystem, lock: Path, staleAfterMs: Long, retry: Boolean): Unit = {
-    val created =
+  /** Touch the lease mtime every staleAfterMs/3 while the body runs —
+    * a live holder must never look stale. Failures are swallowed: a
+    * missed beat degrades toward the (documented) stale-takeover
+    * path, it must not kill the writer mid-operation. */
+  private def startHeartbeat(fs: FileSystem, lock: Path, staleAfterMs: Long): Thread = {
+    val t = new Thread(() => {
       try {
-        val out = fs.create(lock, false) // atomic create-if-absent
-        try out.write((holderTag + "\n").getBytes("UTF-8")) finally out.close()
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, staleAfterMs / 3))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${lock.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Atomic create-if-absent returning false when the lock already
+    * exists. nio for local paths (see class doc), Hadoop otherwise. */
+  private def tryCreate(fs: FileSystem, lock: Path, tag: String): Boolean = {
+    val body = (tag + "\n").getBytes("UTF-8")
+    if (fs.getScheme == "file") {
+      val nioPath = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(nioPath) // O_EXCL — truly atomic
+        java.nio.file.Files.write(nioPath, body)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(body) finally out.close()
         true
       } catch {
-        // local FS raises plain IOException, HDFS FileAlreadyExistsException
-        case _: java.io.IOException if fs.exists(lock) => false
+        // HDFS raises FileAlreadyExistsException (an IOException);
+        // re-check existence so an unrelated IO failure still throws
+        case e: java.io.IOException => if (fs.exists(lock)) false else throw e
       }
-    if (!created) {
-      val st = fs.getFileStatus(lock)
-      val age = System.currentTimeMillis() - st.getModificationTime
-      if (age > staleAfterMs && retry) {
-        // presumed-crashed holder: take over. Concurrent takeovers
-        // race to the atomic re-create; the loser fails loudly below.
+    }
+  }
+
+  private def readHolder(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    } catch { case _: java.io.IOException => "<unreadable>" }
+
+  private def acquire(fs: FileSystem, lock: Path, tag: String,
+                      staleAfterMs: Long, retry: Boolean): Unit = {
+    if (tryCreate(fs, lock, tag)) {
+      // read-back: if a rival took over a stale lease between our
+      // create and now (delete + re-create), the content is theirs —
+      // abort instead of running two bodies under one lock name
+      if (readHolder(fs, lock) != tag) throw new IllegalStateException(
+        s"lost the takeover race for $lock — another writer re-acquired it; retry later")
+      return
+    }
+    val st =
+      try fs.getFileStatus(lock)
+      catch {
+        case _: java.io.FileNotFoundException if retry =>
+          // holder released between our failed create and the status
+          // read — the lock is free now, try once more
+          return acquire(fs, lock, tag, staleAfterMs, retry = false)
+      }
+    val age = System.currentTimeMillis() - st.getModificationTime
+    if (age > staleAfterMs && retry) {
+      // presumed-crashed holder (a live one heartbeats): re-verify
+      // the status is still the one we judged stale, then take over.
+      val fresh =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (fresh.forall(_.getModificationTime == st.getModificationTime))
         fs.delete(lock, false)
-        acquire(fs, lock, staleAfterMs, retry = false)
-      } else {
-        val holder =
-          try {
-            val in = fs.open(lock)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-          } catch { case _: java.io.IOException => "<unreadable>" }
-        throw new IllegalStateException(
-          s"concurrent writer holds $lock (holder: $holder, age ${age / 1000}s): " +
-            "another process is building/compacting against this root. Retry after it " +
-            s"finishes, or delete the lock if its holder crashed <${staleAfterMs / 1000}s ago.")
-      }
+      acquire(fs, lock, tag, staleAfterMs, retry = false)
+    } else {
+      throw new IllegalStateException(
+        s"concurrent writer holds $lock (holder: ${readHolder(fs, lock)}, age ${age / 1000}s): " +
+          "another process is building/compacting against this root. Retry after it " +
+          s"finishes, or delete the lock if its holder crashed <${staleAfterMs / 1000}s ago.")
     }
   }
 }

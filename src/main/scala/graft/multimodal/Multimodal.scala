@@ -136,7 +136,10 @@ object Multimodal {
       * bounded BEFORE the decoder runs (see [[MaxPixels]]). */
     def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       declaredDims(payload) match {
-        case Some((w, h)) if w > 0 && h > 0 && w * h <= MaxPixels =>
+        // overflow-proof bound: w <= MaxPixels / h instead of
+        // w * h <= MaxPixels — dims near 2^32 would wrap w*h
+        // negative and sail under a product-form cap
+        case Some((w, h)) if w > 0 && h > 0 && w <= MaxPixels / h =>
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
           catch { case scala.util.control.NonFatal(_) => None }
         case _ => None
@@ -241,9 +244,13 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           val frames = in.getFrameLength
+          // sampleRate > 0: the JDK's WAVE reader does not reject a
+          // fmt chunk declaring rate 0, and a zero rate would divide
+          // downstream (resampleAudio) — garbage header, drop the row
           val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
             fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-            fmt.getChannels > 0 && frames >= 0 && frames <= MaxFrames
+            fmt.getChannels > 0 && fmt.getSampleRate > 0 &&
+            frames >= 0 && frames <= MaxFrames
           if (!ok) None
           else {
             val channels = fmt.getChannels
@@ -410,13 +417,16 @@ object Multimodal {
         }
       else if (WavCodec.isWav(m.payload))
         WavCodec.decode(m.payload) match {
-          case Some((rate, channels, frames, samples)) =>
+          // frames > 0: a structurally valid WAV with an EMPTY data
+          // chunk has nothing to resample from — pass it through
+          // (resampleNearest would index samples(0))
+          case Some((rate, channels, frames, samples)) if frames > 0 =>
             val dstFrames = math.max(1, newW * newH)
             m.copy(
               payload = WavCodec.encode(rate, channels,
                 WavCodec.resampleNearest(samples, channels, frames, dstFrames)),
               meta = m.meta.copy(width = newW, height = newH, nFrames = dstFrames))
-          case None => m
+          case _ => m
         }
       else StubCodec.decode(m.payload) match {
         case Some((_, _, f, body)) =>
@@ -439,13 +449,15 @@ object Multimodal {
     media.mapPartitions(_.map { m =>
       if (!WavCodec.isWav(m.payload)) m
       else WavCodec.decode(m.payload) match {
-        case Some((rate, channels, frames, samples)) =>
+        // frames > 0 for the same empty-data-chunk reason as resize;
+        // rate > 0 is already guaranteed by decode's format check
+        case Some((rate, channels, frames, samples)) if frames > 0 =>
           val dstFrames = math.max(1, (frames.toLong * newRate / rate).toInt)
           m.copy(
             payload = WavCodec.encode(newRate, channels,
               WavCodec.resampleNearest(samples, channels, frames, dstFrames)),
             meta = m.meta.copy(nFrames = dstFrames, sampleRate = newRate))
-        case None => m
+        case _ => m
       }
     })
   }
@@ -478,17 +490,13 @@ object Multimodal {
 
   // stage once per process: the features are a pure function of the
   // deterministic synthetic corpus (fixed MediaCount), so repeat
-  // timed runs must not re-pay the decode+write (VERDICT r7 item 1;
-  // same memo shape as Similarity.stageCentroids)
-  @volatile private var stagedFeatures = false
+  // timed runs must not re-pay the decode+write (VERDICT r7 item 1)
+  private val stagedFeatures = new graft.StagedVersion[Int]
 
   private def stageFeatures(spark: SparkSession): Unit =
-    if (!stagedFeatures) synchronized {
-      if (!stagedFeatures) {
-        decodeFeatures(syntheticMedia(spark, MediaCount))
-          .write.mode("overwrite").parquet(FeatureStagePath)
-        stagedFeatures = true
-      }
+    stagedFeatures(MediaCount) {
+      decodeFeatures(syntheticMedia(spark, MediaCount))
+        .write.mode("overwrite").parquet(FeatureStagePath)
     }
 
   /** Driver entry: synthesize → decode → aggregate per kind. The

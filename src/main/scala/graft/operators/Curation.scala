@@ -277,8 +277,7 @@ object Curation {
     * string-set counts up to the family's 64-bit collision bound). */
   private val textDecontaminateSql: String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), ${Dedup.ShingleN}) AS g
-       |  FROM documents, UNNEST(range(1, length(text) - ${Dedup.ShingleN - 2})) AS t(i)
+       |  ${Dedup.ShingleCteSql}
        |), s AS (SELECT MAX(doc_id) * 9 // 10 AS v FROM documents
        |), bs AS (
        |  SELECT DISTINCT g FROM sh WHERE doc_id >= (SELECT v FROM s)

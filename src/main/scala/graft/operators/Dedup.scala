@@ -39,6 +39,16 @@ object Dedup {
   val ShingleN = 16
   val JaccardThreshold = 0.8
 
+  /** The ONE DuckDB form of the Spark shingle kernel's grammar
+    * (distinct ShingleN-char substrings per doc), interpolated as
+    * the `sh` CTE body by every oracle that re-derives shingles from
+    * raw text (ngram/incremental sweeps, the minhash pair oracle,
+    * Curation's decontamination) — a grammar change lands in all of
+    * them at once instead of silently desyncing a copy. */
+  private[operators] val ShingleCteSql: String =
+    s"""SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g
+       |  FROM documents, UNNEST(range(1, length(text) - ${ShingleN - 2})) AS t(i)""".stripMargin
+
   // ---- dedup_exact: content-hash dedup, one shuffle ----
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -311,8 +321,7 @@ object Dedup {
     * engines). */
   private def ngramJaccardSqlWith(bPredicate: String): String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g
-       |  FROM documents, UNNEST(range(1, length(text) - ${ShingleN - 2})) AS t(i)
+       |  $ShingleCteSql
        |), pair AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id$bPredicate
@@ -593,8 +602,7 @@ object Dedup {
     * the cumulative ~2e-4-per-true-pair miss probability.) */
   private val dedupMinhashLshSql: String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $ShingleN) AS g
-       |  FROM documents, UNNEST(range(1, length(text) - ${ShingleN - 2})) AS t(i)
+       |  $ShingleCteSql
        |), p AS (
        |  SELECT doc_a, doc_b FROM read_parquet('$MinhashPairStagePath/*.parquet')
        |), pair AS (

@@ -701,18 +701,16 @@ object Similarity {
   val CentroidStagePath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ivf_centroids.parquet"
 
-  // skip re-staging when the staged index version hasn't changed —
+  // skip re-staging while the staged index version hasn't changed —
   // the write is tiny but would otherwise tax every timed probe run
-  @volatile private var stagedCentroidsFor: String = ""
+  // (last-version semantics: a version change re-stages)
+  private val stagedCentroids = new graft.StagedVersion[String]
 
   private def stageCentroids(spark: SparkSession, idx: IvfIndex): Unit =
-    if (stagedCentroidsFor != idx.listsPath) synchronized {
-      if (stagedCentroidsFor != idx.listsPath) {
-        import spark.implicits._
-        idx.centroids.toDF("cid", "cv").coalesce(1)
-          .write.mode("overwrite").parquet(CentroidStagePath)
-        stagedCentroidsFor = idx.listsPath
-      }
+    stagedCentroids(idx.listsPath) {
+      import spark.implicits._
+      idx.centroids.toDF("cid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(CentroidStagePath)
     }
 
   def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
@@ -968,9 +966,10 @@ object Similarity {
        |ORDER BY method""".stripMargin
 
   // ---- ann_recall: the driver-visible quality gate ----
-  // The LSH/IVF driver rows are rows-only (always k results per
-  // query, whatever their quality) — a recall regression would sail
-  // through green. This entry measures recall against the brute
+  // The LSH/IVF oracles verify their entries' outputs bit-exactly
+  // but always contain k results per query, whatever their QUALITY —
+  // a recall regression (worse candidates, same machinery) would
+  // sail through green. This entry measures recall against the brute
   // oracle and THROWS below the floor, so a quality drop turns the
   // CORRECTNESS row into an err instead of a silent pass.
   //

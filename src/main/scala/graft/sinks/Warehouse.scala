@@ -102,12 +102,18 @@ object Warehouse {
   def ingest(spark: SparkSession, glob: String, warehouseDir: String,
              layout: LayoutSpec = LayoutSpec.default): IngestResult = {
     val all = listSdfFiles(spark, glob)
-    val todo = pendingFiles(spark, warehouseDir, all)
-    if (todo.isEmpty) return IngestResult(Nil, 0L)
-    // lease held across data write + manifest append: a concurrent
-    // ingest/compact against the same root fails loudly instead of
-    // double-appending manifest rows or racing the compaction swap
-    withWriterLease(spark, warehouseDir)(ingestFiles(spark, todo, warehouseDir, layout))
+    // lease held across pending-set computation + data write +
+    // manifest append: a concurrent ingest/compact against the same
+    // root fails loudly instead of double-appending manifest rows or
+    // racing the compaction swap. The pending set MUST be computed
+    // inside the lease — reading the manifest before acquisition
+    // could miss an in-flight writer's append and re-ingest its
+    // files the moment it releases.
+    withWriterLease(spark, warehouseDir) {
+      val todo = pendingFiles(spark, warehouseDir, all)
+      if (todo.isEmpty) IngestResult(Nil, 0L)
+      else ingestFiles(spark, todo, warehouseDir, layout)
+    }
   }
 
   private def ingestFiles(spark: SparkSession, todo: Seq[String], warehouseDir: String,

@@ -111,6 +111,33 @@ class MultimodalSpec extends AnyFunSuite {
     val zero = png.clone()
     zero(16) = 0; zero(17) = 0; zero(18) = 0; zero(19) = 0
     assert(PngCodec.decodeImage(zero).isEmpty)
+    // overflow bomb: width = height = 2^32-1 would wrap w*h negative
+    // in a product-form bound — the division-form check must reject
+    val wrap = png.clone()
+    for (i <- 16 until 24) wrap(i) = 0xff.toByte
+    assert(PngCodec.declaredDims(wrap).exists { case (w, h) => w == 0xffffffffL && h == 0xffffffffL })
+    assert(PngCodec.decodeImage(wrap).isEmpty)
+  }
+
+  test("degenerate WAVs: empty data chunk passes through resize/resample; zero-rate header is dropped") {
+    import spark.implicits._
+    // structurally valid WAV, zero frames: decodes (it IS valid) but
+    // resample operators must pass the row through, not index into
+    // an empty sample array
+    val empty = WavCodec.encode(16000, 1, Array.empty[Short])
+    assert(WavCodec.decode(empty).exists { case (r, c, f, s) => r == 16000 && c == 1 && f == 0 && s.isEmpty })
+    val row = Seq(Multimodal.MediaRow(1L, "audio", empty, Multimodal.MediaMeta(0, 0, 0, 16000))).toDS()
+    val resized = Multimodal.resize(row, 4, 4).collect().head
+    assert(resized.payload.sameElements(empty), "empty-data WAV must pass through resize unchanged")
+    val resampled = Multimodal.resampleAudio(row, 8000).collect().head
+    assert(resampled.payload.sameElements(empty), "empty-data WAV must pass through resample unchanged")
+    // zero sample rate in the fmt chunk (offset 24, LE): garbage
+    // header the JDK reader accepts — decode must reject it before
+    // anything divides by it
+    val wav = WavCodec.encode(16000, 1, WavCodec.syntheticSamples(3L, 50, 1))
+    val zeroRate = wav.clone()
+    for (i <- 24 until 28) zeroRate(i) = 0
+    assert(WavCodec.decode(zeroRate).isEmpty, "rate-0 WAV must be dropped")
   }
 
   test("image resize is exact nearest-neighbor: dst(x,y,c) == src(floor(x*sw/dw), floor(y*sh/dh), c)") {
