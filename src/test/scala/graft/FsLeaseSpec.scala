@@ -47,6 +47,29 @@ class FsLeaseSpec extends AnyFunSuite {
     assert(ran && !fs.exists(lock))
   }
 
+  test("a live holder's heartbeat keeps a long-held lease from being presumed stale") {
+    val root = tmpRoot("graft_lease")
+    val fs = localFs(root)
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // hold the lease with a 2 s stale window across a ~3 s body: the
+    // heartbeat (window/3) must keep refreshing the mtime, so a
+    // second writer sees a FRESH lease and fails loudly instead of
+    // taking over mid-operation
+    val holder = new Thread(() =>
+      FsLease.withLease(fs, root, "_l", staleAfterMs = 2000) {
+        holding.countDown(); release.await()
+      })
+    holder.start()
+    try {
+      assert(holding.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(3000) // well past the 2 s window — heartbeat must have refreshed
+      intercept[IllegalStateException](
+        FsLease.withLease(fs, root, "_l", staleAfterMs = 2000)(fail("must not take over a live holder")))
+    } finally { release.countDown(); holder.join(10000) }
+    assert(!fs.exists(new Path(root, "_l")), "holder must release on exit")
+  }
+
   test("a second writer against a live IVF index root fails loudly instead of corrupting") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_lease").toString
     val rootPath = new Path(s"file:$root")
