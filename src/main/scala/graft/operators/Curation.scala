@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{Exact, GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -180,6 +180,66 @@ object Curation {
        |  FROM documents) t
        |WHERE rn <= $SampleQuota ORDER BY lang NULLS LAST, sample_rank""".stripMargin
 
+  // ---- sample_mixture: temperature-weighted stratum mixing ----
+  val MixtureTarget = 200
+
+  /** Temperature-weighted mixture sampling — the data-MIXING op an
+    * LLM pipeline runs after per-stratum cleaning: draw a corpus of
+    * ~[[MixtureTarget]] docs whose stratum shares are proportional
+    * to count^α instead of raw counts, flattening dominant strata
+    * and boosting rare ones (the mixing rule behind GPT-3's dataset
+    * weights and UniMax-style temperature sampling; Chung et al.
+    * 2023). α is hardwired to 0.5 because sqrt is the one power
+    * both engines compute correctly-rounded — a general pow() does
+    * not agree across libms, exactly the ln() trade tfidf documents.
+    *
+    * Engine-exact quota arithmetic: S = Σ sqrt(n_s) through the
+    * exact-decimal sum (order-independent; Exact.dsum), then
+    * quota_s = floor(N·sqrt(n_s)/S) — two IEEE ops on identical
+    * operands, bit-identical cross-engine; floor() beats round()
+    * whose half-rule differs between engines. Within a stratum,
+    * rows are picked in the md5 permutation order shared with
+    * sample_stratified. Plan: one bounded counts agg feeding a
+    * broadcast scalar crossJoin (the tfidf shape) + one window
+    * shuffle on the stratum key — no corpus-wide joins. Null-lang
+    * strata drop out in BOTH engines (equi-join null semantics). */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val sFrame = counts.agg(Exact.dsum(sqrt(col("n"))).as("s"))
+    val quotas = counts.crossJoin(broadcast(sFrame))
+      .select(col("lang"),
+        floor(lit(MixtureTarget) * sqrt(col("n")) / col("s")).cast("long").as("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("lang").asc_nulls_last, col("sample_rank"))
+  }
+
+  private val sampleMixtureSql: String = {
+    import graft.Exact.sql._
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+       |), s AS (
+       |  SELECT ${sdsum("sqrt(n)")} AS s FROM counts
+       |), quotas AS (
+       |  SELECT lang, CAST(floor($MixtureTarget * sqrt(n) / (SELECT s FROM s)) AS BIGINT) AS quota
+       |  FROM counts
+       |), r AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.lang AS lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+       |FROM r JOIN quotas q ON r.lang = q.lang
+       |WHERE rn <= q.quota
+       |ORDER BY r.lang NULLS LAST, sample_rank""".stripMargin
+  }
+
   // ---- tfidf_top_terms: corpus IDF + per-doc top terms ----
   val TfidfTopK = 3
 
@@ -298,6 +358,7 @@ object Curation {
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
+    GraftQuery("sample_mixture", Some(sampleMixtureSql), sampleMixture),
     GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
     GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
 }

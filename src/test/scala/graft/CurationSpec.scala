@@ -47,6 +47,42 @@ class CurationSpec extends AnyFunSuite {
     roots.values.foreach(r => assert(roots(r) == r))
   }
 
+  test("mixture sample: quotas follow floor(N*sqrt(n)/S) and flatten dominant strata") {
+    import spark.implicits._
+    // hand-checked skew: counts 16/4/1 -> sqrt 4/2/1, S=7; with
+    // N=200 the quotas are floor(200*4/7)=114, floor(200*2/7)=57,
+    // floor(200*1/7)=28 — capped by each stratum's actual size
+    val docs = (0 until 16).map(i => (i.toLong, s"a $i", "aa")) ++
+      (16 until 20).map(i => (i.toLong, s"b $i", "bb")) ++
+      Seq((20L, "c 20", "cc"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.sampleMixture(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = out.groupBy(_._1).map { case (l, rows) => l -> rows.length }
+    // quotas exceed the tiny strata, so every stratum is taken whole —
+    // the QUOTA arithmetic is pinned against the real corpus below
+    assert(perLang == Map("aa" -> 16, "bb" -> 4, "cc" -> 1), perLang.toString)
+
+    // real corpus: en dominates; sqrt-weighting must FLATTEN — en's
+    // sampled share strictly below its raw share, rare langs above
+    val real = Curation.sampleMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = Tables.documents(spark, dir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = real.groupBy(_._1).map { case (l, rows) => l -> rows.length.toDouble }
+    val rawShareEn = counts("en").toDouble / counts.values.sum
+    val mixShareEn = sampled("en") / sampled.values.sum
+    if (rawShareEn > 1.0 / counts.size + 0.01)
+      assert(mixShareEn < rawShareEn,
+        s"sqrt mixing did not flatten: en raw $rawShareEn -> sampled $mixShareEn")
+    // determinism: same permutation every run
+    val again = Curation.sampleMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(real.toSeq == again.toSeq)
+  }
+
   test("stratified sample is deterministic and respects the per-stratum quota") {
     val s1 = Curation.sampleStratified(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
