@@ -49,7 +49,7 @@ object FsLease {
                    staleAfterMs: Long = StaleAfterMs)(body: => T): T = {
     val lock = new Path(dir, name)
     val tag = holderTag
-    acquire(fs, lock, tag, staleAfterMs, retry = true)
+    acquire(fs, lock, tag, staleAfterMs)
     val beat = startHeartbeat(fs, lock, staleAfterMs)
     try body
     finally {
@@ -65,16 +65,19 @@ object FsLease {
   }
 
   /** Touch the lease mtime every staleAfterMs/3 while the body runs —
-    * a live holder must never look stale. Failures are swallowed: a
-    * missed beat degrades toward the (documented) stale-takeover
-    * path, it must not kill the writer mid-operation. */
+    * a live holder must never look stale. ALL beat failures are
+    * swallowed (NonFatal, not just IOException: an object-store
+    * connector's setTimes can throw UnsupportedOperationException,
+    * and one such beat must degrade toward the documented
+    * stale-takeover path, not silently kill the heartbeat and with
+    * it the holder's liveness signal). */
   private def startHeartbeat(fs: FileSystem, lock: Path, staleAfterMs: Long): Thread = {
     val t = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(1000L, staleAfterMs / 3))
           try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${lock.getName}")
@@ -90,6 +93,9 @@ object FsLease {
     if (fs.getScheme == "file") {
       val nioPath = java.nio.file.Paths.get(lock.toUri.getPath)
       try {
+        // parent dirs first: the Hadoop create() this replaces made
+        // ancestors implicitly, and callers rely on that contract
+        Option(nioPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.createFile(nioPath) // O_EXCL — truly atomic
         java.nio.file.Files.write(nioPath, body)
         true
@@ -107,45 +113,70 @@ object FsLease {
     }
   }
 
-  private def readHolder(fs: FileSystem, lock: Path): String =
-    try {
-      val in = fs.open(lock)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-    } catch { case _: java.io.IOException => "<unreadable>" }
+  private def readHolder(fs: FileSystem, lock: Path): Option[String] = {
+    // a couple of read retries: a transient open/read failure right
+    // after our own write must not masquerade as a foreign holder
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        val in = fs.open(lock)
+        return Some(
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close())
+      } catch { case _: java.io.IOException => attempt += 1; Thread.sleep(50L * attempt) }
+    }
+    None
+  }
 
   private def acquire(fs: FileSystem, lock: Path, tag: String,
-                      staleAfterMs: Long, retry: Boolean): Unit = {
-    if (tryCreate(fs, lock, tag)) {
-      // read-back: if a rival took over a stale lease between our
-      // create and now (delete + re-create), the content is theirs —
-      // abort instead of running two bodies under one lock name
-      if (readHolder(fs, lock) != tag) throw new IllegalStateException(
-        s"lost the takeover race for $lock — another writer re-acquired it; retry later")
-      return
-    }
-    val st =
-      try fs.getFileStatus(lock)
-      catch {
-        case _: java.io.FileNotFoundException if retry =>
-          // holder released between our failed create and the status
-          // read — the lock is free now, try once more
-          return acquire(fs, lock, tag, staleAfterMs, retry = false)
+                      staleAfterMs: Long): Unit = {
+    var attempts = 3 // bounded: create/vanish races retry, never loop
+    var mayTakeOver = true
+    while (attempts > 0) {
+      attempts -= 1
+      if (tryCreate(fs, lock, tag)) {
+        // read-back: if a rival took over a stale lease between our
+        // create and now (delete + re-create), the content is theirs
+        // — abort instead of running two bodies under one lock name.
+        // Only a READABLE FOREIGN tag aborts: we did create
+        // atomically, so unreadable content (a transient read
+        // failure) means we are almost certainly the owner — abort
+        // there would strand our own fresh lock for the whole stale
+        // window with no heartbeat.
+        readHolder(fs, lock) match {
+          case Some(holder) if holder != tag => throw new IllegalStateException(
+            s"lost the takeover race for $lock to $holder — another writer re-acquired it; retry later")
+          case _ => return
+        }
       }
-    val age = System.currentTimeMillis() - st.getModificationTime
-    if (age > staleAfterMs && retry) {
-      // presumed-crashed holder (a live one heartbeats): re-verify
-      // the status is still the one we judged stale, then take over.
-      val fresh =
+      val stOpt =
         try Some(fs.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
-      if (fresh.forall(_.getModificationTime == st.getModificationTime))
-        fs.delete(lock, false)
-      acquire(fs, lock, tag, staleAfterMs, retry = false)
-    } else {
-      throw new IllegalStateException(
-        s"concurrent writer holds $lock (holder: ${readHolder(fs, lock)}, age ${age / 1000}s): " +
-          "another process is building/compacting against this root. Retry after it " +
-          s"finishes, or delete the lock if its holder crashed <${staleAfterMs / 1000}s ago.")
+      stOpt match {
+        case None => () // holder released between create and status — loop, create again
+        case Some(st) =>
+          val age = System.currentTimeMillis() - st.getModificationTime
+          if (age > staleAfterMs && mayTakeOver) {
+            mayTakeOver = false // one takeover per acquisition
+            // presumed-crashed holder (a live one heartbeats): delete
+            // ONLY if the status we re-read is the same one we judged
+            // stale — a vanished or refreshed lock means someone beat
+            // us to it, and deleting would kill THEIR fresh lease
+            val fresh =
+              try Some(fs.getFileStatus(lock))
+              catch { case _: java.io.FileNotFoundException => None }
+            if (fresh.exists(_.getModificationTime == st.getModificationTime))
+              fs.delete(lock, false)
+            // loop: next iteration races to the atomic re-create
+          } else {
+            throw new IllegalStateException(
+              s"concurrent writer holds $lock (holder: ${readHolder(fs, lock).getOrElse("<unreadable>")}, " +
+                s"age ${age / 1000}s): another process is building/compacting against this " +
+                "root. Retry after it finishes, or delete the lock if its holder crashed " +
+                s"<${staleAfterMs / 1000}s ago.")
+          }
+      }
     }
+    throw new IllegalStateException(
+      s"could not acquire $lock — lost 3 create races; retry later")
   }
 }

@@ -153,6 +153,16 @@ object Curation {
   // ---- sample_stratified: deterministic per-stratum quota ----
   val SampleQuota = 50
 
+  /** THE sampling permutation — md5(doc_id) with a doc_id tie-break
+    * (an arbitrary-but-fixed engine-reproducible order), defined
+    * once and shared by sample_stratified and sample_mixture in BOTH
+    * engines' forms, so the documented "same permutation" property
+    * cannot silently desync across the four former copies (same
+    * single-definition move as Dedup.ShingleCteSql). */
+  private def permutationOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+  private val PermutationOrderSql = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
   /** First `SampleQuota` documents per language in md5(doc_id)
     * order — a deterministic, engine-reproducible stratified sample
     * (the hash order is an arbitrary-but-fixed permutation, so the
@@ -160,8 +170,7 @@ object Curation {
     * covers hash collisions). One window shuffle on the stratum key;
     * per-stratum skew is bounded by the quota itself. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
     Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
@@ -176,7 +185,7 @@ object Curation {
     s"""SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
        |  SELECT lang, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY lang
-       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      ORDER BY $PermutationOrderSql) AS rn
        |  FROM documents) t
        |WHERE rn <= $SampleQuota ORDER BY lang NULLS LAST, sample_rank""".stripMargin
 
@@ -210,8 +219,7 @@ object Curation {
     val quotas = counts.crossJoin(broadcast(sFrame))
       .select(col("lang"),
         floor(lit(MixtureTarget) * sqrt(col("n")) / col("s")).cast("long").as("quota"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
     docs.select(col("lang"), col("doc_id"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .join(broadcast(quotas), Seq("lang"))
@@ -232,7 +240,7 @@ object Curation {
        |), r AS (
        |  SELECT lang, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY lang
-       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      ORDER BY $PermutationOrderSql) AS rn
        |  FROM documents)
        |SELECT r.lang AS lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
        |FROM r JOIN quotas q ON r.lang = q.lang
