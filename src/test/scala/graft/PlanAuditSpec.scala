@@ -212,6 +212,16 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one stratum window") {
+    val plan = planAtScale(operators.Curation.sampleMixture(spark, dir))
+    // the corpus side must never shuffle-join: quotas (one row per
+    // stratum) and the scalar S broadcast explicitly; the only
+    // corpus-wide exchange is the stratum window's
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"mixture quota join shuffles the corpus:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1, plan)
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
