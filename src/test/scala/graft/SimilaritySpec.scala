@@ -72,6 +72,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"semantic dedup recall $recall < 0.85")
   }
 
+  test("semantic dedup pairs compose with cluster resolution (the keeper pipeline)") {
+    import org.apache.spark.sql.functions.col
+    // the curation flow a pipeline actually runs: near-dup pairs →
+    // connected components → one canonical keeper per group
+    val pairs = Similarity.dedupSemantic(spark, dir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val roots = operators.Curation.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rawPairs.nonEmpty && roots.nonEmpty)
+    rawPairs.foreach { case (a, b) =>
+      assert(roots(a) == roots(b), s"pair ($a,$b) split across clusters")
+      assert(roots(a) <= a && roots(a) <= b)
+    }
+  }
+
   test("ivf centroids are k x dim and cells partition the corpus usefully") {
     val e = operators.Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
