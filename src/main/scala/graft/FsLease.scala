@@ -51,12 +51,43 @@ object FsLease {
     val tag = holderTag
     acquire(fs, lock, tag, staleAfterMs)
     val beat = startHeartbeat(fs, lock, staleAfterMs)
-    try body
-    finally {
+    try {
+      val result = body
       beat.interrupt()
-      try fs.delete(lock, false)
-      catch { case _: java.io.IOException => () } // release is best-effort
+      release(fs, lock, tag)
+      result
+    } catch {
+      case e: Throwable =>
+        beat.interrupt()
+        // release's lost-lease IllegalStateException must not MASK the
+        // body's own failure — attach it as suppressed instead
+        try release(fs, lock, tag)
+        catch { case rel: Throwable => e.addSuppressed(rel) }
+        throw e
     }
+  }
+
+  /** Best-effort release that only deletes a lock we still own. If
+    * the heartbeat degraded persistently (object store whose setTimes
+    * throws), our lease can go stale mid-body and a rival may have
+    * legitimately taken over and written ITS tag — deleting
+    * unconditionally here would destroy the rival's LIVE lease and
+    * re-open the silent double-writer window. So: read the holder
+    * first; on a foreign tag, leave the file and fail loudly (the
+    * body already ran under a lost lease — the operator must check
+    * the warehouse state). Unreadable content (transient read
+    * failure, or lock already gone) falls through to the plain
+    * best-effort delete, matching the pre-guard behavior. */
+  private def release(fs: FileSystem, lock: Path, tag: String): Unit = {
+    val holder = readHolder(fs, lock)
+    if (holder.exists(_ != tag))
+      throw new IllegalStateException(
+        s"lease $lock was lost mid-run to ${holder.get} — this writer's heartbeat " +
+          "must have degraded past the stale window and a rival took over; its lock " +
+          "is left in place, but both writers may have touched the root: verify the " +
+          "manifest before trusting this run's output")
+    try fs.delete(lock, false)
+    catch { case _: java.io.IOException => () } // release is best-effort
   }
 
   private def holderTag: String = {

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.GraftQuery
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY.md §2C13): image/audio/video as opaque
@@ -508,22 +508,33 @@ object Multimodal {
     * spec-pinned bit-exact decodes. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     stageFeatures(spark)
+    // avg() over doubles sums in partition order — a last-ulp flake
+    // channel vs DuckDB's serial sum that round(_, 6) only
+    // probabilistically absorbs. Both engines instead compute
+    // round(exact-decimal-sum / non-null-count, 6): the decimal sum
+    // is order-independent, the double division and final round are
+    // single deterministic steps — same avg semantics (count excludes
+    // nulls), bit-identical cross-engine.
+    def exactAvg(c: Column): Column =
+      round(graft.Exact.dsum(c) / count(c), 6)
     decodeFeatures(syntheticMedia(spark, MediaCount))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
         sum(col("n_samples")).as("total_samples"),
-        round(avg(col("mean_byte")), 6).as("avg_mean_byte"),
-        round(avg(element_at(col("channel_rms"), 1)), 6).as("avg_rms_c0"))
+        exactAvg(col("mean_byte")).as("avg_mean_byte"),
+        exactAvg(element_at(col("channel_rms"), 1)).as("avg_rms_c0"))
       .orderBy(col("kind"))
   }
 
-  private lazy val mediaFeaturesSql: String =
+  private lazy val mediaFeaturesSql: String = {
+    import graft.Exact.sql.sdsum
     s"""SELECT kind, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
-       |  round(avg(mean_byte), 6) AS avg_mean_byte,
-       |  round(avg(channel_rms[1]), 6) AS avg_rms_c0
+       |  round(${sdsum("mean_byte")} / count(mean_byte), 6) AS avg_mean_byte,
+       |  round(${sdsum("channel_rms[1]")} / count(channel_rms[1]), 6) AS avg_rms_c0
        |FROM read_parquet('$FeatureStagePath/*.parquet')
        |GROUP BY kind ORDER BY kind""".stripMargin
+  }
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("multimodal_features", Some(mediaFeaturesSql), mediaFeatures))

@@ -579,11 +579,25 @@ object Dedup {
   val MinhashPairStagePath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_pairs.parquet"
 
-  /** The driver entry for dedup_minhash_lsh: run the pipeline, stage
-    * the verified pairs, return the read-back. */
+  // stage once per corpus dir (VERDICT r8 item 3: the per-run
+  // result write was the one oracle-staging cost left inside a
+  // timed path after the r8 StagedVersion sweep)
+  private val stagedPairs = new graft.StagedVersion[String]
+
+  /** The driver entry for dedup_minhash_lsh: stage the verified
+    * pairs ONCE per corpus dir for the DuckDB oracle, then return
+    * the live pipeline. The returned frame is the pipeline itself —
+    * NOT the staged read-back — so repeat bench runs still time the
+    * full minhash/banding/verify computation (memoizing the
+    * read-back too would reduce the benched entry to a parquet
+    * scan); only the result-sized write leaves the timed path. The
+    * pipeline is deterministic (fixed hash seeds), so the staged
+    * parquet and any later run's frame are identical. */
   def dedupMinhashLshStaged(spark: SparkSession, dir: String): DataFrame = {
-    dedupMinhashLsh(spark, dir).write.mode("overwrite").parquet(MinhashPairStagePath)
-    spark.read.parquet(MinhashPairStagePath).orderBy(col("doc_a"), col("doc_b"))
+    stagedPairs(dir) {
+      dedupMinhashLsh(spark, dir).write.mode("overwrite").parquet(MinhashPairStagePath)
+    }
+    dedupMinhashLsh(spark, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** DuckDB twin of dedup_minhash_lsh over the staged pair list:

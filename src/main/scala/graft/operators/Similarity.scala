@@ -864,7 +864,14 @@ object Similarity {
     import spark.implicits._
     val e = Dedup.embeddingsWithNorm(spark, dir)
     val centroids = idx.centroids.toDF("cid", "cv")
-    val multi = assignMulti(e, centroids, math.min(SemanticAssign, idx.cells))
+    // cap with the REAL centroid count, not the requested cell count:
+    // kmeansCentroids seeds from train.limit(k), so a degenerate corpus
+    // (< SemanticAssign embeddings) yields fewer centroids than
+    // idx.cells — an extra assignMulti round would then exclude every
+    // centroid, empty the frame, and return zero rows while the DuckDB
+    // twin's least(P, count(c)) still emits pairs
+    val multi = assignMulti(e, centroids,
+      math.min(SemanticAssign, idx.centroids.size))
     // Vectors ride THROUGH the bucket join so the exact cosine +
     // threshold run INSIDE the joined stream (codegen-pipelined, no
     // materialization of the candidate pair set): the only shuffles
