@@ -8,22 +8,23 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus decode /
   * feature-extract / resize / resample / frame-sample operators.
   *
-  * The IMAGE path is real: payloads are genuine PNG files, decoded
-  * with `javax.imageio` (pure JVM, no native libs) into width /
-  * height / channel count / per-channel mean+RMS, and resized with
-  * an exact nearest-neighbor kernel then re-encoded as PNG. The
-  * AUDIO path is real too (round 8): payloads are genuine RIFF/WAVE
-  * files with 16-bit signed PCM, decoded with
-  * `javax.sound.sampled.AudioSystem` (also pure JVM) into sample
-  * rate / channel count / frame count / per-channel mean+RMS, and
-  * resampled with an exact nearest-neighbor kernel then re-encoded
-  * as WAV. Only VIDEO remains a clearly-marked STUB ("GRAFTMM1"
-  * header + dimensions + raw bytes) — the JVM genuinely ships no
-  * public video codec — exercising the plumbing (schema, partition-
-  * parallel batch iteration, corrupt-row handling) on a
-  * deterministic synthetic format. Dispatch is by payload magic
-  * bytes, not by the `kind` column, so a mislabeled or corrupt row
-  * degrades the same way a real pipeline's would.
+  * ALL THREE paths are real as of round 9. IMAGE: genuine PNG files
+  * decoded with `javax.imageio` (pure JVM, no native libs) into
+  * width / height / channel count / per-channel mean+RMS, resized
+  * with an exact nearest-neighbor kernel and re-encoded as PNG.
+  * AUDIO (round 8): genuine RIFF/WAVE 16-bit signed PCM decoded
+  * with `javax.sound.sampled.AudioSystem`, resampled with an exact
+  * nearest-neighbor frame kernel and re-encoded as WAV. VIDEO
+  * (round 9): genuine MJPEG-in-AVI — the same RIFF container
+  * grammar as WAV, demuxed by [[AviCodec]]'s bounded chunk walk
+  * into per-frame JPEGs that `javax.imageio`'s JPEG codec decodes;
+  * frame-sampling is a lossless container rewrite (kept frames'
+  * bytes carried over bit-exactly), resize decodes + nearest-
+  * neighbor-resamples + re-encodes each frame. The GRAFTMM1
+  * [[StubCodec]] survives only as the legacy/unknown-format
+  * plumbing target. Dispatch is by payload magic bytes, not by the
+  * `kind` column, so a mislabeled or corrupt row degrades the same
+  * way a real pipeline's would.
   */
 object Multimodal {
 
@@ -301,10 +302,209 @@ object Multimodal {
     }
   }
 
-  /** STUB CODEC — deterministic fake standing in for mp4 decoding
-    * (VIDEO only since round 8; images are real PNG via [[PngCodec]]
-    * and audio real WAV via [[WavCodec]]). The JVM has no public
-    * video codec; the format is: 8-byte magic "GRAFTMM1", then
+  /** REAL video codec — MJPEG-in-AVI (round 9). AVI is the same
+    * RIFF container grammar the WAV path already exercises (the
+    * "JVM has no video codec" stub justification held only for
+    * predictive codecs like H.264 — an MJPEG stream is a chunk list
+    * of ordinary JPEGs, and `javax.imageio` ships a JPEG codec).
+    * The muxer writes a spec-shaped file: LIST hdrl (avih main
+    * header + LIST strl with a 'vids'/'MJPG' strh + BITMAPINFOHEADER
+    * strf), LIST movi with one '00dc' chunk per frame (even-padded,
+    * per RIFF), and an idx1 index. The demuxer is a bounded
+    * tolerant chunk walk: sizes are clamped to the payload, corrupt
+    * structure means None (a dropped row), never a crash — and the
+    * container parse is LOSSLESS on the frame bytes (bit-exact
+    * mux→demux round-trip, pinned in MultimodalSpec), so
+    * frame-sampling rewrites never re-encode. Per-frame JPEG decode
+    * is bounded by a pre-decode SOF dimension scan, the same
+    * dimension-bomb discipline as [[PngCodec.declaredDims]]. */
+  object AviCodec {
+    def isAvi(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' '
+
+    /** Frame-count bound, the clip-level twin of PngCodec.MaxPixels:
+      * a crafted chunk list must not drive an unbounded frame
+      * vector. 2^16 frames = ~36 min at 30 fps. (Memory is bounded
+      * by the payload either way — frames are slices of it — this
+      * bounds downstream per-frame work.) */
+    val MaxClipFrames: Int = 1 << 16
+
+    /** At most this many frames are JPEG-decoded per clip by the
+      * feature extractor — the frame-sample step: every k-th frame
+      * with k = ceil(n/MaxDecodedFrames), deterministic. */
+    val MaxDecodedFrames: Int = 32
+
+    /** Deterministic MJPEG-AVI bytes: fps as dwRate/dwScale=fps/1,
+      * one '00dc' chunk per frame, idx1 offsets relative to the
+      * 'movi' fourcc per the common AVI convention. */
+    def encode(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      val n = frames.length
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val moviChunks = frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val hdrlList = 200 // 8 + 4 + (8+56 avih) + (8 + 4 + (8+56 strh) + (8+40 strf))
+      val idx1Chunk = 8 + 16 * n
+      val riffSize = 4 + hdrlList + (8 + 4 + moviChunks) + idx1Chunk
+      fcc("RIFF"); w32(riffSize); fcc("AVI ")
+      fcc("LIST"); w32(192); fcc("hdrl")
+      fcc("avih"); w32(56)
+      w32(if (fps > 0) 1000000 / fps else 0) // dwMicroSecPerFrame
+      w32(0); w32(0); w32(0x10)              // maxBytesPerSec, padding, AVIF_HASINDEX
+      w32(n); w32(0); w32(1); w32(maxFrame)  // totalFrames, initialFrames, streams, sugBufSize
+      w32(width); w32(height)
+      w32(0); w32(0); w32(0); w32(0)         // dwReserved[4]
+      fcc("LIST"); w32(116); fcc("strl")
+      fcc("strh"); w32(56)
+      fcc("vids"); fcc("MJPG"); w32(0); w16(0); w16(0); w32(0) // flags, prio, lang, initFrames
+      w32(1); w32(math.max(1, fps))          // dwScale, dwRate → fps
+      w32(0); w32(n); w32(maxFrame); w32(-1); w32(0) // start, length, sugBufSize, quality, sampleSize
+      w16(0); w16(0); w16(width); w16(height) // rcFrame
+      fcc("strf"); w32(40)
+      w32(40); w32(width); w32(height); w16(1); w16(24) // biSize..biBitCount
+      fcc("MJPG"); w32(width * height * 3)
+      w32(0); w32(0); w32(0); w32(0)
+      fcc("LIST"); w32(4 + moviChunks); fcc("movi")
+      val offsets = new Array[Int](n)
+      var pos = 4 // first chunk fourcc sits 4 bytes after 'movi'
+      var i = 0
+      while (i < n) {
+        val f = frames(i)
+        offsets(i) = pos
+        fcc("00dc"); w32(f.length); bos.write(f)
+        if ((f.length & 1) == 1) bos.write(0)
+        pos += 8 + f.length + (f.length & 1)
+        i += 1
+      }
+      fcc("idx1"); w32(16 * n)
+      i = 0
+      while (i < n) { fcc("00dc"); w32(0x10); w32(offsets(i)); w32(frames(i).length); i += 1 }
+      bos.toByteArray
+    }
+
+    /** Real demux: (width, height, fps, frame byte arrays) from the
+      * container, or None for anything that does not walk as a
+      * RIFF/AVI within bounds. Dimensions come from avih and are
+      * bounded before any frame decode; fps from strh dwRate/dwScale
+      * with the avih microsec-per-frame fallback. The walk clamps
+      * every declared size to the payload, recurses only into LIST
+      * chunks (depth-bounded), and collects '##dc'/'##db' stream
+      * chunks inside movi — frame BYTES are returned verbatim. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double, Vector[Array[Byte]])] =
+      try {
+        if (!isAvi(payload)) return None
+        var width = 0; var height = 0; var microSec = 0L; var scale = 0L; var rate = 0L
+        val frames = Vector.newBuilder[Array[Byte]]
+        var frameCount = 0
+        def u32(off: Int): Long =
+          (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+            ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+        def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+        def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+          var off = start
+          while (off + 8 <= end && frameCount <= MaxClipFrames) {
+            val id = fourcc(off)
+            val sz = u32(off + 4)
+            val dataStart = off + 8
+            if (sz > end - dataStart) return // lying size: stop this level
+            val dataEnd = dataStart + sz.toInt
+            id match {
+              case "LIST" if depth < 8 && sz >= 4 =>
+                val lt = fourcc(dataStart)
+                walk(dataStart + 4, dataEnd, inMovi || lt == "movi", depth + 1)
+              case "avih" if sz >= 56 =>
+                microSec = u32(dataStart); width = u32(dataStart + 32).toInt
+                height = u32(dataStart + 36).toInt
+              case "strh" if sz >= 56 && fourcc(dataStart) == "vids" =>
+                scale = u32(dataStart + 20); rate = u32(dataStart + 24)
+              case c if inMovi && c.length == 4 && c(0).isDigit && c(1).isDigit &&
+                c(2) == 'd' && (c(3) == 'c' || c(3) == 'b') =>
+                frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+                frameCount += 1
+              case _ => () // unknown chunk: skip
+            }
+            off = dataEnd + (sz.toInt & 1) // RIFF even padding
+          }
+        }
+        walk(12, payload.length, inMovi = false, depth = 0)
+        val fps =
+          if (scale > 0 && rate > 0) rate.toDouble / scale
+          else if (microSec > 0) 1e6 / microSec
+          else 0.0
+        val fs = frames.result()
+        // same overflow-proof division-form dimension bound as PNG
+        if (width <= 0 || height <= 0 || width.toLong > PngCodec.MaxPixels / height ||
+          fs.isEmpty || frameCount > MaxClipFrames) None
+        else Some((width, height, fps, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Width/height a JPEG DECLARES in its SOF marker — scanned
+      * before the decoder runs, the JPEG twin of
+      * [[PngCodec.declaredDims]] (the container header cannot be
+      * trusted to bound the frame: a crafted 00dc chunk carries
+      * whatever dims its own SOF says). */
+    private[graft] def jpegDims(jpeg: Array[Byte]): Option[(Int, Int)] = {
+      if (jpeg.length < 4 || (jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return None
+      var off = 2
+      while (off + 2 <= jpeg.length) {
+        if ((jpeg(off) & 0xff) != 0xff) return None
+        var markerOff = off + 1
+        while (markerOff < jpeg.length && (jpeg(markerOff) & 0xff) == 0xff) markerOff += 1 // fill bytes
+        if (markerOff >= jpeg.length) return None
+        val m = jpeg(markerOff) & 0xff
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off = markerOff + 1
+        else {
+          if (markerOff + 2 >= jpeg.length) return None
+          val len = ((jpeg(markerOff + 1) & 0xff) << 8) | (jpeg(markerOff + 2) & 0xff)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (markerOff + 8 >= jpeg.length) return None
+            val h = ((jpeg(markerOff + 4) & 0xff) << 8) | (jpeg(markerOff + 5) & 0xff)
+            val w = ((jpeg(markerOff + 6) & 0xff) << 8) | (jpeg(markerOff + 7) & 0xff)
+            return Some((w, h))
+          }
+          if (m == 0xda || m == 0xd9) return None // scan/EOI before any SOF
+          off = markerOff + 1 + len
+        }
+      }
+      None
+    }
+
+    /** Real per-frame decode via `javax.imageio`'s JPEG codec, dims
+      * bounded first (division form, overflow-proof — JPEG dims max
+      * 65535 but 65535² still overflows the MaxPixels budget). */
+    def decodeJpeg(jpeg: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      jpegDims(jpeg) match {
+        case Some((w, h)) if w > 0 && h > 0 && w.toLong <= PngCodec.MaxPixels / h =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic clip: frame f's raster is the fixed
+      * pixel function seeded by (id*131 + f*17) — every frame
+      * distinct, every byte a pure function of (id, f, x, y, c). */
+    def syntheticClip(id: Long, w: Int, h: Int, nFrames: Int, fps: Int): Array[Byte] =
+      encode(w, h, fps,
+        (0 until nFrames).map(f => encodeJpeg(PngCodec.syntheticImage(id * 131 + f * 17, w, h))))
+  }
+
+  /** STUB CODEC — the unknown-format plumbing stand-in (since round
+    * 9 no production kind uses it: images are real PNG via
+    * [[PngCodec]], audio real WAV via [[WavCodec]], video real
+    * MJPEG-AVI via [[AviCodec]]). Kept as the corrupt/legacy-format
+    * dispatch target so the "dropped, never crashed" path stays
+    * exercised. Format: 8-byte magic "GRAFTMM1", then
     * width/height/nFrames as big-endian int32, then the raw payload
     * bytes. */
   object StubCodec {
@@ -327,8 +527,8 @@ object Multimodal {
     }
 
     /** Deterministic synthetic media row (seeded by id). Images get
-      * a REAL PNG payload, audio a REAL WAV payload; video keeps the
-      * stub format. */
+      * a REAL PNG payload, audio a REAL WAV payload, video a REAL
+      * MJPEG-AVI payload (round 9 — meta.sampleRate carries fps). */
     def synthetic(id: Long): MediaRow = {
       val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val w = 16 + (id % 8).toInt; val h = 16 + (id % 5).toInt
@@ -345,8 +545,9 @@ object Multimodal {
             MediaMeta(0, 0, frames, rate))
         case _ =>
           val frames = 8
-          val body = Array.tabulate((w * h * frames).min(4096))(i => ((id * 31 + i * 7) % 256).toByte)
-          MediaRow(id, kind, encode(w, h, frames, body), MediaMeta(w, h, frames, 0))
+          val fps = 10 + (id % 5).toInt
+          MediaRow(id, kind, AviCodec.syntheticClip(id, w, h, frames, fps),
+            MediaMeta(w, h, frames, fps))
       }
     }
   }
@@ -385,6 +586,51 @@ object Multimodal {
             MediaFeatures(m.media_id, m.kind, 0, 0, channels, frames, m.payload.length.toLong,
               rate, samples.length.toLong, (overallMean + 32768.0) / 256.0,
               means.toSeq, rms.toSeq)
+          }
+        else if (AviCodec.isAvi(m.payload))
+          AviCodec.decode(m.payload).flatMap { case (w, h, fps, frames) =>
+            // frame-sample: every k-th frame, k = ceil(n/MaxDecodedFrames)
+            // — the per-clip decode cost is bounded no matter how long
+            // the clip, and the sample is a deterministic function of n
+            val step = math.max(1,
+              (frames.length + AviCodec.MaxDecodedFrames - 1) / AviCodec.MaxDecodedFrames)
+            val imgs = frames.indices.by(step).iterator
+              .flatMap(i => AviCodec.decodeJpeg(frames(i))).toVector
+            if (imgs.isEmpty) None // no decodable frame → corrupt row, drop
+            else {
+              val bands = imgs.head.getRaster.getNumBands
+              val sums = new Array[Long](bands)
+              val sqSums = new Array[Long](bands)
+              var n = 0L
+              imgs.foreach { img =>
+                val raster = img.getRaster
+                if (raster.getNumBands == bands) {
+                  val (fw, fh) = (img.getWidth, img.getHeight)
+                  var y = 0
+                  while (y < fh) {
+                    var x = 0
+                    while (x < fw) {
+                      var c = 0
+                      while (c < bands) {
+                        val s = raster.getSample(x, y, c)
+                        sums(c) += s; sqSums(c) += s.toLong * s; c += 1
+                      }
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  n += fw.toLong * fh
+                }
+              }
+              val means = sums.map(_.toDouble / n)
+              val rms = sqSums.map(q => math.sqrt(q.toDouble / n))
+              // sample_rate carries fps for video; n_samples the decoded
+              // raster sample count (frames-sampled × w × h × bands) —
+              // the raster analog of audio's frames × channels
+              Some(MediaFeatures(m.media_id, m.kind, w, h, bands, frames.length,
+                m.payload.length.toLong, math.round(fps).toInt, n * bands,
+                means.sum / bands, means.toSeq, rms.toSeq))
+            }
           }
         else StubCodec.decode(m.payload).map { case (w, h, f, body) =>
           var sum = 0L; var sq = 0.0
@@ -428,6 +674,22 @@ object Multimodal {
               meta = m.meta.copy(width = newW, height = newH, nFrames = dstFrames))
           case _ => m
         }
+      else if (AviCodec.isAvi(m.payload))
+        AviCodec.decode(m.payload) match {
+          // every frame must decode for the rewrite to be faithful; a
+          // clip with any undecodable frame passes through unchanged
+          // (same corrupt-row contract as the other kinds)
+          case Some((_, _, fps, frames)) =>
+            val resized = frames.map(f =>
+              AviCodec.decodeJpeg(f).map(img =>
+                AviCodec.encodeJpeg(PngCodec.resizeNearest(img, newW, newH))))
+            if (resized.forall(_.isDefined))
+              m.copy(payload = AviCodec.encode(newW, newH, math.round(fps).toInt,
+                resized.map(_.get)),
+                meta = m.meta.copy(width = newW, height = newH))
+            else m
+          case None => m
+        }
       else StubCodec.decode(m.payload) match {
         case Some((_, _, f, body)) =>
           val target = (newW * newH * f).min(body.length).max(0)
@@ -462,11 +724,24 @@ object Multimodal {
     })
   }
 
-  /** STUB frame-sample: keep every k-th frame of a video payload. */
+  /** REAL frame-sample: keep every k-th frame of a video payload.
+    * For MJPEG-AVI this is a pure container rewrite — the demux is
+    * lossless on frame bytes, so the kept frames' JPEGs are carried
+    * over BIT-EXACTLY (no decode, no re-encode; exactly how a real
+    * pipeline thins an MJPEG stream). The GRAFTMM1 stub branch
+    * remains for legacy-format payloads. */
   def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      StubCodec.decode(m.payload) match {
+      if (AviCodec.isAvi(m.payload))
+        AviCodec.decode(m.payload) match {
+          case Some((w, h, fps, frames)) if m.kind == "video" && frames.length > 1 =>
+            val kept = frames.indices.by(everyK).map(frames).toVector
+            m.copy(payload = AviCodec.encode(w, h, math.round(fps).toInt, kept),
+              meta = m.meta.copy(nFrames = kept.length))
+          case _ => m
+        }
+      else StubCodec.decode(m.payload) match {
         case Some((w, h, f, body)) if m.kind == "video" && f > 1 =>
           val frameLen = if (f == 0) 0 else body.length / f
           val kept = (0 until f by everyK)

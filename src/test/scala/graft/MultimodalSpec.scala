@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{PngCodec, StubCodec, WavCodec}
+import graft.multimodal.Multimodal.{AviCodec, PngCodec, StubCodec, WavCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -34,7 +34,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.filter(_.kind == "image").forall(r => r.width > 0 && r.sample_rate == 0))
     assert(rows.filter(_.kind == "audio").forall(r =>
       r.sample_rate >= 8000 && r.n_samples == r.n_frames.toLong * r.channels && r.width == 0))
-    assert(rows.filter(_.kind == "video").forall(r => r.width > 0 && r.n_frames == 8))
+    // video rows are real AVI decodes now: 3 JPEG bands, fps in
+    // sample_rate, raster samples counted
+    assert(rows.filter(_.kind == "video").forall(r =>
+      r.width > 0 && r.n_frames == 8 && r.channels == 3 &&
+        r.sample_rate >= 10 && r.sample_rate <= 14 &&
+        r.n_samples == 8L * r.width * r.height * 3))
   }
 
   test("mapPartitions operators preserve partitioning (no shuffle)") {
@@ -57,14 +62,16 @@ class MultimodalSpec extends AnyFunSuite {
         case "audio" => // audio resize = real resample to w*h frames
           assert(WavCodec.decode(m.payload).exists { case (_, _, f, _) => f == 16 })
           assert(m.meta.nFrames == 16)
-        case _ =>
-          assert(StubCodec.decode(m.payload).exists { case (w, h, _, _) => w == 4 && h == 4 })
+        case _ => // video resize rebuilds the AVI with resized JPEG frames
+          assert(AviCodec.decode(m.payload).exists { case (w, h, _, frames) =>
+            w == 4 && h == 4 && frames.forall(AviCodec.jpegDims(_).contains((4, 4)))
+          })
       }
     }
     val sampled = Multimodal.frameSample(media, 2).collect()
     sampled.filter(_.kind == "video").foreach { m =>
       assert(m.meta.nFrames == 4) // 8 frames sampled every 2nd
-      assert(StubCodec.decode(m.payload).exists(_._3 == 4))
+      assert(AviCodec.decode(m.payload).exists(_._4.length == 4))
     }
     // frame-sampling must not touch non-video rows
     sampled.filter(_.kind == "image").foreach(m => assert(m.meta.nFrames == 1))
@@ -209,6 +216,142 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.resampleAudio(row, 8000).collect().head
     assert(out.meta.sampleRate == 8000 && out.meta.nFrames == 160)
     assert(WavCodec.decode(out.payload).exists { case (r, _, f, _) => r == 8000 && f == 160 })
+  }
+
+  test("AVI mux/demux is lossless on frame bytes: bit-exact container round-trip") {
+    val (id, w, h, nFrames, fps) = (13L, 20, 17, 6, 12)
+    val jpegs = (0 until nFrames).map(f =>
+      AviCodec.encodeJpeg(PngCodec.syntheticImage(id * 131 + f * 17, w, h)))
+    val avi = AviCodec.encode(w, h, fps, jpegs)
+    assert(AviCodec.isAvi(avi) && !AviCodec.isAvi("RIFFxxxxWAVE".getBytes))
+    val Some((dw, dh, dfps, frames)) = AviCodec.decode(avi)
+    assert(dw == w && dh == h && dfps == fps.toDouble && frames.length == nFrames)
+    // the container parse is LOSSLESS: every demuxed frame is the
+    // exact JPEG byte array that was muxed in — bit for bit
+    for (f <- 0 until nFrames)
+      assert(frames(f).sameElements(jpegs(f)), s"frame $f bytes differ after mux/demux")
+    // odd-length frames exercise the RIFF even-padding path
+    val odd = Seq(Array.tabulate(33)(i => (0xff - i).toByte)) // not a JPEG, mux doesn't care
+    val oddAvi = AviCodec.encode(4, 4, 1, Seq(AviCodec.encodeJpeg(PngCodec.syntheticImage(1, 4, 4))))
+    assert(AviCodec.decode(oddAvi).isDefined)
+    val mixed = AviCodec.encode(4, 4, 5, odd)
+    assert(AviCodec.decode(mixed).exists(_._4.head.sameElements(odd.head)))
+  }
+
+  test("MJPEG frame decode is real: javax.imageio parses each frame, stats deterministic and near the source raster") {
+    val (id, w, h) = (7L, 24, 18)
+    val src = PngCodec.syntheticImage(id, w, h)
+    val jpeg = AviCodec.encodeJpeg(src)
+    assert(AviCodec.jpegDims(jpeg).contains((w, h)))
+    val img = AviCodec.decodeJpeg(jpeg).get
+    assert(img.getWidth == w && img.getHeight == h && img.getRaster.getNumBands == 3)
+    // JPEG is lossy but its decode of FIXED bytes is deterministic:
+    // two decodes must agree sample-for-sample
+    val img2 = AviCodec.decodeJpeg(jpeg).get
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(img.getRaster.getSample(x, y, c) == img2.getRaster.getSample(x, y, c))
+    // and the decoded mean must sit near the source raster's mean
+    // (coding error is small on smooth synthetic content)
+    def mean(i: java.awt.image.BufferedImage): Double = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        s += i.getRaster.getSample(x, y, c)
+      s.toDouble / (w * h * 3)
+    }
+    assert(math.abs(mean(img) - mean(src)) < 8.0,
+      s"JPEG mean ${mean(img)} too far from source mean ${mean(src)}")
+  }
+
+  test("AVI decode drops corrupt/adversarial payloads") {
+    val avi = AviCodec.syntheticClip(5L, 16, 16, 4, 10)
+    // truncations at every structural boundary: magic-only, inside
+    // hdrl, inside movi — None, never a crash
+    assert(AviCodec.decode(avi.take(11)).isEmpty)
+    assert(AviCodec.decode(avi.take(40)).isEmpty)
+    AviCodec.decode(avi.take(avi.length / 2)) // mid-movi truncation: must not throw
+    assert(AviCodec.decode("RIFFxxxxAVI garbage".getBytes).isEmpty)
+    assert(AviCodec.decode(Array.emptyByteArray).isEmpty)
+    // dimension bomb: avih declaring 2^32-1 x 2^32-1 must be
+    // rejected by the division-form bound before any frame decode
+    val bomb = avi.clone()
+    // avih data starts at 12 (RIFF hdr) + 12 (LIST size hdrl) + 8 (avih hdr) = 32;
+    // dwWidth/dwHeight at +32/+36
+    for (i <- 64 until 72) bomb(i) = 0xff.toByte
+    assert(AviCodec.decode(bomb).isEmpty, "dimension-bomb avih must be dropped")
+    // JPEG dimension bomb: a frame whose SOF declares 65535x65535
+    // (4.3e9 px) must be rejected by jpegDims before ImageIO runs
+    val jpeg = AviCodec.encodeJpeg(PngCodec.syntheticImage(1, 8, 8))
+    val sofBomb = jpeg.clone()
+    var off = 2
+    var planted = false
+    while (!planted && off + 9 < sofBomb.length) {
+      if ((sofBomb(off) & 0xff) == 0xff) {
+        val m = sofBomb(off + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          sofBomb(off + 5) = 0xff.toByte; sofBomb(off + 6) = 0xff.toByte
+          sofBomb(off + 7) = 0xff.toByte; sofBomb(off + 8) = 0xff.toByte
+          planted = true
+        }
+      }
+      off += 1
+    }
+    assert(planted, "test setup: SOF marker not found")
+    assert(AviCodec.jpegDims(sofBomb).contains((65535, 65535)))
+    assert(AviCodec.decodeJpeg(sofBomb).isEmpty, "SOF dimension bomb must be dropped")
+    // chunk-size lie: a chunk declaring a size past the payload end
+    // must stop the walk gracefully, not throw
+    AviCodec.decode(avi.dropRight(7))
+    // decodeFeatures drops a corrupt AVI row, never crashes
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRow(8L, "video", avi.take(40),
+      Multimodal.MediaMeta(0, 0, 0, 0))).toDS()
+    assert(Multimodal.decodeFeatures(corrupt).collect().isEmpty)
+  }
+
+  test("AVI frame-sample is a lossless container rewrite: kept JPEGs bit-exact, no re-encode") {
+    import spark.implicits._
+    val (id, w, h) = (11L, 16, 16)
+    val jpegs = (0 until 8).map(f =>
+      AviCodec.encodeJpeg(PngCodec.syntheticImage(id * 131 + f * 17, w, h)))
+    val avi = AviCodec.encode(w, h, 10, jpegs)
+    val row = Seq(Multimodal.MediaRow(id, "video", avi,
+      Multimodal.MediaMeta(w, h, 8, 10))).toDS()
+    val out = Multimodal.frameSample(row, 3).collect().head
+    assert(out.meta.nFrames == 3) // frames 0, 3, 6
+    val Some((_, _, fps, kept)) = AviCodec.decode(out.payload)
+    assert(fps == 10.0)
+    assert(kept.length == 3)
+    assert(kept(0).sameElements(jpegs(0)) && kept(1).sameElements(jpegs(3)) &&
+      kept(2).sameElements(jpegs(6)),
+      "frame-sampling must carry the kept frames' JPEG bytes over bit-exactly")
+  }
+
+  test("video features come from real frame decodes: n_frames, fps, per-band stats over sampled frames") {
+    import spark.implicits._
+    val (id, w, h, nFrames, fps) = (2L, 18, 16, 8, 13)
+    val avi = AviCodec.syntheticClip(id, w, h, nFrames, fps)
+    val row = Seq(Multimodal.MediaRow(id, "video", avi,
+      Multimodal.MediaMeta(w, h, nFrames, fps))).toDS()
+    val f = Multimodal.decodeFeatures(row).collect().head
+    assert(f.width == w && f.height == h && f.channels == 3 &&
+      f.n_frames == nFrames && f.sample_rate == fps &&
+      f.n_samples == nFrames.toLong * w * h * 3)
+    // the stats must equal what decoding the frames directly yields —
+    // same decoder, same accumulation, deterministic
+    val Some((_, _, _, frames)) = AviCodec.decode(avi)
+    val sums = new Array[Long](3); val sqSums = new Array[Long](3)
+    frames.foreach { jb =>
+      val img = AviCodec.decodeJpeg(jb).get
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val s = img.getRaster.getSample(x, y, c)
+        sums(c) += s; sqSums(c) += s.toLong * s
+      }
+    }
+    val n = nFrames.toLong * w * h
+    val expMeans = sums.map(_.toDouble / n).toSeq
+    val expRms = sqSums.map(q => math.sqrt(q.toDouble / n)).toSeq
+    assert(f.channel_means == expMeans && f.channel_rms == expRms)
+    assert(f.mean_byte == expMeans.sum / 3)
   }
 
   test("synthetic generation is deterministic") {
