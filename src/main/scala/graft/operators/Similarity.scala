@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -858,7 +858,43 @@ object Similarity {
     * (near-dups sharing no cell) is the SemDeDup trade —
     * SimilaritySpec pins containment-in-brute (every emitted pair is
     * exact) and the measured recall floor. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticPairs(spark, dir, bRestrict = None)
+
+  /** Fresh-crawl form (round 9, VERDICT r8 item 4): near-dup pairs
+    * that TOUCH the new slice (vec_id >= the 90% split — the same
+    * fixed-fraction convention as Dedup.incrementalSplit), against
+    * the whole corpus through the SAME persisted IVF centroids. The
+    * b-side assignment pipeline runs over ONLY the new slice — its
+    * embeddings scan is pushdown-filtered to the split (pinned by
+    * PlanAuditSpec) — so the nightly cost is P×new assignment plus
+    * the shared-cell join of new×corpus-within-cells, never a
+    * corpus×corpus sweep. Because per-row assignment is independent
+    * (a chained argmin over broadcast centroids), the emitted pairs
+    * EQUAL the full sweep's pairs restricted to vec_b in the slice
+    * (spec-pinned), exactly as dedup_incremental relates to
+    * dedup_ngram_jaccard. (The corpus a-side re-derives its own
+    * multi-assignment here; a production deployment would persist
+    * the multi-assignments next to the index's single-assignment
+    * posting lists and pay only the new-slice compute.) */
+  def dedupSemanticIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val restrict = semanticSplit(e)
+      .map(split => col("vec_id") >= lit(split))
+      .getOrElse(lit(false))
+    dedupSemanticPairs(spark, dir, bRestrict = Some(restrict))
+  }
+
+  /** The b-side slice split: vec_id >= max(vec_id)*9/10 — integer
+    * arithmetic so both engines cut identically; None on an empty
+    * corpus (no slice, no pairs). One bounded one-row collect. */
+  private[graft] def semanticSplit(e: DataFrame): Option[Long] = {
+    val row = e.agg(max(col("vec_id"))).head
+    if (row.isNullAt(0)) None else Some(row.getLong(0) * 9 / 10)
+  }
+
+  private def dedupSemanticPairs(spark: SparkSession, dir: String,
+                                 bRestrict: Option[Column]): DataFrame = {
     val idx = ivfIndex(spark, dir)
     stageCentroids(spark, idx)
     import spark.implicits._
@@ -870,8 +906,12 @@ object Similarity {
     // idx.cells — an extra assignMulti round would then exclude every
     // centroid, empty the frame, and return zero rows while the DuckDB
     // twin's least(P, count(c)) still emits pairs
-    val multi = assignMulti(e, centroids,
-      math.min(SemanticAssign, idx.centroids.size))
+    val p = math.min(SemanticAssign, idx.centroids.size)
+    val multi = assignMulti(e, centroids, p)
+    // the incremental b side assigns ONLY the slice — the filter sits
+    // below the assignment pipeline and pushes to the b-side scan;
+    // per-row independence makes this equal to filtering `multi`
+    val multiB = bRestrict.fold(multi)(r => assignMulti(e.filter(r), centroids, p))
     // Vectors ride THROUGH the bucket join so the exact cosine +
     // threshold run INSIDE the joined stream (codegen-pipelined, no
     // materialization of the candidate pair set): the only shuffles
@@ -887,7 +927,7 @@ object Similarity {
     // bit-identical, collapsed by the final distinct.)
     val a = multi.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = multi.select(col("cid"), col("vec_id").as("vec_b"),
+    val b = multiB.select(col("cid"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cid"))
       .filter(col("vec_a") < col("vec_b"))
@@ -904,7 +944,15 @@ object Similarity {
     * cell candidate pairs deduped, then the brute oracle's cosine —
     * the whole clustered-dedup pipeline re-derived cross-engine from
     * the same staged doubles the Spark plan used. */
-  private lazy val dedupSemanticSql: String = {
+  private lazy val dedupSemanticSql: String = semanticSqlWith("")
+
+  /** The incremental twin: the identical re-derivation with the same
+    * b-side slice restriction the Spark plan pushes to its scan —
+    * integer-division split, so both engines cut the same row. */
+  private lazy val dedupSemanticIncrementalSql: String = semanticSqlWith(
+    "\n      AND b.vec_id >= (SELECT MAX(vec_id) * 9 // 10 FROM embeddings)")
+
+  private def semanticSqlWith(bPredicate: String): String = {
     def distFold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
@@ -931,7 +979,7 @@ object Similarity {
        |  WHERE rn <= (SELECT np FROM k)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM multi a JOIN multi b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  FROM multi a JOIN multi b ON a.cid = b.cid AND a.vec_id < b.vec_id$bPredicate
        |)
        |SELECT vec_a, vec_b,
        |  round(list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]),
@@ -1028,5 +1076,7 @@ object Similarity {
     GraftQuery("ann_ivf", Some(annIvfSql), annIvf),
     GraftQuery("ann_ivf_probe", Some(annIvfProbeSql), annIvfProbe),
     GraftQuery("ann_recall", Some(annRecallSql), annRecall),
-    GraftQuery("dedup_semantic", Some(dedupSemanticSql), dedupSemantic))
+    GraftQuery("dedup_semantic", Some(dedupSemanticSql), dedupSemantic),
+    GraftQuery("dedup_semantic_incremental", Some(dedupSemanticIncrementalSql),
+      dedupSemanticIncremental))
 }

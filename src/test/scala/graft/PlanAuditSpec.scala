@@ -212,6 +212,25 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("dedup_semantic_incremental: b-side assignment reads only the slice, scale shape intact") {
+    val df = operators.Similarity.dedupSemanticIncremental(spark, dir)
+    val plan = formatted(df)
+    // the b-side pipeline's embeddings scan must carry the slice
+    // restriction as a PUSHED filter — the nightly cost is P x new,
+    // not a second P x corpus assignment
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(vec_id")),
+      s"slice restriction not pushed to the b-side embeddings scan:\n$plan")
+    // and the full entry's at-scale guarantees carry over: cid-keyed
+    // pair join, no cartesian, no corpus x k window
+    val atScale = planAtScale(operators.Similarity.dedupSemanticIncremental(spark, dir))
+    assert(!atScale.contains("CartesianProduct"), atScale)
+    assert(atScale.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("cid")),
+      s"pair join is not a cid-keyed shuffle join:\n$atScale")
+    assert(!atScale.contains("Window"), s"multi-assignment plans a window:\n$atScale")
+  }
+
   test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one stratum window") {
     val plan = planAtScale(operators.Curation.sampleMixture(spark, dir))
     // the corpus side must never shuffle-join: quotas (one row per

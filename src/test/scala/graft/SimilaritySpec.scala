@@ -72,6 +72,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"semantic dedup recall $recall < 0.85")
   }
 
+  test("incremental semantic dedup equals the full sweep restricted to the new slice") {
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val split = Similarity.semanticSplit(e).get
+    val full = Similarity.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inc = Similarity.dedupSemanticIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per-row assignment independence makes the incremental form
+    // EXACTLY the full sweep's pairs whose b side sits in the slice
+    // (pairs are enumerated vec_a < vec_b, so "vec_b in slice" is
+    // "the pair touches the slice") — same rows, same scores, same
+    // order, not merely a subset
+    assert(inc.toSeq == full.filter(_._2 >= split).toSeq)
+    assert(inc.forall(_._2 >= split))
+    // the slice split must leave the entry non-degenerate on the test
+    // corpus: some pairs touch the newest 10% of ids
+    assert(inc.nonEmpty, "no pair touches the new slice — test corpus too small?")
+  }
+
   test("semantic dedup pairs compose with cluster resolution (the keeper pipeline)") {
     import org.apache.spark.sql.functions.col
     // the curation flow a pipeline actually runs: near-dup pairs →
