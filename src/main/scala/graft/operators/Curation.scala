@@ -204,21 +204,56 @@ object Curation {
     *
     * Engine-exact quota arithmetic: S = Σ sqrt(n_s) through the
     * exact-decimal sum (order-independent; Exact.dsum), then
-    * quota_s = floor(N·sqrt(n_s)/S) — two IEEE ops on identical
+    * base_s = floor(N·sqrt(n_s)/S) — two IEEE ops on identical
     * operands, bit-identical cross-engine; floor() beats round()
-    * whose half-rule differs between engines. Within a stratum,
-    * rows are picked in the md5 permutation order shared with
-    * sample_stratified. Plan: one bounded counts agg feeding a
-    * broadcast scalar crossJoin (the tfidf shape) + one window
-    * shuffle on the stratum key — no corpus-wide joins. Null-lang
-    * strata drop out in BOTH engines (equi-join null semantics). */
+    * whose half-rule differs between engines. Floor alone
+    * under-fills the target by up to |strata|−1 rows, so the
+    * deficit D = min(N, corpus) − Σ base is backfilled by LARGEST
+    * REMAINDER (round 9, VERDICT r8 item 6): strata ranked by the
+    * exact double remainder x_s − floor(x_s) descending with a
+    * deterministic lang tie-break; each of the top (D mod K) strata
+    * gets +1 on top of the uniform D div K share (the div share is
+    * 0 in every non-degenerate case — it only engages when FP drift
+    * ever made D exceed K). Σ quota then equals min(N, corpus)
+    * EXACTLY whenever corpus ≥ N; a stratum smaller than its quota
+    * can still under-fill the drawn sample (quota-capping
+    * waterfilling is deliberately out of scope — it cannot happen
+    * unless the whole corpus is within ~|strata| of the target).
+    * D is clamped at 0 for that same degenerate regime. Within a
+    * stratum, rows are picked in the md5 permutation order shared
+    * with sample_stratified.
+    *
+    * Plan: one bounded counts agg feeding a broadcast scalar
+    * crossJoin (the tfidf shape), a second bounded agg (deficit) +
+    * one row_number over the K-row quota frame — all stratum-sized,
+    * never corpus-sized — and ONE corpus window shuffle on the
+    * stratum key; no corpus-wide joins. Null-lang docs are excluded
+    * from quota arithmetic explicitly (they could never join back
+    * anyway — equi-join null semantics — but a null stratum must
+    * not absorb backfill rows either). */
   def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val sFrame = counts.agg(Exact.dsum(sqrt(col("n"))).as("s"))
-    val quotas = counts.crossJoin(broadcast(sFrame))
+    val counts = docs.filter(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val sFrame = counts.agg(Exact.dsum(sqrt(col("n"))).as("s"),
+      sum(col("n")).as("corpus"))
+    val exactShare = counts.crossJoin(broadcast(sFrame))
+      .withColumn("x", lit(MixtureTarget) * sqrt(col("n")) / col("s"))
+      .select(col("lang"), floor(col("x")).cast("long").as("base"),
+        (col("x") - floor(col("x"))).as("rem"), col("corpus"))
+    val deficit = exactShare.agg(
+      greatest(lit(0L),
+        least(lit(MixtureTarget.toLong), max(col("corpus"))) - sum(col("base"))).as("d"),
+      count(lit(1)).as("k"))
+    // bounded window: one row per stratum, ranked by remainder — the
+    // largest-remainder rule's rank, not a corpus sort
+    val qw = Window.orderBy(col("rem").desc, col("lang").asc)
+    val quotas = exactShare
+      .withColumn("qrank", row_number().over(qw).cast("long"))
+      .crossJoin(broadcast(deficit))
       .select(col("lang"),
-        floor(lit(MixtureTarget) * sqrt(col("n")) / col("s")).cast("long").as("quota"))
+        (col("base") + floor(col("d") / col("k")).cast("long") +
+          when(col("qrank") <= col("d") % col("k"), 1L).otherwise(0L)).as("quota"))
     val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
     docs.select(col("lang"), col("doc_id"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
@@ -231,12 +266,21 @@ object Curation {
   private val sampleMixtureSql: String = {
     import graft.Exact.sql._
     s"""WITH counts AS (
-       |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+       |  SELECT lang, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1
        |), s AS (
-       |  SELECT ${sdsum("sqrt(n)")} AS s FROM counts
+       |  SELECT ${sdsum("sqrt(n)")} AS s, CAST(SUM(n) AS BIGINT) AS corpus FROM counts
+       |), q0 AS (
+       |  SELECT lang, CAST(floor(x) AS BIGINT) AS base, x - floor(x) AS rem FROM (
+       |    SELECT lang, $MixtureTarget * sqrt(n) / (SELECT s FROM s) AS x FROM counts) t
+       |), d AS (
+       |  SELECT GREATEST(0, LEAST($MixtureTarget, (SELECT corpus FROM s))
+       |           - (SELECT SUM(base) FROM q0)) AS d,
+       |         (SELECT COUNT(*) FROM q0) AS k
        |), quotas AS (
-       |  SELECT lang, CAST(floor($MixtureTarget * sqrt(n) / (SELECT s FROM s)) AS BIGINT) AS quota
-       |  FROM counts
+       |  SELECT lang, base + (SELECT d FROM d) // (SELECT k FROM d)
+       |    + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+       |             <= (SELECT d FROM d) % (SELECT k FROM d) THEN 1 ELSE 0 END AS quota
+       |  FROM q0
        |), r AS (
        |  SELECT lang, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY lang

@@ -83,6 +83,37 @@ class CurationSpec extends AnyFunSuite {
     assert(real.toSeq == again.toSeq)
   }
 
+  test("mixture backfill: quota sum hits the target exactly via largest remainder") {
+    import spark.implicits._
+    // 1000/500/100 — floor-only quotas lose 2 rows (198 of 200); the
+    // two largest-remainder strata must each get one back
+    val docs = (0 until 1000).map(i => (i.toLong, s"a $i", "aa")) ++
+      (1000 until 1500).map(i => (i.toLong, s"b $i", "bb")) ++
+      (1500 until 1600).map(i => (i.toLong, s"c $i", "cc"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix_bf").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.sampleMixture(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the contract: Σ quota = min(target, corpus) EXACTLY — here every
+    // stratum exceeds its quota, so the drawn sample hits it too
+    assert(out.length == Curation.MixtureTarget, s"sample size ${out.length}")
+    // replicate the engine arithmetic step by step: dec-6 exact sum,
+    // double shares, floor bases, largest-remainder ranks
+    val ns = Map("aa" -> 1000, "bb" -> 500, "cc" -> 100)
+    val s = ns.values.map(n => BigDecimal(math.sqrt(n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = ns.map { case (l, n) => l -> Curation.MixtureTarget * math.sqrt(n) / s }
+    val base = xs.map { case (l, x) => l -> math.floor(x).toLong }
+    val d = (Curation.MixtureTarget - base.values.sum).toInt
+    assert(d > 0, s"test corpus must exercise the backfill (deficit $d)")
+    val byRemainder = xs.toSeq.sortBy { case (l, x) => (-(x - math.floor(x)), l) }.map(_._1)
+    val quota = base ++ byRemainder.take(d).map(l => l -> (base(l) + 1L))
+    val perLang = out.groupBy(_._1).map { case (l, rows) => l -> rows.length.toLong }
+    assert(perLang == quota, s"per-stratum fills $perLang != backfilled quotas $quota")
+  }
+
   test("stratified sample is deterministic and respects the per-stratum quota") {
     val s1 = Curation.sampleStratified(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

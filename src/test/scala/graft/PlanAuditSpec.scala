@@ -231,14 +231,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!atScale.contains("Window"), s"multi-assignment plans a window:\n$atScale")
   }
 
-  test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one stratum window") {
+  test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one corpus window") {
     val plan = planAtScale(operators.Curation.sampleMixture(spark, dir))
     // the corpus side must never shuffle-join: quotas (one row per
     // stratum) and the scalar S broadcast explicitly; the only
     // corpus-wide exchange is the stratum window's
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"mixture quota join shuffles the corpus:\n$plan")
-    assert(plan.linesIterator.count(_.contains("Window [")) == 1, plan)
+    // two windows since the r9 backfill: the corpus stratum window
+    // (partitioned by lang) and the largest-remainder rank over the
+    // K-row quota frame — the latter's input is the bounded counts
+    // agg, never the corpus
+    assert(plan.linesIterator.count(_.contains("Window [")) == 2,
+      s"expected stratum + quota-rank windows:\n$plan")
   }
 
   test("documents scan for dedup_exact prunes to the text column") {
