@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exact, GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,18 +163,73 @@ object Curation {
     Seq(md5(col("doc_id").cast("string")), col("doc_id"))
   private val PermutationOrderSql = "md5(CAST(doc_id AS VARCHAR)), doc_id"
 
+  /** Quantile PRE-CUT shared by both sampling entries (round 9,
+    * VERDICT r8 item 5): the stratum window used to sort the WHOLE
+    * corpus to keep ~quota rows — the one output≪input sort left in
+    * the suite. The md5 permutation key is uniform on [0, 2^32) in
+    * its first 8 hex chars, so keeping only rows whose 32-bit key
+    * prefix falls below cut = floor(min(1, (4·quota+64)/n) · 2^32)
+    * bounds the window input near 4·quota+64 per stratum no matter
+    * how large the stratum. EXACTNESS: survivors are downward-closed
+    * under the (md5, doc_id) sort order (a non-survivor's prefix
+    * strictly exceeds every survivor's, hence its full key sorts
+    * after ALL survivors), so survivor ranks equal full-stratum
+    * ranks, and the result is bit-identical to the full window
+    * whenever survivors ⊇ top-quota. The margin makes an undercut a
+    * Chernoff tail below exp(−quota·9/8) (~1e-38 at quota 50), a
+    * stratum near or under 4·quota+64 rows takes cut = 2^32 — the
+    * keep-everything full-window fallback — and [[guardUndercut]]
+    * turns any residual undercut (or a threshold-formula bug) into
+    * a LOUD raise_error on the tiny result frame rather than a
+    * silently short sample. The cut is Spark-side only: the DuckDB
+    * oracle keeps the exact full-window form, which is precisely
+    * what the correctness gate then re-verifies per run. */
+  private def preCut(quota: Column, n: Column): Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") <=
+      floor(least(lit(1.0), (lit(4.0) * quota + lit(64.0)) / n) * lit(4294967296.0)).cast("long")
+
+  /** In-plan undercut guard: every emitted stratum must carry
+    * exactly least(quota, n) rows — counted with a window over the
+    * RESULT (quota-sized, not corpus-sized). A stratum whose
+    * survivors all vanished (no row below the cut at all) escapes
+    * this check — that tail is exp(−(4·quota+64)) — but any partial
+    * undercut and any threshold-formula regression throws loudly
+    * instead of shipping a short sample. */
+  private def guardUndercut(picked: DataFrame, entry: String,
+                            quota: Column, n: Column): DataFrame =
+    picked
+      .withColumn("n_sampled",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("sample_rank",
+        when(col("n_sampled") === least(quota, n), col("sample_rank"))
+          .otherwise(raise_error(concat(
+            lit(s"$entry: pre-cut undercut stratum "),
+            coalesce(col("lang"), lit("<null>"))))))
+
   /** First `SampleQuota` documents per language in md5(doc_id)
     * order — a deterministic, engine-reproducible stratified sample
     * (the hash order is an arbitrary-but-fixed permutation, so the
     * quota is an unbiased slice of each stratum; doc_id tie-break
-    * covers hash collisions). One window shuffle on the stratum key;
-    * per-stratum skew is bounded by the quota itself. */
+    * covers hash collisions). One window shuffle on the stratum
+    * key, with its input bounded by the [[preCut]] quantile filter
+    * (the counts side is a bounded agg joined back null-safe and
+    * broadcast — null-lang strata keep their original
+    * window-partition semantics); per-stratum window skew is
+    * bounded by the cut itself. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumnRenamed("lang", "c_lang")
     val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"))
+    val picked = docs
+      // null-safe: the original no-join form kept a NULL-lang stratum;
+      // an equi-join here would silently drop it
+      .join(broadcast(counts), col("lang") <=> col("c_lang"))
+      .filter(preCut(lit(SampleQuota.toDouble), col("n")))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= SampleQuota)
+    guardUndercut(picked, "sample_stratified", lit(SampleQuota.toLong), col("n"))
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
       // nulls-last explicitly: Spark's default sort is NULLS FIRST,
       // DuckDB's is NULLS LAST — a NULL-lang stratum would otherwise
       // hash-mismatch on row order alone
@@ -239,7 +294,7 @@ object Curation {
       sum(col("n")).as("corpus"))
     val exactShare = counts.crossJoin(broadcast(sFrame))
       .withColumn("x", lit(MixtureTarget) * sqrt(col("n")) / col("s"))
-      .select(col("lang"), floor(col("x")).cast("long").as("base"),
+      .select(col("lang"), col("n"), floor(col("x")).cast("long").as("base"),
         (col("x") - floor(col("x"))).as("rem"), col("corpus"))
     val deficit = exactShare.agg(
       greatest(lit(0L),
@@ -253,12 +308,18 @@ object Curation {
       .crossJoin(broadcast(deficit))
       .select(col("lang"),
         (col("base") + floor(col("d") / col("k")).cast("long") +
-          when(col("qrank") <= col("d") % col("k"), 1L).otherwise(0L)).as("quota"))
+          when(col("qrank") <= col("d") % col("k"), 1L).otherwise(0L)).as("quota"),
+        col("n"))
     val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
-    docs.select(col("lang"), col("doc_id"))
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
+    // quotas join BELOW the window (it used to sit above) so the
+    // preCut quantile filter can bound the window input per stratum;
+    // null-lang docs still drop out (plain equi-join, as before)
+    val picked = docs.select(col("lang"), col("doc_id"))
       .join(broadcast(quotas), Seq("lang"))
+      .filter(preCut(col("quota").cast("double"), col("n")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= col("quota"))
+    guardUndercut(picked, "sample_mixture", col("quota"), col("n"))
       .select(col("lang"), col("doc_id"), col("sample_rank"))
       .orderBy(col("lang").asc_nulls_last, col("sample_rank"))
   }

@@ -102,10 +102,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchemas")
   }
 
-  test("sample_stratified plans no joins — one stratum window over the pruned scan") {
-    val plan = staticPlan(operators.Curation.sampleStratified(spark, dir))
-    assert(!plan.contains("Join"), s"unexpected join in a sampling plan:\n$plan")
-    assert(plan.contains("Window"), plan)
+  test("sample_stratified: window input bounded by the quantile pre-cut, counts join broadcast-only") {
+    val plan = planAtScale(operators.Curation.sampleStratified(spark, dir))
+    // the r9 pre-cut needs the per-stratum counts joined back — that
+    // join must be the broadcast of a bounded agg, never a corpus
+    // shuffle join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"counts join shuffles the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the stratum window's input is the pre-cut filtered stream: the
+    // 32-bit md5-prefix threshold must appear as a Filter below it —
+    // the output<<input corpus sort this audit used to tolerate is gone
+    assert(plan.contains("conv(substring(md5"),
+      s"quantile pre-cut filter missing below the stratum window:\n$plan")
+    // two windows: the corpus stratum window + the undercut guard
+    // over the quota-sized result
+    assert(plan.linesIterator.count(_.contains("Window [")) == 2, plan)
   }
 
   test("dedup and ANN operators leave no executor storage behind (no persists at all)") {
@@ -238,12 +250,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-wide exchange is the stratum window's
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"mixture quota join shuffles the corpus:\n$plan")
-    // two windows since the r9 backfill: the corpus stratum window
-    // (partitioned by lang) and the largest-remainder rank over the
-    // K-row quota frame — the latter's input is the bounded counts
-    // agg, never the corpus
-    assert(plan.linesIterator.count(_.contains("Window [")) == 2,
-      s"expected stratum + quota-rank windows:\n$plan")
+    // three windows since r9: the corpus stratum window (its input
+    // bounded by the quantile pre-cut — assert the threshold filter
+    // is present), the largest-remainder rank over the K-row quota
+    // frame, and the undercut guard over the quota-sized result
+    assert(plan.contains("conv(substring(md5"),
+      s"quantile pre-cut filter missing below the stratum window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) == 3,
+      s"expected stratum + quota-rank + guard windows:\n$plan")
   }
 
   test("documents scan for dedup_exact prunes to the text column") {
