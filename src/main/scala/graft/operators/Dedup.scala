@@ -377,7 +377,36 @@ object Dedup {
   /** Candidate pairs from banded buckets, verified with EXACT
     * Jaccard on the shingle sets — only candidates pay the
     * verification cost. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshPairs(spark, dir, bRestrict = None)
+
+  /** Fresh-crawl form (round 9): near-dup pairs that TOUCH the new
+    * slice (doc_id >= the 90% split — the shared fixed-fraction
+    * convention), sketched and banded against the whole corpus —
+    * minhash's twin of `dedup_incremental` (ngram/PPJoin) and
+    * `dedup_semantic_incremental` (embedding/IVF). The b side of the
+    * banded bucket join derives from a SEPARATE filtered documents
+    * scan, so the restriction reaches parquet as a pushed doc_id
+    * filter and the slice branch shingles + sketches ONLY the fresh
+    * crawl; the a side keeps the full-corpus pipeline (at warehouse
+    * scale those signatures would be persisted alongside the corpus,
+    * exactly like the IVF index's posting lists). Candidate volume
+    * is new x corpus through band cooccurrence, never corpus².
+    * Because signatures and band hashes are per-row deterministic,
+    * the emitted pairs EQUAL the full operator's restricted to
+    * doc_b in the slice (pairs are doc_a < doc_b and the slice is
+    * the TOP of the id range, so "doc_b is new" is exactly "the
+    * pair touches the slice") — spec-pinned, same rows same scores. */
+  def dedupMinhashLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    dedupMinhashLshPairs(spark, dir, Some(restrict))
+  }
+
+  private def dedupMinhashLshPairs(spark: SparkSession, dir: String,
+                                   bRestrict: Option[Column]): DataFrame = {
     val rows = MinhashPerms / LshBands
     val docs = Tables.documents(spark, dir)
     val p = docs.sparkSession.sparkContext.defaultParallelism
@@ -392,7 +421,7 @@ object Dedup {
     // exchange, so it aggregates without a further shuffle
     val sigs = minhashSignaturesFromRows(
       hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
-    val bands = sigs
+    def bandsOf(s: DataFrame): DataFrame = s
       .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
@@ -401,8 +430,19 @@ object Dedup {
       // checkpoint materialized the same relation, but as a separate
       // scheduling barrier + a driver round-trip)
       .repartition(p, col("band"), col("bh"))
+    val bands = bandsOf(sigs)
+    // the incremental b side runs the WHOLE sketch pipeline on a
+    // filtered documents scan (pushed doc_id predicate — deliberate
+    // divergence from the shared exchange, same trade as the ngram
+    // incremental's b branch); the full form reuses the SAME bands
+    // val so its self-join keeps one shared exchange
+    val bandsB = bRestrict.map { f =>
+      val hb = sharedShingleArrays(docs.filter(f))
+      bandsOf(minhashSignaturesFromRows(
+        hb.select(col("doc_id"), explode(col("ghs")).as("gh"))))
+    }.getOrElse(bands)
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -579,10 +619,15 @@ object Dedup {
   val MinhashPairStagePath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_pairs.parquet"
 
+  val MinhashIncrPairStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") +
+      "minhash_pairs_incr.parquet"
+
   // stage once per corpus dir (VERDICT r8 item 3: the per-run
   // result write was the one oracle-staging cost left inside a
   // timed path after the r8 StagedVersion sweep)
   private val stagedPairs = new graft.StagedVersion[String]
+  private val stagedPairsIncr = new graft.StagedVersion[String]
 
   /** The driver entry for dedup_minhash_lsh: stage the verified
     * pairs ONCE per corpus dir for the DuckDB oracle, then return
@@ -600,6 +645,17 @@ object Dedup {
     dedupMinhashLsh(spark, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The incremental entry's staged form — same once-per-corpus
+    * memoized pair staging for the DuckDB oracle, same live-pipeline
+    * return. */
+  def dedupMinhashIncrementalStaged(spark: SparkSession, dir: String): DataFrame = {
+    stagedPairsIncr(dir) {
+      dedupMinhashLshIncremental(spark, dir)
+        .write.mode("overwrite").parquet(MinhashIncrPairStagePath)
+    }
+    dedupMinhashLshIncremental(spark, dir)
+  }
+
   /** DuckDB twin of dedup_minhash_lsh over the staged pair list:
     * re-derives the EXACT Jaccard of every pair the operator emitted
     * from the raw documents (DuckDB's own shingling, intersection
@@ -614,11 +670,23 @@ object Dedup {
     * asserted set equality with the full sweep — green builds could
     * turn red with no code change once corpus regeneration raised
     * the cumulative ~2e-4-per-true-pair miss probability.) */
-  private val dedupMinhashLshSql: String =
+  private val dedupMinhashLshSql: String = minhashLshSqlOver(MinhashPairStagePath, "")
+
+  /** The incremental twin re-scores the incremental staging AND
+    * re-applies the slice restriction itself (same integer-division
+    * split as the Spark side) — a Spark regression that emitted
+    * out-of-slice pairs would produce rows the oracle drops, so the
+    * hash check catches a broken restriction, not just a broken
+    * score. */
+  private val dedupMinhashIncrementalSql: String = minhashLshSqlOver(
+    MinhashIncrPairStagePath,
+    "\n  WHERE doc_b >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
+
+  private def minhashLshSqlOver(stagePath: String, pPredicate: String): String =
     s"""WITH sh AS (
        |  $ShingleCteSql
        |), p AS (
-       |  SELECT doc_a, doc_b FROM read_parquet('$MinhashPairStagePath/*.parquet')
+       |  SELECT doc_a, doc_b FROM read_parquet('$stagePath/*.parquet')$pPredicate
        |), pair AS (
        |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
        |  FROM p JOIN sh a ON a.doc_id = p.doc_a
@@ -636,6 +704,8 @@ object Dedup {
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),
+    GraftQuery("dedup_minhash_incremental", Some(dedupMinhashIncrementalSql),
+      dedupMinhashIncrementalStaged),
     GraftQuery("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
 }

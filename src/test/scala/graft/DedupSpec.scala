@@ -34,6 +34,23 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc != full, "split must actually restrict on this corpus")
   }
 
+  test("minhash incremental is exactly the full LSH pair set restricted to new doc_b") {
+    import org.apache.spark.sql.functions.max
+    val full = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val inc = Dedup.dedupMinhashLshIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // signatures and band hashes are per-row deterministic, so the
+    // b-side slice restriction commutes with candidate generation:
+    // same rows, same scores, same order — not merely a subset
+    assert(inc.toSeq == full.filter(_._2 >= split).toSeq,
+      s"incremental minhash pairs diverge from the restricted full set (split=$split)")
+    assert(inc.nonEmpty && inc.length != full.length,
+      "split must actually restrict on this corpus")
+  }
+
   test("minhash signatures are deterministic across partitionings") {
     val docs = Tables.documents(spark, dir)
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()

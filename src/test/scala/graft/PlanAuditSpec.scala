@@ -243,6 +243,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!atScale.contains("Window"), s"multi-assignment plans a window:\n$atScale")
   }
 
+  test("dedup_minhash_incremental: slice restriction is pushed to the b-side documents scan") {
+    val plan = formatted(operators.Dedup.dedupMinhashLshIncremental(spark, dir))
+    // the b branch is a SEPARATE filtered scan — the fresh crawl is
+    // sketched alone, so its restriction must reach parquet as a
+    // pushed doc_id predicate (the a side keeps the full pipeline)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"slice restriction not pushed to the b-side documents scan:\n$plan")
+    // candidate generation stays a banded equi-join at scale — no
+    // cartesian anywhere in the incremental plan
+    val atScale = planAtScale(operators.Dedup.dedupMinhashLshIncremental(spark, dir))
+    assert(!atScale.contains("CartesianProduct"), atScale)
+    assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
+  }
+
   test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one corpus window") {
     val plan = planAtScale(operators.Curation.sampleMixture(spark, dir))
     // the corpus side must never shuffle-join: quotas (one row per
