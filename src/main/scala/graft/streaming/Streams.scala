@@ -177,6 +177,59 @@ object Streams {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- stream-stream event-time interval join ----
+  /** Attribution window: a purchase is matched to every view by the
+    * same user in the preceding [[AttributionMin]] minutes. */
+  val AttributionMin = 30
+
+  /** Stream-STREAM interval join — the remaining streaming join
+    * shape after round 8's stream-static enrichment: BOTH sides are
+    * unbounded, so each buffers rows in the state store keyed by
+    * user_id until the other side's watermark passes the attribution
+    * window, at which point state is evicted. The event-time range
+    * condition on the two watermarked columns is what makes eviction
+    * possible — without it an inner stream-stream join must retain
+    * both sides forever. Inner-join semantics keep the one-shot
+    * output independent of micro-batch boundaries (a match is
+    * emitted whenever both rows have arrived; the watermark bounds
+    * STATE, not results), so the memory-sink table equals the batch
+    * self-join bit-for-bit and the batch oracle applies unchanged.
+    *
+    * At 100 TB-rate deployment the state store shards by user_id
+    * across executors and holds ~1 hour + 30 min of each side per
+    * key — bounded by the watermark delay, not the stream length. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionMin MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append())
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  private val streamJoinSql: String =
+    s"""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS view_us,
+       |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS purchase_us
+       |FROM events a JOIN events b
+       |  ON b.user_id = a.user_id
+       | AND a.event_type = 'view' AND b.event_type = 'purchase'
+       | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+       | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL $AttributionMin MINUTE
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // ---- streaming dedup with state ----
   // dropDuplicates on the key columns; emitting ONLY the key columns
   // keeps the result deterministic (which physical row survives is
@@ -340,6 +393,7 @@ object Streams {
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("stream_tumbling", Some(streamTumblingSql), streamTumbling),
     GraftQuery("stream_enrich", Some(streamEnrichSql), streamEnrich),
+    GraftQuery("stream_join", Some(streamJoinSql), streamJoin),
     GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup),
     GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))
 }

@@ -38,6 +38,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(cats == Set("engagement", "conversion", "reliability"))
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    import org.apache.spark.sql.functions._
+    val stream = Streams.streamJoin(spark, dir).collect().map(_.toString).toSeq
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL ${Streams.AttributionMin} MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+    // every emitted pair respects the attribution window
+    Streams.streamJoin(spark, dir).collect().foreach { r =>
+      val d = r.getLong(4) - r.getLong(3)
+      assert(d >= 0 && d <= Streams.AttributionMin * 60L * 1000000,
+        s"pair outside the attribution window: $r")
+    }
+  }
+
+  test("stream-stream join state is evicted once the watermark passes the window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = 1700000000L * 1000000
+    val vs = MemoryStream[(Long, Long, Long)] // (user_id, view_id, tsUs)
+    val ps = MemoryStream[(Long, Long, Long)]
+    val views = vs.toDS().toDF("user_id", "view_id", "vUs")
+      .withColumn("view_ts", timestamp_micros(col("vUs")))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = ps.toDS().toDF("p_user_id", "purchase_id", "pUs")
+      .withColumn("purchase_ts", timestamp_micros(col("pUs")))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("graft_join_evict_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      vs.addData((1L, 10L, base)); ps.addData((1L, 100L, base + 60L * 1000000))
+      q.processAllAvailable() // in-window match emitted
+      // advance both watermarks far past base + 30min + delay
+      vs.addData((2L, 11L, base + 7200L * 1000000)); ps.addData((2L, 101L, base + 7200L * 1000000))
+      q.processAllAvailable()
+      // a late purchase matching the long-evicted view must NOT join
+      ps.addData((1L, 102L, base + 120L * 1000000)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_join_evict_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 10L, 100L)), s"in-window match missing: $got")
+    assert(!got.contains((1L, 10L, 102L)), s"evicted-state match leaked through: $got")
+  }
+
   test("stream dedup emits exactly the distinct key set") {
     val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
     val batch = Tables.events(spark, dir)
