@@ -299,7 +299,139 @@ object TextOps {
        |    >= $RepetitionDupFracMax AS BIGINT) AS flagged
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_unigram_lm: corpus-LM familiarity scoring ----
+
+  /** Per-document unigram language-model score — the corpus-level
+    * quality signal behind CCNet-style LM filtering (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data": rank documents by LM perplexity, keep the
+    * head/middle, drop the tail). Log-free by design: mean log P(w)
+    * needs libm ln(), which does not agree bit-for-bit across
+    * engines (the trade tfidf_top_terms documents), so the score is
+    * the mean CORPUS FREQUENCY of the document's tokens — a monotone
+    * familiarity proxy with exact integer internals (`avg_cf`), plus
+    * the mean DOCUMENT FREQUENCY twin (`avg_df` — how broadly the
+    * doc's vocabulary is used across documents, which separates
+    * "common words" from "one spammy doc repeating itself"; the
+    * df/cf contrast is the same signal tfidf weighs). `tail_flag`
+    * marks documents whose mean token frequency falls below the
+    * corpus-wide token-weighted mean E[cf(w)] = Σcf²/Σcf (computed
+    * over token occurrences, not vocabulary entries — the same
+    * expectation the per-doc score estimates, so the flag is a
+    * self-calibrated head/tail split with no tuned constant).
+    *
+    * Exactness: all counts are integer sums (order-independent);
+    * the two corpus moments accumulate in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — both exact 128-bit integer sums — and every
+    * emitted ratio is one correctly-rounded IEEE double division of
+    * identical operands, rounded to 6 places; the flag compares the
+    * two already-rounded doubles, so both engines agree bitwise.
+    *
+    * Scale shape — ONE corpus tokenization, not three: the corpus
+    * moments are computed from the per-doc relation, not from a
+    * second vocabulary pass, because Σ_term cf² = Σ_docs sum_cf and
+    * Σ_term cf = Σ_docs n_tokens (each token occurrence contributes
+    * its term's cf exactly once either way) — so the "global model
+    * statistics" fall out of the same aggregate that scores the
+    * documents. The per-doc relation is then shared between its two
+    * consumers (the moment aggregate and the output projection)
+    * through one doc-count-sized repartition exchange (the round-5
+    * multi-consumer idiom — ReusedExchange, no storage barrier),
+    * and the single-row moment frame broadcasts back. Term skew
+    * ("the") is bounded by the tf pre-collapse: the score join fans
+    * out per DISTINCT (doc, term), not per occurrence, and AQE's
+    * skew-join split covers the residual head terms at cluster
+    * scale. */
+  def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(spark, dir)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    // tf is the FIRST share point: the vocabulary aggregate and the
+    // score join both consume the collapsed (doc_id, term, tf)
+    // relation through this one exchange instead of re-tokenizing
+    // the corpus. df counts doc_id ON PURPOSE (besides being the
+    // classic document frequency): without a doc_id reference the
+    // vocab branch would prune the column below the exchange and the
+    // two copies would stop canonicalizing to one shuffle (the
+    // sharedShingleArrays column-set rule).
+    val tf = whitespaceTokens(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .repartition(p)
+    val cf = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(col("doc_id")).as("df"))
+    val perDoc = tf.join(cf, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cf")).as("sum_cf"),
+        sum(col("tf") * col("df")).as("sum_df"))
+      // post-kernel share point: both consumers below reuse this
+      // doc-count-sized exchange instead of re-running the corpus
+      // tokenize + join lineage (audited in PlanAuditSpec).
+      // ROUND-ROBIN, not by-col: the broadcast join preserves the
+      // upstream hash(doc_id) partitioning, so a by-col repartition
+      // here is elided as redundant and the share point vanishes
+      // (the sharedShingleArrays trap)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // This aggregate references EVERY per-doc column (n_docs counts
+    // doc_id; the two df moments use sum_df) ON PURPOSE: exchange
+    // reuse compares canonicalized subtrees, and a moments branch
+    // that pruned any column below the repartition would diverge
+    // from the projection branch's copy — two near-identical corpus
+    // pipelines instead of one (the sharedShingleArrays column-set
+    // rule). Each dropped reference was measured to re-run the whole
+    // tokenize+join lineage once more.
+    val corpus = perDoc.agg(
+      sum(col("sum_cf").cast(dec)).as("scf2"),
+      sum(col("sum_df").cast(dec)).as("sdf"),
+      sum(col("n_tokens").cast(dec)).as("total"),
+      count(col("doc_id")).as("n_docs"))
+    val avgCf = round(col("sum_cf").cast("double") / col("n_tokens").cast("double"), 6)
+    val avgDf = round(col("sum_df").cast("double") / col("n_tokens").cast("double"), 6)
+    val corpusAvgCf = round(col("scf2").cast("double") / col("total").cast("double"), 6)
+    val corpusAvgDf = round(col("sdf").cast("double") / col("total").cast("double"), 6)
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cf"), col("sum_df"),
+        avgCf.as("avg_cf"), avgDf.as("avg_df"),
+        corpusAvgCf.as("corpus_avg_cf"), corpusAvgDf.as("corpus_avg_df"),
+        (avgCf < corpusAvgCf).cast("long").as("tail_flag"),
+        col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin on the shared `\S+` segmentation; HUGEINT is the
+    * 128-bit exact accumulator matching Spark's DECIMAL(38,0). */
+  private lazy val textUnigramLmSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(text, '$WsToken')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+       |), cf AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+       |    CAST(COUNT(doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), per_doc AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf.tf * cf.cf) AS BIGINT) AS sum_cf,
+       |    CAST(SUM(tf.tf * cf.df) AS BIGINT) AS sum_df
+       |  FROM tf JOIN cf ON tf.term = cf.term GROUP BY 1
+       |), corpus AS (
+       |  -- Σ_term cf² == Σ_docs sum_cf, Σ_term cf == Σ_docs n_tokens
+       |  SELECT SUM(CAST(sum_cf AS HUGEINT)) AS scf2,
+       |         SUM(CAST(sum_df AS HUGEINT)) AS sdf,
+       |         SUM(CAST(n_tokens AS HUGEINT)) AS total,
+       |         CAST(COUNT(doc_id) AS BIGINT) AS n_docs FROM per_doc
+       |)
+       |SELECT doc_id, n_tokens, sum_cf, sum_df,
+       |  round(CAST(sum_cf AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_cf,
+       |  round(CAST(sum_df AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_df,
+       |  round(CAST(scf2 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS corpus_avg_cf,
+       |  round(CAST(sdf AS DOUBLE) / CAST(total AS DOUBLE), 6) AS corpus_avg_df,
+       |  CAST(round(CAST(sum_cf AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    < round(CAST(scf2 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS BIGINT) AS tail_flag,
+       |  n_docs
+       |FROM per_doc CROSS JOIN corpus ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_unigram_lm", Some(textUnigramLmSql), textUnigramLm),
     GraftQuery("text_repetition", Some(textRepetitionSql), textRepetition),
     GraftQuery("text_ngram_freq", Some(textNgramFreqSql), textNgramFreq),
     GraftQuery("text_tokens", Some(textTokensSql), textTokens),

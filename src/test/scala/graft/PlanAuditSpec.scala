@@ -191,6 +191,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchemas")
   }
 
+  test("text_unigram_lm tokenizes the corpus once, shares per-doc via exchange reuse") {
+    val df = operators.TextOps.textUnigramLm(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the per-doc relation's repartition is the share point between
+    // the corpus-moment aggregate and the output projection — its
+    // exchange must be reused, and the corpus-wide explode must
+    // appear ONCE in the final plan (the naive vocabulary-pass form
+    // tokenized the corpus three times)
+    assert(plan.contains("ReusedExchange"),
+      s"per-doc exchange not reused between moments and projection:\n$plan")
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes <= 1, s"corpus tokenized $explodes times in the final plan:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source"),
+      s"unpruned documents scan: $readSchemas")
+  }
+
   test("dedup_semantic at scale: pair join shuffles on cid, no cartesian, no corpus x k window") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.LocalTableScanExec

@@ -112,6 +112,29 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, 5L, 2.0 / 5, 2.0 / 5, 1L)), out.mkString(", "))
   }
 
+  test("text_unigram_lm pins the corpus-frequency score on a hand-checked corpus") {
+    import spark.implicits._
+    // cf: a=3 b=2 c=1; total=6; scf2=9+4+1=14; E[cf]=14/6=2.333333
+    val docs = Seq(
+      (0L, "a a b"), // sum_cf = 2*3+1*2 = 8, avg 8/3 = 2.666667 -> head
+      (1L, "b c"),   // sum_cf = 2+1 = 3,    avg 1.5           -> tail
+      (2L, "a"),     // sum_cf = 3,          avg 3.0           -> head
+      (3L, "")       // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ulm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // df: a=2 b=2 c=1; doc0 sum_df=2*2+1*2=6, doc1 2+1=3, doc2 2;
+    // corpus: Σsum_df=11, total=6 -> corpus_avg_df=1.833333
+    val out = operators.TextOps.textUnigramLm(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getLong(8), r.getLong(9)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 8L, 6L, 2.666667, 2.0, 2.333333, 1.833333, 0L, 3L),
+      (1L, 2L, 3L, 3L, 1.5, 1.5, 2.333333, 1.833333, 1L, 3L),
+      (2L, 1L, 3L, 2L, 3.0, 2.0, 2.333333, 1.833333, 0L, 3L)), out.mkString(", "))
+  }
+
   test("text_quality ratios are well-formed on real data") {
     val rows = operators.TextOps.textQuality(spark, dir).collect()
     assert(rows.length == 500)
