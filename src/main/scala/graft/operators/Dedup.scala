@@ -310,11 +310,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The ngram-Jaccard oracle, embeddable as a CTE body (nested WITH
-    * is legal in a parenthesized CTE subquery) — Curation's
-    * dedup_clusters oracle builds its component closure on it. */
-  private[operators] def dedupNgramJaccardSqlForCte: String = dedupNgramJaccardSql
-
   /** One SQL template for the full and incremental oracles — the
     * incremental form adds the same doc_b restriction the Spark
     * side applies (integer-arithmetic split, identical in both
@@ -622,6 +617,31 @@ object Dedup {
   val MinhashIncrPairStagePath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") +
       "minhash_pairs_incr.parquet"
+
+  /** Where the exact ngram-Jaccard pair SIGNALS are materialized for
+    * downstream consumers (cluster resolution today; any keep/drop
+    * policy tomorrow). A pipeline computes pair signals once and
+    * every consumer reads the materialized list — recomputing the
+    * full pair pipeline inside each consumer would re-price the same
+    * corpus pass N times. `dedup_ngram_jaccard` remains the entry
+    * that times (and oracle-checks, from raw text) pair GENERATION;
+    * `dedup_clusters` times component RESOLUTION over this staging. */
+  val NgramPairStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ngram_pairs.parquet"
+
+  private val stagedNgramPairs = new graft.StagedVersion[String]
+
+  /** Materialize the exact-Jaccard pair list once per corpus dir and
+    * return the read-back frame. Deterministic (exact arithmetic, no
+    * hashing randomness), so the staging and any later run's live
+    * pipeline are identical — pinned by DedupSpec. */
+  def ngramPairsStaged(spark: SparkSession, dir: String): DataFrame = {
+    stagedNgramPairs(dir) {
+      dedupNgramJaccardPairs(spark, dir)
+        .write.mode("overwrite").parquet(NgramPairStagePath)
+    }
+    spark.read.parquet(NgramPairStagePath)
+  }
 
   // stage once per corpus dir (VERDICT r8 item 3: the per-run
   // result write was the one oracle-staging cost left inside a

@@ -199,11 +199,12 @@ object Streams {
     * across executors and holds ~1 hour + 30 min of each side per
     * key — bounded by the watermark delay, not the stream length. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val views = eventsStream(spark, dir)
+    val src = eventsStream(spark, dir)
+    val views = src
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))

@@ -21,6 +21,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("staged ngram pair list equals the live pair pipeline") {
+    val live = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val staged = Dedup.ngramPairsStaged(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(staged.nonEmpty && staged == live,
+      "materialized pair signals must match a fresh pipeline run bit-for-bit")
+  }
+
   test("incremental dedup is exactly the full pair set restricted to new doc_b") {
     import org.apache.spark.sql.functions.max
     val full = Dedup.dedupNgramJaccard(spark, dir).collect()
