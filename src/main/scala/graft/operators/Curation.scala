@@ -408,6 +408,166 @@ object Curation {
        |  FROM scored) t
        |WHERE term_rank <= $TfidfTopK ORDER BY doc_id, term_rank""".stripMargin
 
+  // ---- sample_importance: DSIR-style importance resampling ----
+
+  /** Hashed-feature space size for importance weighting. DSIR (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") hashes word n-grams into a fixed bucket space so
+    * the target/raw distribution estimate is a BOUNDED vector no
+    * matter the corpus size — the property that lets both bucket
+    * count tables broadcast at 100 TB. */
+  val ImportanceBuckets = 1024
+
+  /** How many pool documents the resampling keeps. */
+  val ImportanceTarget = 250
+
+  /** Per-document importance score over hashed word-bigram features.
+    * The published form weights doc x by p_target(x)/p_raw(x) under
+    * hashed n-gram unigram models and Gumbel-top-k samples by the
+    * weight; this implementation is the tau→0 limit (deterministic
+    * top-k by weight — the same limit sample_stratified takes by
+    * replacing random draws with the md5 permutation), and the
+    * weight is the LOG-FREE variant: the ratio of add-one-smoothed
+    * aggregate bucket frequencies
+    *
+    *   w(d) = (Σ_g (ct[b(g)]+1)) / (Σ_g (cr[b(g)]+1)) ·
+    *          (Nr+B)/(Nt+B)
+    *
+    * instead of the product of per-gram probability ratios, because
+    * Σ log p needs libm ln() which does not agree bit-for-bit across
+    * engines (the tfidf_top_terms / text_unigram_lm trade). All
+    * sufficient statistics are integer sums; the emitted weight is
+    * two correctly-rounded IEEE divisions and one multiply of
+    * identical operands, so both engines agree bitwise.
+    *
+    * Target = the held-out slice (doc_id >= the 90% split — the
+    * same "curated slice vs raw pool" idiom text_decontaminate
+    * uses); pool = the rest, scored and resampled.
+    *
+    * Scale shape — one DISJOINT corpus pass, the decontaminate
+    * idiom: the doc_id slice filters push to the parquet scans, so
+    * the target branch tokenizes only its slice and the pool branch
+    * only the rest (a single shared-exchange pass was measured
+    * WORSE: the slice filters push through the repartition into the
+    * scans, the branch subtrees stop canonicalizing, and the corpus
+    * tokenizes four times — the same pushdown-vs-share trap
+    * sharedShingleArrays documents). The pool's (doc_id, bucket, k)
+    * exchange IS shared by its two consumers (the cr bucket counts
+    * and the scoring join — both reference the full column set);
+    * the totals come from the ≤B-row count tables, never a third
+    * corpus pass; both count tables and both 1-row totals
+    * BROADCAST; the final selection is top-k
+    * (TakeOrderedAndProject — never a corpus-wide window). Docs
+    * with <2 tokens have no features and drop out of the pool
+    * (documented, deterministic). */
+  private[graft] def importanceScored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val B = ImportanceBuckets.toLong
+    val p = spark.sparkContext.defaultParallelism
+    // regexp_extract_all appears ONCE, inside the generator, so
+    // projection collapse cannot multiply the regex scan per
+    // reference; the lambda binds the token array once per row
+    val grams = docs.repartition(p, col("doc_id"))
+      .select(col("doc_id"), explode(flatten(transform(
+        array(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
+        t => when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))))).as("g"))
+      .select(col("doc_id"), pmod(expr("fnv1a64(g)"), lit(B)).as("bucket"))
+    // ONE corpus tokenization, materialized (the connectedComponents
+    // eager-checkpoint idiom, chosen over exchange-reuse sharing):
+    // the three consumers below carry DIFFERENT slice filters and
+    // inferred constraints, which push through a shared repartition
+    // into the scans and split the "shared" exchange into one full
+    // pipeline per consumer — measured as 4 corpus tokenizations
+    // before the checkpoint, 1 after. The materialization is the
+    // collapsed feature relation (≈ one shuffle file's volume), the
+    // same cost class as the exchange a reuse-based share would
+    // write anyway, but guaranteed by construction instead of bet
+    // on subtree canonicalization.
+    val tfb = grams.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    // one TAGGED count table (bucket, target-count, pool-count):
+    // B-row bound, so it broadcasts to the scoring join and its
+    // totals aggregate is free — never a second corpus pass
+    val counts = tfb.groupBy(col("bucket")).agg(
+      coalesce(sum(when(col("doc_id") >= lit(split), col("k"))), lit(0L)).as("ct"),
+      coalesce(sum(when(col("doc_id") < lit(split), col("k"))), lit(0L)).as("cr"))
+      .localCheckpoint(true)
+    val tots = counts.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("nt"),
+      coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val pool = tfb.filter(col("doc_id") < lit(split))
+      .join(broadcast(counts), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (col("ct") + lit(1L))).as("sum_t"),
+        sum(col("k") * (col("cr") + lit(1L))).as("sum_r"))
+    val wRaw = (col("sum_t").cast("double") / col("sum_r").cast("double")) *
+      ((col("nr") + lit(B)).cast("double") / (col("nt") + lit(B)).cast("double"))
+    pool.crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_t"), col("sum_r"),
+        round(wRaw, 6).as("weight"))
+  }
+
+  /** The driver entry: keep the ImportanceTarget highest-weight pool
+    * documents. Selection is orderBy+limit (TakeOrderedAndProject:
+    * each partition keeps k, the driver merges k — corpus-sort-free)
+    * and the rank window runs over the k survivors only. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val top = importanceScored(spark, dir)
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(ImportanceTarget)
+    val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
+    top.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select(col("sample_rank"), col("doc_id"), col("n_bigrams"),
+        col("sum_t"), col("sum_r"), col("weight"))
+      .orderBy(col("sample_rank"))
+  }
+
+  private lazy val sampleImportanceSql: String = {
+    val B = ImportanceBuckets
+    val fnv = TextOps.signedInt64Sql(TextOps.fnv1a64FoldSql("g"))
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+       |), big AS (
+       |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
+       |  FROM tok, UNNEST(range(1, len(t))) AS r(i)
+       |), tfb AS (
+       |  SELECT doc_id, (($fnv % $B) + $B) % $B AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM big GROUP BY 1, 2
+       |), s AS (SELECT MAX(doc_id) * 9 // 10 AS v FROM documents
+       |), ct AS (
+       |  SELECT bucket, CAST(SUM(k) AS BIGINT) AS ct FROM tfb
+       |  WHERE doc_id >= (SELECT v FROM s) GROUP BY 1
+       |), cr AS (
+       |  SELECT bucket, CAST(SUM(k) AS BIGINT) AS cr FROM tfb
+       |  WHERE doc_id < (SELECT v FROM s) GROUP BY 1
+       |), tots AS (
+       |  SELECT COALESCE(CAST(SUM(CASE WHEN doc_id >= (SELECT v FROM s) THEN k END) AS BIGINT), 0) AS nt,
+       |         COALESCE(CAST(SUM(CASE WHEN doc_id < (SELECT v FROM s) THEN k END) AS BIGINT), 0) AS nr
+       |  FROM tfb
+       |), pool AS (
+       |  SELECT tfb.doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(k * (COALESCE(ct.ct, 0) + 1)) AS BIGINT) AS sum_t,
+       |    CAST(SUM(k * (cr.cr + 1)) AS BIGINT) AS sum_r
+       |  FROM tfb LEFT JOIN ct USING (bucket) JOIN cr USING (bucket)
+       |  WHERE tfb.doc_id < (SELECT v FROM s)
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, n_bigrams, sum_t, sum_r,
+       |    round((CAST(sum_t AS DOUBLE) / CAST(sum_r AS DOUBLE))
+       |      * (CAST(nr + $B AS DOUBLE) / CAST(nt + $B AS DOUBLE)), 6) AS weight
+       |  FROM pool CROSS JOIN tots
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS sample_rank,
+       |  doc_id, n_bigrams, sum_t, sum_r, weight
+       |FROM scored ORDER BY weight DESC, doc_id LIMIT $ImportanceTarget""".stripMargin
+  }
+
   // ---- text_decontaminate: benchmark-leakage check ----
   /** A corpus document is flagged when at least this fraction of its
     * distinct shingles appears somewhere in the benchmark slice —
@@ -477,6 +637,7 @@ object Curation {
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("sample_stratified", Some(sampleStratifiedSql), sampleStratified),
     GraftQuery("sample_mixture", Some(sampleMixtureSql), sampleMixture),
+    GraftQuery("sample_importance", Some(sampleImportanceSql), sampleImportance),
     GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
     GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
 }

@@ -47,6 +47,34 @@ class CurationSpec extends AnyFunSuite {
     roots.values.foreach(r => assert(roots(r) == r))
   }
 
+  test("importance resampling: entry shape, and target near-dups outrank the pool median") {
+    val top = Curation.sampleImportance(spark, dir).collect()
+    assert(top.length == Curation.ImportanceTarget)
+    val weights = top.map(_.getAs[Double]("weight"))
+    assert(weights.zip(weights.tail).forall { case (a, b) => a >= b },
+      "weights must be non-increasing in rank order")
+    assert(top.map(_.getAs[Long]("sample_rank")).toSeq == (1L to top.length).toSeq)
+
+    // semantic pin: a pool doc that near-duplicates a TARGET-slice
+    // doc shares its bigram profile, so its importance weight must
+    // sit in the upper half of the pool distribution — the property
+    // DSIR selection exists to deliver
+    val scored = Curation.importanceScored(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val dupPoolDocs = operators.Dedup.dedupNgramJaccardIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, _) if a < split => a }.distinct
+    val dupWeights = dupPoolDocs.flatMap(scored.get)
+    assert(dupWeights.nonEmpty, "corpus must plant cross-split near-dups")
+    val all = scored.values.toArray.sorted
+    val median = all(all.length / 2)
+    assert(dupWeights.sum / dupWeights.size > median,
+      s"cross-split near-dups (mean ${dupWeights.sum / dupWeights.size}) " +
+        s"should outrank the pool median ($median)")
+  }
+
   test("mixture sample: quotas follow floor(N*sqrt(n)/S) and flatten dominant strata") {
     import spark.implicits._
     // hand-checked skew: counts 16/4/1 -> sqrt 4/2/1, S=7; with

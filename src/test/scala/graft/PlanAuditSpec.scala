@@ -310,6 +310,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected stratum + quota-rank + guard windows:\n$plan")
   }
 
+  test("sample_importance at scale: bounded count tables broadcast, top-k without a corpus sort") {
+    val plan = planAtScale(operators.Curation.sampleImportance(spark, dir))
+    // the ≤B-row bucket count tables and the 1-row totals must be
+    // the ONLY join build sides; the corpus feature stream never
+    // shuffle-joins
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"importance scoring shuffles the corpus into a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"totals join degenerated to a cartesian product:\n$plan")
+    // selection is top-k (per-partition keep-k + driver merge), not
+    // a corpus-wide sort; the rank window runs over the k survivors
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"importance selection sorts the corpus:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly the k-row rank window:\n$plan")
+  }
+
   test("documents scan for dedup_exact prunes to the text column") {
     val plan = formatted(operators.Dedup.dedupExact(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
