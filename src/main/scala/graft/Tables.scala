@@ -20,23 +20,48 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * map to its µs TimestampType. Read nanos as long and convert with
-    * integer division (`div`, not `/` — double division would lose
-    * precision at 1e18 ns magnitudes). Values are µs-exact in the
-    * generated data, so this equals DuckDB's ns→µs cast.
+  /** events.ts has shipped in two parquet encodings across testdata
+    * regenerations, so the loader adapts to what the file actually
+    * contains instead of assuming one:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session construction by [[GraftSession]]. Only set here as a
-    * fallback when absent — not mutated per call (see ADVICE r1). */
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to its µs
+    *    TimestampType, so (with `spark.sql.legacy.parquet.nanosAsLong`)
+    *    it arrives as a LongType of nanos. Convert with integer
+    *    division (`div`, not `/` — double division would lose
+    *    precision at 1e18 ns magnitudes). Values are µs-exact in the
+    *    generated data, so this equals DuckDB's ns→µs cast.
+    *  - plain µs TIMESTAMP (isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ. Cast to TimestampType — the session timezone is
+    *    pinned to UTC ([[GraftSession]]), so the cast is
+    *    wall-clock-preserving and yields the exact instants the nanos
+    *    path produced, keeping window/watermark arithmetic and DuckDB
+    *    oracle hashes unchanged.
+    *
+    * Any other encoding fails loudly with the observed schema — one
+    * clear data-contract error instead of N downstream analysis
+    * errors. */
   def events(s: SparkSession, d: String): DataFrame = {
     // fallback ONLY when truly unset — an explicit user `false` is
     // respected (the read will then fail loudly, which is correct)
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** Normalize `ts` to TimestampType per the contract above. Shared by
+    * the batch loader and the streaming source ([[graft.streaming.Streams]])
+    * so both paths accept every known encoding identically. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts data contract violated: got $other, expected INT64 nanos, " +
+          s"TIMESTAMP, or TIMESTAMP_NTZ. Events schema: ${raw.schema.treeString}")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -18,16 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Events as a stream: the batch schema (ns epoch `ts` → µs
-    * timestamp, same as Tables.events) read via `readStream`. */
+  /** Events as a stream: same `ts` normalization as `Tables.events`
+    * (the batch loader), applied to whatever encoding the parquet
+    * file actually carries (ns-as-long, µs NTZ, or µs TZ) — see
+    * [[graft.Tables.normalizeEventsTs]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file-stream source requires a directory: stream the parent
     // dir filtered down to the events table file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Stateful-shuffle width for the one-shot driver entries. A
