@@ -160,23 +160,44 @@ object Dedup {
     * AQE coalesces the tiny post-shuffle stage to one task and runs
     * it inside a broadcast-build thread — measured 1-task stages of
     * seconds). Verifying on the shared-exchange hash arrays does
-    * ZERO new shingle work and streams the shuffle partitions
-    * through the join fully parallel.
+    * ZERO new shingle work.
+    *
+    * Rounds 5-10 carried the full per-doc hash ARRAYS through the
+    * candidate joins and intersected in-row — fine at sf0.1, but the
+    * shuffle rows are whole documents' shingle sets, and at sf10 the
+    * verify stage's sort spill exceeded the box's free disk
+    * (BASELINE.md; VERDICT r10 item 5: the family's declared exact
+    * baseline could not run at all at scale). This form is the
+    * oracle's own shape instead: attach the a-side EXPLODED hashed
+    * shingles to each pair, equi-join against the b-side exploded
+    * relation on (doc_id, gh), and count matches — |A∩B| as a
+    * grouped COUNT over fixed-width long rows. Every shuffle row is
+    * three longs, sort-merge spills linearly, and no executor ever
+    * holds a whole shingle set in one row. Same score, same output:
+    * both arrays are hash-distinct by construction, so the match
+    * count IS the intersection size the array_intersect computed,
+    * and pairs with zero matches (which the array form emitted with
+    * jaccard 0 and then filtered) simply never leave the count join
+    * — identical survivors for any positive threshold.
     *
     * `hashed` must be a [[sharedShingleArrays]]-shaped relation (its
-    * exchange is what x and y reuse); `cand` stays LAZY — its
-    * upstream shuffles are materialized as AQE stages inside the one
-    * terminal job, and any runtime broadcast is built from that
-    * stage output, not by re-running candidate generation (the r4
-    * serial-broadcast trap applied to lazily-PERSISTED subplans,
-    * which no longer exist here). Output is UNORDERED. */
+    * doc_id exchange is what both exploded sides and the size lookups
+    * reuse); `cand` stays LAZY — its upstream shuffles are
+    * materialized as AQE stages inside the one terminal job, and any
+    * runtime broadcast is built from that stage output, not by
+    * re-running candidate generation (the r4 serial-broadcast trap
+    * applied to lazily-PERSISTED subplans, which no longer exist
+    * here). Output is UNORDERED. */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
-    val x = hashed.select(col("doc_id").as("doc_a"), col("ghs").as("gs_a"), col("n").as("n_a"))
-    val y = hashed.select(col("doc_id").as("doc_b"), col("ghs").as("gs_b"), col("n").as("n_b"))
-    cand
-      .join(x, Seq("doc_a"))
-      .join(y, Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+    val ex = hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val sizes = hashed.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
