@@ -77,4 +77,25 @@ object Tables {
     case "events" => events(s, d).createOrReplaceTempView("events")
     case n        => table(s, d, n).createOrReplaceTempView(n)
   }
+
+  /** Fingerprint of one table's parquet file listing (names, sizes,
+    * mtimes) — a driver metadata op, no data read. Version key for
+    * anything persisted FROM a table (IVF indexes, minhash sketch
+    * tables): a regenerated or appended corpus changes the listing,
+    * so consumers rebuild instead of silently serving stale derived
+    * state. Full SHA-256, not hashCode — a 32-bit collision would
+    * silently serve stale persisted state for a changed corpus, and
+    * persisted artifacts can outlive the JVM that built them. */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*"))
+    val listing =
+      if (stats == null || stats.isEmpty) Seq(fs.getFileStatus(p))
+      else stats.toSeq
+    val s = listing.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }

@@ -390,40 +390,64 @@ object Dedup {
         array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
   }
 
-  /** Candidate pairs from banded buckets, verified with EXACT
-    * Jaccard on the shingle sets — only candidates pay the
-    * verification cost. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    dedupMinhashLshPairs(spark, dir, bRestrict = None)
-
-  /** Fresh-crawl form (round 9): near-dup pairs that TOUCH the new
-    * slice (doc_id >= the 90% split — the shared fixed-fraction
-    * convention), sketched and banded against the whole corpus —
-    * minhash's twin of `dedup_incremental` (ngram/PPJoin) and
-    * `dedup_semantic_incremental` (embedding/IVF). The b side of the
-    * banded bucket join derives from a SEPARATE filtered documents
-    * scan, so the restriction reaches parquet as a pushed doc_id
-    * filter and the slice branch shingles + sketches ONLY the fresh
-    * crawl; the a side keeps the full-corpus pipeline (at warehouse
-    * scale those signatures would be persisted alongside the corpus,
-    * exactly like the IVF index's posting lists). Candidate volume
-    * is new x corpus through band cooccurrence, never corpus².
-    * Because signatures and band hashes are per-row deterministic,
-    * the emitted pairs EQUAL the full operator's restricted to
-    * doc_b in the slice (pairs are doc_a < doc_b and the slice is
-    * the TOP of the id range, so "doc_b is new" is exactly "the
-    * pair touches the slice") — spec-pinned, same rows same scores. */
-  def dedupMinhashLshIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val restrict = incrementalSplit(docs)
-      .map(split => col("doc_id") >= lit(split))
-      .getOrElse(lit(false))
-    dedupMinhashLshPairs(spark, dir, Some(restrict))
+  /** The (band, bh) bucket relation of a (doc_id, sig) signature
+    * frame, behind a pinned exchange on the join's own distribution:
+    * computed once and read from both sides of the bucket self-join
+    * (the r4 eager checkpoint materialized the same relation, but as
+    * a separate scheduling barrier + a driver round-trip). */
+  private def lshBandsOf(s: DataFrame, p: Int): DataFrame = {
+    val rows = MinhashPerms / LshBands
+    s.select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
+      .repartition(p, col("band"), col("bh"))
   }
 
-  private def dedupMinhashLshPairs(spark: SparkSession, dir: String,
-                                   bRestrict: Option[Column]): DataFrame = {
-    val rows = MinhashPerms / LshBands
+  /** Where the corpus minhash SKETCH TABLE — (doc_id, ghs, n, sig),
+    * the per-document hashed shingle set plus its 64-perm signature
+    * — is persisted, keyed on the documents table's file-listing
+    * fingerprint (Tables.fingerprint, the IVF index's version
+    * convention). This is the "signatures persisted alongside the
+    * corpus" column BASELINE.md promised: the steady-state
+    * incremental operator READS it instead of re-sketching the
+    * full corpus every run, so the nightly cost is slice-sized
+    * sketching + the banded join + candidate verification against
+    * persisted arrays. At warehouse scale this lives next to the
+    * manifest as a bucketed-by-doc_id table; here it shares the
+    * oracle stage-dir lifecycle. Build cost is paid once per corpus
+    * VERSION (regenerated/appended data re-stages via the
+    * fingerprint key) and is deterministic — the staged rows equal
+    * what any later live pipeline would compute, so consumers'
+    * outputs are identical either way (spec-pinned). */
+  val MinhashSketchPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_sketch.parquet"
+
+  private val stagedSketch = new graft.StagedVersion[(String, String)]
+
+  /** Read (building if this corpus version is not yet staged) the
+    * persisted sketch table for `dir`. */
+  def minhashSketchTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedSketch((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      val hashed = sharedShingleArrays(Tables.documents(spark, dir))
+      // the signature groupBy(doc_id) and the build join both sit on
+      // the shared doc_id exchange — one shingle pass, no extra
+      // shuffle, one write
+      val sigs = minhashSignaturesFromRows(
+        hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
+      hashed.join(sigs, Seq("doc_id"))
+        .write.mode("overwrite").parquet(MinhashSketchPath)
+    }
+    spark.read.parquet(MinhashSketchPath)
+  }
+
+  /** Candidate pairs from banded buckets, verified with EXACT
+    * Jaccard on the shingle sets — only candidates pay the
+    * verification cost. This entry times the FULL fused pipeline
+    * (sketch + band + verify in one job); the incremental entry
+    * below times the steady-state regime over the persisted sketch
+    * table — the same split as ann_ivf (build+probe fused) vs
+    * ann_ivf_probe (probe over the persisted index). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // same shared-exchange shape as the ngram path: ONE shingle
@@ -435,35 +459,56 @@ object Dedup {
     val hashed = sharedShingleArrays(docs)
     // the signature groupBy(doc_id) sits directly on the doc_id
     // exchange, so it aggregates without a further shuffle
-    val sigs = minhashSignaturesFromRows(
-      hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
-    def bandsOf(s: DataFrame): DataFrame = s
-      .select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
-      // pinned (band, bh) exchange: the self-join's OWN distribution,
-      // computed once and read from both sides (the r4 eager
-      // checkpoint materialized the same relation, but as a separate
-      // scheduling barrier + a driver round-trip)
-      .repartition(p, col("band"), col("bh"))
-    val bands = bandsOf(sigs)
-    // the incremental b side runs the WHOLE sketch pipeline on a
-    // filtered documents scan (pushed doc_id predicate — deliberate
-    // divergence from the shared exchange, same trade as the ngram
-    // incremental's b branch); the full form reuses the SAME bands
-    // val so its self-join keeps one shared exchange
-    val bandsB = bRestrict.map { f =>
-      val hb = sharedShingleArrays(docs.filter(f))
-      bandsOf(minhashSignaturesFromRows(
-        hb.select(col("doc_id"), explode(col("ghs")).as("gh"))))
-    }.getOrElse(bands)
+    val bands = lshBandsOf(minhashSignaturesFromRows(
+      hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))), p)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Fresh-crawl form (round 9; persisted a-side round 11): near-dup
+    * pairs that TOUCH the new slice (doc_id >= the 90% split — the
+    * shared fixed-fraction convention), banded against the whole
+    * corpus — minhash's twin of `dedup_incremental` (ngram/PPJoin)
+    * and `dedup_semantic_incremental` (embedding/IVF).
+    *
+    * The a side reads the PERSISTED sketch table
+    * ([[minhashSketchTable]]): band hashes derive from stored
+    * signatures and verification joins stored shingle arrays, so the
+    * full corpus is never re-shingled in the steady state — the
+    * amortization BASELINE.md promised, now built. The b side runs
+    * the whole sketch pipeline on a filtered documents scan (pushed
+    * doc_id predicate), sketching ONLY the fresh crawl. Candidate
+    * volume is new x corpus through band cooccurrence, never
+    * corpus². Because signatures and band hashes are per-row
+    * deterministic, the emitted pairs EQUAL the full operator's
+    * restricted to doc_b in the slice (pairs are doc_a < doc_b and
+    * the slice is the TOP of the id range, so "doc_b is new" is
+    * exactly "the pair touches the slice") — spec-pinned, same rows
+    * same scores, persisted or live. */
+  def dedupMinhashLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    val p = spark.sparkContext.defaultParallelism
+    val sk = minhashSketchTable(spark, dir)
+    val bands = lshBandsOf(sk.select(col("doc_id"), col("sig")), p)
+    val hb = sharedShingleArrays(docs.filter(restrict))
+    val bandsB = lshBandsOf(minhashSignaturesFromRows(
+      hb.select(col("doc_id"), explode(col("ghs")).as("gh"))), p)
     val cand = bands.as("a")
       .join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, sk.select(col("doc_id"), col("ghs"), col("n")))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
