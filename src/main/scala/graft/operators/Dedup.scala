@@ -162,45 +162,105 @@ object Dedup {
     * seconds). Verifying on the shared-exchange hash arrays does
     * ZERO new shingle work.
     *
-    * Rounds 5-10 carried the full per-doc hash ARRAYS through the
-    * candidate joins and intersected in-row — fine at sf0.1, but the
-    * shuffle rows are whole documents' shingle sets, and at sf10 the
-    * verify stage's sort spill exceeded the box's free disk
-    * (BASELINE.md; VERDICT r10 item 5: the family's declared exact
-    * baseline could not run at all at scale). This form is the
-    * oracle's own shape instead: attach the a-side EXPLODED hashed
-    * shingles to each pair, equi-join against the b-side exploded
-    * relation on (doc_id, gh), and count matches — |A∩B| as a
-    * grouped COUNT over fixed-width long rows. Every shuffle row is
-    * three longs, sort-merge spills linearly, and no executor ever
-    * holds a whole shingle set in one row. Same score, same output:
-    * both arrays are hash-distinct by construction, so the match
-    * count IS the intersection size the array_intersect computed,
-    * and pairs with zero matches (which the array form emitted with
-    * jaccard 0 and then filtered) simply never leave the count join
-    * — identical survivors for any positive threshold.
+    * SCALE SHAPE (round 11). Two earlier forms each died at a
+    * different decade on candidate-heavy corpora (the synthetic
+    * 30-word vocabulary admits ~3.8M PPJoin candidates for 2.9k true
+    * pairs at sf1, and candidates grow ~quadratically at fixed
+    * vocabulary):
     *
-    * `hashed` must be a [[sharedShingleArrays]]-shaped relation (its
-    * doc_id exchange is what both exploded sides and the size lookups
-    * reuse); `cand` stays LAZY — its upstream shuffles are
-    * materialized as AQE stages inside the one terminal job, and any
-    * runtime broadcast is built from that stage output, not by
-    * re-running candidate generation (the r4 serial-broadcast trap
-    * applied to lazily-PERSISTED subplans, which no longer exist
-    * here). Output is UNORDERED. */
+    *  - rounds 5-10 carried the full per-doc hash arrays through the
+    *    candidate joins and intersected in-row: optimal CPU, but the
+    *    exchange between the two attach joins ships one whole
+    *    shingle set PER PAIR — O(pairs x doc_size) shuffle bytes,
+    *    and at sf10 the sort spill exceeded free disk (BASELINE.md).
+    *  - the oracle's exploded-count join (attach a-side exploded
+    *    shingles per pair, equi-join b-side on (doc_id, gh), count)
+    *    spills linearly but materializes O(pairs x shingles_per_doc)
+    *    ROWS — 1.6e9 at sf1, measured 8x slower than the array form.
+    *
+    * This form bounds BOTH: a B x B verification grid (the classic
+    * parallel theta-join layout). Pairs ship as bare longs to cell
+    * (bucket(doc_a), bucket(doc_b)); each doc's shingle array is
+    * replicated only to its row + column of the grid (2B-1 cells);
+    * per cell, a cogroup builds an id -> sorted-array map and runs
+    * an imperative sorted-merge intersection per pair. Shuffle is
+    * O(B x corpus + pairs) — decoupled from the pair count, the
+    * term that explodes — and per-pair work is the optimal
+    * n_a + n_b merge. Per-task memory is ~2/B of the corpus shingle
+    * volume: B rises with corpus size (defaultParallelism here; at
+    * warehouse scale set it so corpus_bytes/B fits an executor's
+    * task memory). mapGroups-style typed cogroup is the right tool,
+    * not a non-plan escape hatch: the per-cell hash-map + merge
+    * kernel is imperative by nature (same rationale as the
+    * multimodal codecs), and everything around it stays relational.
+    *
+    * Same scores as both prior forms: arrays are hash-distinct by
+    * construction, so the merge count IS |A∩B|, and
+    * inter/(n_a+n_b-inter) is the same one IEEE division the oracle
+    * computes. Zero-intersection candidates never survive the
+    * positive threshold either way. Output is UNORDERED.
+    *
+    * `hashed` must be a [[sharedShingleArrays]]-shaped relation;
+    * `cand` stays LAZY — its upstream shuffles are materialized as
+    * AQE stages inside the one terminal job (the r4
+    * serial-broadcast trap applied to lazily-PERSISTED subplans,
+    * which no longer exist here). */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
-    val ex = hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))
-    val sizes = hashed.select(col("doc_id"), col("n"))
-    val inter = cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    val spark = cand.sparkSession
+    import spark.implicits._
+    // Grid side B ~ sqrt(2 x parallelism): B² cells ≈ 2 cells per
+    // task for balance, and because a task's cogroup consumes keys
+    // SEQUENTIALLY, only ONE cell's doc map (~2/B of the corpus
+    // shingle volume) is live per task at a time. B = parallelism
+    // (the first cut) replicated the corpus 63x and kept ~2x the
+    // whole corpus's arrays live across concurrent tasks — GC
+    // thrash, measured 10x slower than this setting at sf1 under
+    // the 8g harness heap. The conf overrides when 2/B of the
+    // corpus shingle volume exceeds a task's memory budget (big
+    // corpus, small executors): shuffle grows O(B x corpus),
+    // per-task memory shrinks O(corpus/B) — size B to the cluster.
+    val b = spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
+      .getOrElse(math.max(2, math.ceil(math.sqrt(2.0 *
+        spark.sparkContext.defaultParallelism)).toInt))
+    // grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
+    // not a hash: ids are assigned sequentially so residues are
+    // uniform, and the SAME bucketing must be computed on the doc
+    // side below.
+    val pairs = cand.select(
+      (pmod(col("doc_a"), lit(b)) * b + pmod(col("doc_b"), lit(b))).as("cell"),
+      col("doc_a"), col("doc_b")).as[(Long, Long, Long)]
+    // every doc serves its grid ROW (as a potential doc_a: cells
+    // bucket*B + j) and its grid COLUMN (as doc_b: cells i*B +
+    // bucket); the diagonal cell appears in both sequences, deduped
+    // with array_distinct so the map build sees each doc once.
+    // array_sort BELOW the replication: one sort per doc, not one
+    // per replica — replicas copy already-sorted bytes.
+    val docsRep = hashed.select(col("doc_id"), array_sort(col("ghs")).as("ghs"))
+      .select(
+        explode(array_distinct(concat(
+          transform(sequence(lit(0), lit(b - 1)),
+            j => pmod(col("doc_id"), lit(b)) * b + j),
+          transform(sequence(lit(0), lit(b - 1)),
+            i => i * b + pmod(col("doc_id"), lit(b)))))).as("cell"),
+        col("doc_id"), col("ghs")).as[(Long, Long, Array[Long])]
+    pairs.groupByKey(_._1).cogroup(docsRep.groupByKey(_._1)) { (_, ps, ds) =>
+      val arrs = new java.util.HashMap[Long, Array[Long]]()
+      ds.foreach { d => arrs.put(d._2, d._3) }
+      ps.flatMap { case (_, docA, docB) =>
+        val (ga, gb) = (arrs.get(docA), arrs.get(docB))
+        if (ga == null || gb == null)
+          throw new IllegalStateException(
+            s"verify grid: candidate pair ($docA, $docB) references a doc absent from the shingle relation")
+        var (i, j, inter) = (0, 0, 0)
+        while (i < ga.length && j < gb.length) {
+          if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ga(i) < gb(j)) i += 1
+          else j += 1
+        }
+        val jac = inter.toDouble / (ga.length + gb.length - inter)
+        if (jac >= JaccardThreshold) Iterator.single((docA, docB, jac)) else Iterator.empty
+      }
+    }.toDF("doc_a", "doc_b", "jaccard")
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----
