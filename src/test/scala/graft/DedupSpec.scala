@@ -21,6 +21,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("verify grid is partition-invariant: gridSide override changes no pair") {
+    // the B x B verification grid is pure layout — any B must yield
+    // the identical pair set and scores (pins the
+    // graft.verify.gridSide deployment knob and the grid's
+    // replicate/cogroup bookkeeping, including the diagonal-cell
+    // dedup, at a B where cells hold most of the corpus)
+    val auto = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("graft.verify.gridSide", "2")
+    try {
+      val b2 = Dedup.dedupNgramJaccard(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(auto.nonEmpty && b2 == auto)
+    } finally spark.conf.unset("graft.verify.gridSide")
+  }
+
   test("staged ngram pair list equals the live pair pipeline") {
     val live = Dedup.dedupNgramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
