@@ -39,6 +39,15 @@ object Dedup {
   val ShingleN = 16
   val JaccardThreshold = 0.8
 
+  /** (eps, confidence, seed) of the shingle-rarity count-min sketch:
+    * eps 2e-4 x confidence 0.9 ≈ 300 KB — broadcastable at any
+    * corpus size; the sketch only drives a pruning-quality ORDERING
+    * heuristic, so coarse estimates suffice and the smaller
+    * width/depth keeps the single-reducer partial-sketch merge off
+    * the critical path. ONE definition for the live aggregate and
+    * the persisted staging so they can never desync. */
+  val CmsParams: (Double, Double, Int) = (0.0002, 0.9, 42)
+
   /** The ONE DuckDB form of the Spark shingle kernel's grammar
     * (distinct ShingleN-char substrings per doc), interpolated as
     * the `sh` CTE body by every oracle that re-derives shingles from
@@ -279,11 +288,7 @@ object Dedup {
                              bRestrict: Option[Column] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Global shingle rarity as a count-min sketch: ONE bounded-size
-    // aggregate (eps 2e-4 x confidence 0.9, ~300 KB — broadcastable
-    // at any corpus size; the sketch only drives a pruning-quality
-    // ORDERING heuristic, so coarse estimates suffice and the
-    // smaller width/depth keeps the single-reducer partial-sketch
-    // merge off the critical path), collected once like the IVF
+    // aggregate (see CmsParams), collected once like the IVF
     // centroids. Rarity ranks
     // then come from a per-document local sort inside the
     // graft_ppjoin_prefix kernel — prefix construction does ZERO
@@ -298,19 +303,32 @@ object Dedup {
     // pass per corpus, exact up to 64-bit xxhash collisions — see
     // the kernel's doc for the honest bound.
     graft.functions.GraftFunctions.register(spark)
-    // ONE shared-exchange relation feeds the sketch aggregate, the
-    // prefix kernel, and (through prefix) both sides of the
-    // self-join. This call runs exactly TWO jobs: the CMS `head`
-    // (which must finish before the sketch can be bound into the
-    // prefix expression) and the caller's terminal action — round 4
-    // paid two additional eager-checkpoint barriers (cand, verified)
-    // plus cache encode/decode and an unpersist hand-off; all of
-    // that is now a single lazy plan whose shared stages AQE
-    // materializes once (see sharedShingleArrays).
-    val hashed = sharedShingleArrays(docs)
-    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      hashed.select(explode(col("ghs")).as("gh"))
-        .select(expr("count_min_sketch(gh, 0.0002d, 0.9d, 42)")).head.getAs[Array[Byte]](0))
+    // FULL sweep: ONE shared-exchange relation feeds the sketch
+    // aggregate, the prefix kernel, and (through prefix) both sides
+    // of the self-join — exactly TWO jobs, the CMS `head` and the
+    // caller's terminal action (see sharedShingleArrays).
+    // INCREMENTAL sweep: the steady-state regime instead reads the
+    // persisted sketch table (same (doc_id, ghs, n) columns — the
+    // parquet is the materialized shared exchange) and the persisted
+    // CMS bytes, so no shingle kernel and no corpus-wide aggregate
+    // run at all; the slice restriction pushes into the b branch as
+    // a doc_id predicate on the SAME parquet. Both CMS sources give
+    // identical counts (partial-sketch merges are element-wise adds
+    // — order-free), and any consistent sketch only steers candidate
+    // pruning; exact verification makes the final pairs equal either
+    // way (spec-pinned).
+    val (hashed, sketch) = bRestrict match {
+      case Some(_) =>
+        val sk = minhashSketchTable(spark, dir).select(col("doc_id"), col("ghs"), col("n"))
+        (sk, org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ShingleCmsPath))))
+      case None =>
+        val h = sharedShingleArrays(docs)
+        (h, org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          h.select(explode(col("ghs")).as("gh"))
+            .select(expr(s"count_min_sketch(gh, ${CmsParams._1}d, ${CmsParams._2}d, ${CmsParams._3})"))
+            .head.getAs[Array[Byte]](0)))
+    }
     // the sketch binds PER CALL, directly into the expression tree —
     // a session-global temp function closing over it would let two
     // interleaved calls on different dirs analyze against the wrong
@@ -482,6 +500,14 @@ object Dedup {
   val MinhashSketchPath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_sketch.parquet"
 
+  /** The corpus shingle-rarity count-min sketch, persisted next to
+    * the sketch table by the same staging (one corpus pass writes
+    * both): the incremental ngram entry reads it instead of paying
+    * a corpus-wide aggregate per run. ~300 KB — a driver-side file
+    * read, not a data job. */
+  val ShingleCmsPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "shingle_cms.bin"
+
   private val stagedSketch = new graft.StagedVersion[(String, String)]
 
   /** Read (building if this corpus version is not yet staged) the
@@ -496,6 +522,15 @@ object Dedup {
         hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
       hashed.join(sigs, Seq("doc_id"))
         .write.mode("overwrite").parquet(MinhashSketchPath)
+      // CMS over the STAGED table, not the live pipeline: same
+      // counts (the staged rows ARE the pipeline's output), and the
+      // aggregate's input is a parquet scan instead of a second
+      // kernel pass
+      val cms = spark.read.parquet(MinhashSketchPath)
+        .select(explode(col("ghs")).as("gh"))
+        .select(expr(s"count_min_sketch(gh, ${CmsParams._1}d, ${CmsParams._2}d, ${CmsParams._3})"))
+        .head.getAs[Array[Byte]](0)
+      java.nio.file.Files.write(java.nio.file.Paths.get(ShingleCmsPath), cms)
     }
     spark.read.parquet(MinhashSketchPath)
   }
