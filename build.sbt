@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdio through verbatim: the default logger
+// strategy re-tags every child line with [info]/[error], which is
+// what broke the driver's parse of Bench's one-line JSON metrics in
+// BENCH_r10 ("parsed": null — the line arrived as `[info] {...}`).
+run / outputStrategy := Some(StdoutOutput)
 // Suites share one SparkSession and several temporarily flip session
 // confs (codegen, maxPartitionBytes, autoBroadcastJoinThreshold);
 // parallel suite execution would race those mutations. With

@@ -66,7 +66,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The JSON result line must be the LAST thing on stdout: the
+    // driver extracts it from the captured process tail, and r10's
+    // artifact recorded `parsed: null` because shutdown-time WARN
+    // lines landed after (and interleaved with) the metrics line.
+    // Silence logging before stop() so teardown can't print over it,
+    // THEN emit the line and flush.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
