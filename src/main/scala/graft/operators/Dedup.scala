@@ -214,23 +214,61 @@ object Dedup {
     * AQE stages inside the one terminal job (the r4
     * serial-broadcast trap applied to lazily-PERSISTED subplans,
     * which no longer exist here). */
-  private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
+  /** Grid side B for the verification grid. Two pressures, one knob:
+    *
+    *  - BALANCE floor: B ~ sqrt(2 x parallelism) gives ~2 cells per
+    *    task. B = parallelism (the first cut) replicated the corpus
+    *    63x and kept ~2x the whole corpus's arrays live across
+    *    concurrent tasks — GC thrash, measured 10x slower than the
+    *    floor at sf1 under the 8g harness heap.
+    *  - MEMORY ceiling: a task's cogroup consumes keys SEQUENTIALLY,
+    *    so ONE cell's doc map (~2/B of the corpus shingle volume) is
+    *    live per task at a time — but `parallelism` tasks run
+    *    concurrently, so the heap must hold parallelism x 2/B x
+    *    volume. Round 11's first sf10 run proved the floor alone is
+    *    not a default: 500k docs x ~290 shingles ≈ 1.2 GB of hashes,
+    *    and at B=8 the 32 concurrent ~300 MB maps OOM'd the 8 GB
+    *    harness heap. B now RISES until the per-task map fits a
+    *    budget of maxHeap/3/parallelism (object overhead on
+    *    Array[Long] values is a few percent — the 1/3 covers the
+    *    pair stream, shuffle buffers, and the rest of the stage).
+    *
+    * `volumeBytes` is the ~8 x Σ shingles estimate from the
+    * documents table's n_chars column — a one-column parquet scan,
+    * never the shingle kernel. Raising B trades shuffle for memory
+    * (replication grows O(B x corpus), per-task memory shrinks
+    * O(corpus/B)); a cluster deployment sizes the budget to its
+    * executors via `graft.verify.gridSide` (hard override) — at
+    * warehouse scale the candidate-pair volume this grid exists to
+    * decouple from is also far tamer than the synthetic 30-word
+    * vocabulary that produces 3.85M candidates per 50k docs here.
+    * Grid-side invariance is spec-pinned (any B, same pairs, same
+    * scores), so the sizing choice can never change results. */
+  private[graft] def gridSideFor(volumeBytes: Long, maxHeap: Long,
+                                 parallelism: Int): Int = {
+    val floor = math.max(2, math.ceil(math.sqrt(2.0 * parallelism)).toInt)
+    val budget = math.max(1L, maxHeap / 3 / parallelism)
+    val memSide = math.ceil(2.0 * volumeBytes / budget).toInt
+    math.max(floor, memSide)
+  }
+
+  /** ~bytes of 64-bit shingle hashes the corpus expands to, from the
+    * stored n_chars (each doc yields max(0, n_chars - N + 1) distinct
+    * shingles at most). One tiny single-column aggregate — deliberately
+    * NOT computed from the shingle relation itself, which would
+    * re-run the kernel as a sizing pre-pass. */
+  private def shingleVolumeBytes(docs: DataFrame): Long = {
+    val row = docs.agg(sum(greatest(col("n_chars") - lit(ShingleN - 1), lit(0L)))).head
+    if (row.isNullAt(0)) 0L else 8L * row.getLong(0)
+  }
+
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
+                            volumeBytes: Long): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    // Grid side B ~ sqrt(2 x parallelism): B² cells ≈ 2 cells per
-    // task for balance, and because a task's cogroup consumes keys
-    // SEQUENTIALLY, only ONE cell's doc map (~2/B of the corpus
-    // shingle volume) is live per task at a time. B = parallelism
-    // (the first cut) replicated the corpus 63x and kept ~2x the
-    // whole corpus's arrays live across concurrent tasks — GC
-    // thrash, measured 10x slower than this setting at sf1 under
-    // the 8g harness heap. The conf overrides when 2/B of the
-    // corpus shingle volume exceeds a task's memory budget (big
-    // corpus, small executors): shuffle grows O(B x corpus),
-    // per-task memory shrinks O(corpus/B) — size B to the cluster.
     val b = spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
-      .getOrElse(math.max(2, math.ceil(math.sqrt(2.0 *
-        spark.sparkContext.defaultParallelism)).toInt))
+      .getOrElse(gridSideFor(volumeBytes, Runtime.getRuntime.maxMemory,
+        spark.sparkContext.defaultParallelism))
     // grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
     // not a hash: ids are assigned sequentially so residues are
     // uniform, and the SAME bucketing must be computed on the doc
@@ -373,7 +411,7 @@ object Dedup {
     // read the shared shingle exchange — nothing is persisted, so
     // there is nothing to release (ADVICE r3/r4 storage-leak class
     // is gone by construction)
-    verifyJaccard(cand, hashed)
+    verifyJaccard(cand, hashed, shingleVolumeBytes(docs))
   }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -383,7 +421,7 @@ object Dedup {
     * doc_id >= (max_id * 9) / 10 play the "fresh crawl". A fixed
     * fraction (not a fixed id) keeps the entry meaningful at every
     * SF; integer arithmetic keeps the two engines' splits identical. */
-  private[operators] def incrementalSplit(docs: DataFrame): Option[Long] = {
+  private[graft] def incrementalSplit(docs: DataFrame): Option[Long] = {
     // None when the corpus is empty (or has only null ids): no
     // slice exists, so no pair can touch it
     val row = docs.agg(max(col("doc_id"))).head
@@ -468,16 +506,35 @@ object Dedup {
         array((0 until MinhashPerms).map(k => col(s"mh_$k")): _*).as("sig"))
   }
 
+  /** Per-ROW minhash signature of one hashed-shingle array — the
+    * streaming twin's form: a stream computes each fresh document's
+    * signature inside its own row (no aggregation, so no streaming
+    * state), where the batch path min-aggregates exploded shingles.
+    * Both evaluate min over xxhash64(gh, k) for k in [0, 64) on the
+    * same long/int argument types, so the values are identical
+    * (spec-pinned); `array_min` on an empty array would yield null,
+    * so callers filter empty shingle sets first — mirroring the
+    * batch aggregation, where a doc with no shingles has no rows and
+    * thus no signature. */
+  private[graft] def rowMinhashSig(ghs: Column): Column =
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      k => array_min(transform(ghs, g => xxhash64(g, k))))
+
   /** The (band, bh) bucket relation of a (doc_id, sig) signature
     * frame, behind a pinned exchange on the join's own distribution:
     * computed once and read from both sides of the bucket self-join
     * (the r4 eager checkpoint materialized the same relation, but as
     * a separate scheduling barrier + a driver round-trip). */
-  private def lshBandsOf(s: DataFrame, p: Int): DataFrame = {
+  private[graft] def lshBandsOf(s: DataFrame, p: Int, carry: Seq[String] = Nil): DataFrame = {
     val rows = MinhashPerms / LshBands
-    s.select(col("doc_id"), explode(sequence(lit(0), lit(LshBands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh"))
+    // `carry` columns ride along unchanged (the streaming twin keeps
+    // each fresh doc's shingle array next to its bands so the verify
+    // join needs no second pass over the stream) — the band/bh
+    // DERIVATION stays this one definition for every consumer.
+    val c = carry.map(col)
+    s.select(col("doc_id") +: explode(sequence(lit(0), lit(LshBands - 1))).as("band") +: col("sig") +: c: _*)
+      .select(col("doc_id") +: col("band") +:
+        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh") +: c: _*)
       .repartition(p, col("band"), col("bh"))
   }
 
@@ -562,7 +619,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashed).orderBy(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, hashed, shingleVolumeBytes(docs))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Fresh-crawl form (round 9; persisted a-side round 11): near-dup
@@ -602,7 +660,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sk.select(col("doc_id"), col("ghs"), col("n")))
+    verifyJaccard(cand, sk.select(col("doc_id"), col("ghs"), col("n")),
+        shingleVolumeBytes(docs))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -637,12 +696,69 @@ object Dedup {
     * at least one of the 4 16-bit bands; exact popcount(xor) filters
     * the candidates. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(Tables.documents(spark, dir))
-    val bands = sigs.select(col("doc_id"), col("sim"),
-        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .withColumn("bits", expr("shiftrightunsigned(sim, band * 16) & 65535"))
+    val bands = simhashBandsOf(simhashSignatures(Tables.documents(spark, dir)))
     val cand = bands.as("a")
       .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Where the corpus SIMHASH SIGNATURE table — (doc_id, sim), 16
+    * bytes a document — is persisted, fingerprint-keyed like the
+    * minhash sketch table. The simhash family's persisted column is
+    * even cheaper than minhash's: one long per doc, so at 100 TB the
+    * whole table is a few GB — trivially bucketable by (band, bits)
+    * for the incremental probe. */
+  val SimhashSigPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "simhash_sigs.parquet"
+
+  private val stagedSimhash = new graft.StagedVersion[(String, String)]
+
+  /** Read (building once per corpus version) the persisted simhash
+    * signature table for `dir`. Deterministic: the staged rows equal
+    * what the live pipeline computes, so consumers are identical
+    * either way (spec-pinned). */
+  def simhashSigTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedSimhash((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      simhashSignatures(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(SimhashSigPath)
+    }
+    spark.read.parquet(SimhashSigPath)
+  }
+
+  /** The pigeonhole band relation of a (doc_id, sim) signature frame
+    * — ONE definition for both sides of every simhash band join. */
+  private def simhashBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bits", expr("shiftrightunsigned(sim, band * 16) & 65535"))
+
+  /** Fresh-crawl simhash dedup: hamming<=3 pairs that TOUCH the new
+    * slice (doc_id >= the shared 90% split), completing the
+    * incremental family (ngram, minhash, semantic, simhash). The a
+    * side reads the PERSISTED signature table — the steady state
+    * tokenizes and signs ONLY the fresh slice (pushed doc_id
+    * predicate on the documents scan); candidate volume is
+    * new x corpus through band cooccurrence. Exact by the same
+    * pigeonhole argument as the full operator, so the oracle is the
+    * brute-force hamming definition restricted to the slice. */
+  def dedupSimhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    val bandsA = simhashBandsOf(simhashSigTable(spark, dir))
+    val bandsB = simhashBandsOf(simhashSignatures(docs.filter(restrict)))
+    val cand = bandsA.as("a")
+      .join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -664,7 +780,15 @@ object Dedup {
     * per doc (the same sign convention: ties at 0 -> bit 0); the
     * signature is assembled in HUGEINT (1::BIGINT << 63 overflows
     * DuckDB's checked shift) then mapped into signed-long range. */
-  private lazy val dedupSimhashSql: String = {
+  private lazy val dedupSimhashSql: String = simhashSqlWith("")
+
+  /** The incremental twin's oracle adds the same slice restriction
+    * the Spark side applies (integer-arithmetic split, identical in
+    * both engines) to the brute-force pair join. */
+  private lazy val dedupSimhashIncrementalSql: String = simhashSqlWith(
+    "\n  AND b.doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
+
+  private def simhashSqlWith(bPredicate: String): String = {
     val bitSums = (0 until 64).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i").mkString(",\n    ")
     val simSum = (0 until 64).map(i =>
@@ -685,7 +809,7 @@ object Dedup {
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id$bPredicate
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -863,7 +987,7 @@ object Dedup {
     MinhashIncrPairStagePath,
     "\n  WHERE doc_b >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
-  private def minhashLshSqlOver(stagePath: String, pPredicate: String): String =
+  private[graft] def minhashLshSqlOver(stagePath: String, pPredicate: String): String =
     s"""WITH sh AS (
        |  $ShingleCteSql
        |), p AS (
@@ -888,5 +1012,7 @@ object Dedup {
     GraftQuery("dedup_minhash_incremental", Some(dedupMinhashIncrementalSql),
       dedupMinhashIncrementalStaged),
     GraftQuery("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
+    GraftQuery("dedup_simhash_incremental", Some(dedupSimhashIncrementalSql),
+      dedupSimhashIncremental),
     GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
 }

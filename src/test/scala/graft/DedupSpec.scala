@@ -76,6 +76,45 @@ class DedupSpec extends AnyFunSuite {
       "split must actually restrict on this corpus")
   }
 
+  test("simhash incremental is exactly the full pair set restricted to new doc_b") {
+    import org.apache.spark.sql.functions.max
+    val full = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val inc = Dedup.dedupSimhashIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the persisted a-side signatures equal the live pipeline's
+    // (deterministic token hashing), so the slice restriction
+    // commutes: same rows, same hamming distances, same order
+    assert(inc.toSeq == full.filter(_._2 >= split).toSeq,
+      s"incremental simhash pairs diverge from the restricted full set (split=$split)")
+  }
+
+  test("persisted simhash signature table equals the live signatures") {
+    val live = Dedup.simhashSignatures(Tables.documents(spark, dir))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val staged = Dedup.simhashSigTable(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(staged == live)
+  }
+
+  test("verify grid side: balance floor on small corpora, memory-driven rise on big ones") {
+    val g8 = 8L << 30
+    // small corpus: the sqrt(2p) balance floor governs
+    assert(Dedup.gridSideFor(0L, g8, 32) == 8)
+    assert(Dedup.gridSideFor(10L << 20, g8, 32) == 8)
+    // the round-11 OOM shape: ~1.2 GB of shingle hashes, 8 GB heap,
+    // 32 concurrent tasks — B must rise so one cell map fits the
+    // per-task budget (maxHeap/3/parallelism)
+    val b = Dedup.gridSideFor(1200L << 20, g8, 32)
+    assert(b > 8, s"B=$b did not rise for a heap-exceeding corpus")
+    val budget = g8 / 3 / 32
+    assert(2.0 * (1200L << 20) / b <= budget, s"cell map at B=$b still exceeds the budget")
+    // more heap relaxes B back toward the floor
+    assert(Dedup.gridSideFor(1200L << 20, 32L << 30, 32) == 8)
+  }
+
   test("minhash signatures are deterministic across partitionings") {
     val docs = Tables.documents(spark, dir)
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()

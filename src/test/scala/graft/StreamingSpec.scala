@@ -101,6 +101,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains((1L, 10L, 102L)), s"evicted-state match leaked through: $got")
   }
 
+  test("per-row minhash signature equals the batch aggregate signature") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val hashed = operators.Dedup.sharedShingleArrays(docs)
+    val batch = operators.Dedup.minhashSignatures(docs)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val perRow = hashed.filter(size(col("ghs")) > 0)
+      .select(col("doc_id"), operators.Dedup.rowMinhashSig(col("ghs")).as("sig"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(batch.nonEmpty)
+    assert(perRow.toSeq == batch.toSeq)
+  }
+
+  test("streaming document near-dup gate equals the batch incremental operator") {
+    val stream = Streams.streamDedupDocs(spark, dir).collect().map(_.toString).toSeq
+    val batch = operators.Dedup.dedupMinhashLshIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stream dedup emits exactly the distinct key set") {
     val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
     val batch = Tables.events(spark, dir)
