@@ -1016,6 +1016,202 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- ann_ivf_pq: IVFADC — coarse cell pruning + PQ codes + exact re-rank ----
+
+  /** Stage paths for the fused index's PQ artifacts, keyed (via the
+    * memo below) on the IVF index version so a corpus regeneration
+    * re-encodes: the codebooks (m x k x subdim doubles — tiny) and
+    * the CODES table (vec_id, codes) partitioned by cid — the
+    * 5-byte-per-vector column a 100 TB vector warehouse actually
+    * scans. Both also feed the DuckDB twin. */
+  val IvfPqCodebookStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ivfpq_codebooks.parquet"
+  val IvfPqCodesStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ivfpq_codes.parquet"
+
+  private val stagedIvfPqCodes = new graft.StagedVersion[String]
+
+  /** IVFADC with exact re-ranking (Jégou, Douze, Schmid 2011 — the
+    * IVFADC-R layout FAISS ships as IVFPQ): the serving-tier ANN
+    * this library's scale story converges on.
+    *
+    *  - COARSE: the persisted IVF index routes each query to its
+    *    ivfProbes nearest cells — driver-side centroid ranking, and
+    *    the probed cell set reaches every scan below as a literal
+    *    `cid IN (...)` partition filter (static pruning, identical
+    *    to ann_ivf_probe).
+    *  - FINE: within probed cells the ranking scans the PQ CODES
+    *    table, not the vectors — asymmetric distance against the
+    *    m-lookup reconstruction (codegen'd vec_sqdist on the
+    *    broadcast codebook literal). Codes are encoded ONCE per
+    *    index version from the posting lists (amortized like the
+    *    index build itself); the steady-state probe reads ~5 bytes
+    *    per probed vector instead of 256.
+    *  - EXACT: each query's top PqRerank ADC candidates fetch their
+    *    full vectors from the posting lists BY ID (the partition
+    *    filter bounds that scan to the probed cells) and are
+    *    re-ranked by exact L2 — emitted distances are exact; the
+    *    codes only gate who gets the exact treatment.
+    *
+    * Same replica-SQL oracle pricing note as the ivf/pq family: the
+    * twin re-derives cell assignment from the staged centroids and
+    * codes from the staged codebooks, so a broken probe, encoder,
+    * ADC, or re-rank all fail the hash. Recall vs brute is pinned in
+    * SimilaritySpec (the floor composes IVF's cell-miss rate with
+    * PQ's coarse-ranking miss rate). */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val idx = ivfIndex(spark, dir)
+    stageCentroids(spark, idx)
+    // one-time (per index version) PQ build: train codebooks on the
+    // bounded sample, encode the posting lists, persist both
+    stagedIvfPqCodes(idx.listsPath) {
+      val e = Dedup.embeddingsWithNorm(spark, dir)
+      val n = e.count()
+      val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+      val starts = pqStarts(dim)
+      val codebooks = pqCodebooks(spark, e, n, starts)
+      codebooks.zipWithIndex
+        .flatMap { case (cb, j) => cb.map { case (cid, cv) => (j, cid, cv) } }
+        .toDF("j", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(IvfPqCodebookStagePath)
+      def codeExpr(j: Int): Column = {
+        val ds = array(codebooks(j).map { case (_, cv) =>
+          expr(s"vec_sqdist(slice(v, ${starts(j) + 1}, ${starts(j + 1) - starts(j)}), ${vecLitSql(cv)})")
+        }: _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }
+      ivfLists(spark, dir, idx)
+        .select(col("cid"), col("vec_id"),
+          array((0 until PqM).map(codeExpr): _*).as("codes"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(IvfPqCodesStagePath)
+    }
+    // steady-state probe: coarse route on the driver (same
+    // arithmetic/tie rule as ann_ivf_probe), ADC over pruned codes,
+    // exact re-rank over pruned lists
+    val cbRead = spark.read.parquet(IvfPqCodebookStagePath)
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    val np = ivfProbes(idx.cells)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      idx.centroids
+        .map { case (cid, cv) => (sqDistLocal(qv, cv), cid) }
+        .sorted.take(np)
+        .map { case (_, cid) => (qid, qv, cid) }
+    }
+    val probedCids = probes.map(_._3).distinct.sorted
+    val probesDf = probes.toDF("q_id", "qv", "cid")
+    val cbLit = cbRead.map(cb => cb.map(vecLitSql)
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val recon = expr(
+      s"flatten(transform(codes, (c, j) -> element_at(element_at($cbLit, j + 1), c + 1)))")
+    val codes = spark.read.parquet(IvfPqCodesStagePath)
+      .filter(col("cid").isin(probedCids: _*))
+    val scored = codes.withColumn("rv", recon)
+      .join(broadcast(probesDf), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adist", round(Dedup.sqDist("qv", "rv"), 6))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val candidates = scored.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= PqRerank)
+      .select(col("q_id"), col("qv"), col("vec_id"))
+    val fetch = ivfLists(spark, dir, idx)
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vec_id"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    candidates.join(fetch, Seq("vec_id"))
+      .withColumn("dist", round(Dedup.sqDist("qv", "v"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"), col("dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin: probe CTEs from the staged centroids (assignment
+    * argmin + query cell ranking — ann_ivf_probe's recipe), codes
+    * re-derived from the staged codebooks for vectors in probed
+    * cells only (the (dist, cid) tie rule), ADC against the ordered
+    * reconstruction, PqRerank cut, exact re-rank — every stage of
+    * the Spark plan has a checked SQL twin. */
+  private lazy val annIvfPqSql: String = {
+    def distFold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (x, y) -> x + y)""".stripMargin
+    val sub = s"list_slice(l.v, cb.j * len(l.v) // $PqM + 1, (cb.j + 1) * len(l.v) // $PqM)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT cid, cv FROM read_parquet('$CentroidStagePath/*.parquet')
+       |), k AS (
+       |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS np FROM c
+       |), ad AS (
+       |  SELECT vec_id, v, cid, ${distFold("v", "cv")} AS dist
+       |  FROM e, c
+       |), lists AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM ad) t
+       |  WHERE rn = 1
+       |), qd AS (
+       |  SELECT vec_id AS q_id, v AS qv, cid, ${distFold("v", "cv")} AS dist
+       |  FROM e, c WHERE vec_id < $QueryCount
+       |), probes AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q_id, qv, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cid) AS rn
+       |    FROM qd) t
+       |  WHERE rn <= (SELECT np FROM k)
+       |), pl AS (
+       |  SELECT l.vec_id, l.v, l.cid FROM lists l
+       |  WHERE l.cid IN (SELECT DISTINCT cid FROM probes)
+       |), cbook AS (
+       |  SELECT j, cid, cv FROM read_parquet('$IvfPqCodebookStagePath/*.parquet')
+       |), cdist AS (
+       |  SELECT l.vec_id, cb.j, cb.cid AS code, ${distFold(sub, "cb.cv")} AS dist
+       |  FROM pl l, cbook cb
+       |), codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+       |    FROM cdist) t
+       |  WHERE rn = 1
+       |), recon AS (
+       |  SELECT codes.vec_id, pl.cid, flatten(list(cb.cv ORDER BY codes.j)) AS rv
+       |  FROM codes JOIN cbook cb ON codes.j = cb.j AND codes.code = cb.cid
+       |             JOIN pl ON pl.vec_id = codes.vec_id
+       |  GROUP BY codes.vec_id, pl.cid
+       |), sc AS (
+       |  SELECT p.q_id, p.qv, r.vec_id,
+       |    round(${distFold("p.qv", "r.rv")}, 6) AS adist
+       |  FROM probes p JOIN recon r ON p.cid = r.cid AND p.q_id <> r.vec_id
+       |), cand AS (
+       |  SELECT q_id, qv, vec_id FROM (
+       |    SELECT q_id, qv, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS crank
+       |    FROM sc) t
+       |  WHERE crank <= $PqRerank
+       |), rr AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    round(${distFold("cand.qv", "b.v")}, 6) AS dist
+       |  FROM cand JOIN e b ON cand.vec_id = b.vec_id
+       |)
+       |SELECT q_id, vec_id, rank, dist FROM (
+       |  SELECT q_id, vec_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+       |  FROM rr) t
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- dedup_semantic: SemDeDup-style clustered embedding dedup ----
   /** Same cosine cut as the brute dedup_embedding baseline, so the
     * two entries answer the same question at two scale points. */
@@ -1285,6 +1481,10 @@ object Similarity {
   // PQ measures 0.90 at sf0.001 AND sf0.01 (SimilaritySpec pins
   // both) — same measured-minus-margin rule as the lsh/ivf floors.
   val RecallFloorPq = 0.80
+  // IVFADC composes IVF's cell-miss rate with PQ's coarse-ranking
+  // miss rate, so its floor sits below either component's
+  // (measured-minus-margin; SimilaritySpec pins two SFs).
+  val RecallFloorIvfPq = 0.70
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1324,6 +1524,7 @@ object Similarity {
     GraftQuery("ann_ivf", Some(annIvfSql), annIvf),
     GraftQuery("ann_ivf_probe", Some(annIvfProbeSql), annIvfProbe),
     GraftQuery("ann_pq", Some(annPqSql), annPq),
+    GraftQuery("ann_ivf_pq", Some(annIvfPqSql), annIvfPq),
     GraftQuery("ann_recall", Some(annRecallSql), annRecall),
     GraftQuery("dedup_semantic", Some(dedupSemanticSql), dedupSemantic),
     GraftQuery("dedup_semantic_incremental", Some(dedupSemanticIncrementalSql),

@@ -174,6 +174,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe still pays a dynamic-pruning subquery:\n$plan")
   }
 
+  test("ivf-pq probe prunes BOTH pruned scans (codes and fetch) statically") {
+    val dir = "/root/testdata/sf0.001"
+    val df = operators.Similarity.annIvfPq(spark, dir)
+    val plan = formatted(df)
+    // two cid-partitioned scans feed the probe — the ADC codes scan
+    // and the exact-re-rank vector fetch — and both must carry the
+    // literal cid IN (...) partition filter
+    val pruned = "PartitionFilters: \\[cid".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected 2 partition-pruned scans, found $pruned:\n$plan")
+    assert(!plan.contains("dynamicpruning"),
+      s"ivf-pq probe still pays a dynamic-pruning subquery:\n$plan")
+  }
+
   test("ivf cell assignment aggregates its argmin — no corpus x k window sort") {
     val e = operators.Dedup.embeddingsWithNorm(spark, "/root/testdata/sf0.001")
     val cents = operators.Similarity.kmeansCentroids(spark, e, 4, 1)

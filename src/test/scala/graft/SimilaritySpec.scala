@@ -58,6 +58,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq recall against exact L2 top-k clears the floor at two SFs") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val exact = exactL2Top(d)
+      val ip = pairs(Similarity.annIvfPq(spark, d))
+      val recall = (ip & exact).size.toDouble / exact.size
+      info(s"ivf-pq recall at $d: $recall")
+      assert(recall >= Similarity.RecallFloorIvfPq,
+        s"ivf-pq recall $recall < ${Similarity.RecallFloorIvfPq} at $d")
+    }
+  }
+
   test("ivf cell count scales with corpus size and stays bounded") {
     assert(Similarity.ivfCells(100) == 16)       // floor
     assert(Similarity.ivfCells(1000000) == 1000) // ~sqrt(n)
