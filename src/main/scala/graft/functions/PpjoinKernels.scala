@@ -55,6 +55,36 @@ object PpjoinKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** 64-perm MinHash signature of one hashed-shingle array, with
+    * Spark's exact `xxhash64(gh, k)` semantics: the multi-argument
+    * hash chains child hashes as seeds — hashInt(k, hashLong(gh,
+    * 42)) — so each shingle's first-stage hashLong is computed ONCE
+    * and reused across all `perms` permutations (the aggregate form
+    * re-hashes gh from scratch 64x per shingle; this loop pays 1
+    * hashLong + perms hashInt). Values are IDENTICAL to
+    * min(xxhash64(gh, k)) by construction — pinned by the
+    * per-row-equals-aggregate spec. Empty input yields an empty
+    * array (the aggregate form has no row at all — callers filter
+    * empty shingle sets before either path). */
+  def minhashSig(ghs: ArrayData, perms: Int): ArrayData = {
+    val n = ghs.numElements()
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h1 = XXH64.hashLong(ghs.getLong(i), 42L)
+      var k = 0
+      while (k < perms) {
+        val h = XXH64.hashInt(k, h1)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** First L entries of the doc's hashed shingles in (approx global
     * freq, hash) order, L = n - ceil(t*n) + 1, as struct(gh, rn)
     * rows. The 1e-9 slack under the ceil keeps double rounding from
@@ -136,4 +166,33 @@ case class PpjoinPrefixExpr(child: Expression, sketch: CountMinSketch, t: Double
     copy(child = newChild)
 
   override def prettyName: String = "graft_ppjoin_prefix"
+}
+
+/** `graft_minhash_sig(array<long>) → array<long>` — the 64-perm
+  * MinHash signature as one per-row kernel (see
+  * [[PpjoinKernels.minhashSig]]). Used by the streaming document
+  * gate (per-row, no aggregation state) and by the batch sketch
+  * builders (computed directly on the shared shingle-array relation
+  * — no explode and no 64-aggregate shuffle). */
+case class MinhashSigExpr(child: Expression, perms: Int)
+    extends UnaryExpression {
+  require(perms > 0, "perms must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires an array<long> argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PpjoinKernels.minhashSig(input.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PpjoinKernels.minhashSig($c, $perms)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
 }

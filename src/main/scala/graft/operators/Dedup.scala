@@ -143,7 +143,19 @@ object Dedup {
     // r5 #4). The trailing non-nullable literal exists only to keep
     // coalesce's output type non-nullable for the exchange hygiene
     // above; it is unreachable (raise_error throws first).
-    docs.repartition(p)
+    // Shingle-less docs (text shorter than one shingle) are dropped
+    // at the SOURCE with a raw-column predicate: `ghs` is empty iff
+    // numChars < ShingleN, so this is exactly "n > 0" — but phrased
+    // on `text` it pushes into the parquet scan and is IDENTICAL in
+    // every consumer branch. A post-kernel `filter(n > 0)` in one
+    // branch (the r11 kernel-signature path's first form) gets
+    // substituted through the projection by predicate pushdown,
+    // lands below both exchanges, and re-runs the whole shingle
+    // kernel serially in the scan stage of THAT branch while
+    // breaking exchange reuse with the others — measured 4.6x on
+    // dedup_minhash_lsh at sf1 (3.3 -> 15.3 s).
+    docs.filter(length(col("text")) >= ShingleN)
+      .repartition(p)
       .select(coalesce(col("doc_id"),
           raise_error(lit("dedup: null doc_id in corpus — shingle dedup requires non-null document ids")).cast("long"),
           lit(Long.MinValue)).as("doc_id"),
@@ -475,9 +487,16 @@ object Dedup {
   val LshBands = 16 // 16 bands x 4 rows
 
   /** (doc_id, sig): 64-perm MinHash signature via explode +
-    * 64 min-aggregates. Each shingle is materialized ONCE and hashed
-    * 64 times inside a partially-aggregated (map-side combined)
-    * groupBy — one shuffle of 64 longs per doc.
+    * 64 min-aggregates — the REFERENCE implementation, kept as the
+    * independent check the kernel path is spec-pinned against (and
+    * as the affinity-free form a reviewer can read next to Spark's
+    * own xxhash64). Operators run [[kernelSignatures]] instead: one
+    * codegen'd loop per document, no explode, no 64-aggregate
+    * shuffle, and the per-shingle hashLong stage hoisted out of the
+    * 64-permutation loop (the aggregate re-hashes gh from scratch
+    * per permutation). Shingle-less docs are excluded at the source
+    * (sharedShingleArrays' text-length predicate), matching the
+    * aggregate form, which never has a row for them.
     *
     * (The tempting one-projection nested-`transform` form is a trap:
     * Catalyst's projection collapse inlines the shingle-array
@@ -489,15 +508,7 @@ object Dedup {
     minhashSignaturesFromRows(hashedShingleRows(docs))
 
   /** The signature aggregation proper, over any (doc_id, gh)
-    * exploded-hashed-shingle relation — ONE definition shared by the
-    * public helper and the LSH operator, so the spec-tested
-    * signature can never desynchronize from the shipped one.
-    *
-    * One kernel hash per shingle (gh), then 64 cheap fixed-width
-    * re-hashes xxhash64(gh, k) — hashing the 16-char string 64x was
-    * the dominant signature cost; re-hashing the 8-byte long is a
-    * fraction of it. (An affine h*A_k+B_k permutation would be
-    * cheaper still but ANSI mode rejects wraparound multiply.) */
+    * exploded-hashed-shingle relation. */
   private[operators] def minhashSignaturesFromRows(rows: DataFrame): DataFrame = {
     val aggs = (0 until MinhashPerms).map(k =>
       min(xxhash64(col("gh"), lit(k))).as(s"mh_$k"))
@@ -516,9 +527,21 @@ object Dedup {
     * so callers filter empty shingle sets first — mirroring the
     * batch aggregation, where a doc with no shingles has no rows and
     * thus no signature. */
-  private[graft] def rowMinhashSig(ghs: Column): Column =
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      k => array_min(transform(ghs, g => xxhash64(g, k))))
+  private[graft] def rowMinhashSig(ghs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinhashSigExpr(
+      ColumnBridge.expression(ghs), MinhashPerms))
+  }
+
+  /** The kernel-path signature relation over a
+    * [[sharedShingleArrays]]-shaped frame: one codegen'd loop per
+    * document (1 hashLong + 64 hashInt per shingle), computed
+    * directly on the array relation — no explode, no 64-aggregate
+    * groupBy, no extra shuffle (the doc_id exchange is already
+    * there). Zero-shingle docs are dropped, exactly as the aggregate
+    * form never sees a row for them. */
+  private def kernelSignatures(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), rowMinhashSig(col("ghs")).as("sig"))
 
   /** The (band, bh) bucket relation of a (doc_id, sig) signature
     * frame, behind a pinned exchange on the join's own distribution:
@@ -572,12 +595,10 @@ object Dedup {
   def minhashSketchTable(spark: SparkSession, dir: String): DataFrame = {
     stagedSketch((dir, Tables.fingerprint(spark, dir, "documents"))) {
       val hashed = sharedShingleArrays(Tables.documents(spark, dir))
-      // the signature groupBy(doc_id) and the build join both sit on
-      // the shared doc_id exchange — one shingle pass, no extra
-      // shuffle, one write
-      val sigs = minhashSignaturesFromRows(
-        hashed.select(col("doc_id"), explode(col("ghs")).as("gh")))
-      hashed.join(sigs, Seq("doc_id"))
+      // per-row kernel signature computed IN the write projection —
+      // one shingle pass, no signature shuffle, no build join at all
+      hashed
+        .select(col("doc_id"), col("ghs"), col("n"), rowMinhashSig(col("ghs")).as("sig"))
         .write.mode("overwrite").parquet(MinhashSketchPath)
       // CMS over the STAGED table, not the live pipeline: same
       // counts (the staged rows ARE the pipeline's output), and the
@@ -603,16 +624,17 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // same shared-exchange shape as the ngram path: ONE shingle
-    // relation feeds the signature aggregation AND the final
+    // relation feeds the signature kernel AND the final
     // verification. This operator runs as a SINGLE job — no sketch
     // pre-pass, no checkpoints; every shared stage (shingle kernel,
-    // 64-aggregate signatures, banded buckets) is an AQE-reused
+    // per-row signatures, banded buckets) is an AQE-reused
     // exchange inside the caller's terminal action.
     val hashed = sharedShingleArrays(docs)
-    // the signature groupBy(doc_id) sits directly on the doc_id
-    // exchange, so it aggregates without a further shuffle
-    val bands = lshBandsOf(minhashSignaturesFromRows(
-      hashed.select(col("doc_id"), explode(col("ghs")).as("gh"))), p)
+    // per-row signature kernel directly on the doc_id exchange — no
+    // explode and no 64-aggregate shuffle (the r11 kernel path; the
+    // aggregate reference lives in minhashSignatures, spec-pinned
+    // equal)
+    val bands = lshBandsOf(kernelSignatures(hashed), p)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -652,8 +674,7 @@ object Dedup {
     val sk = minhashSketchTable(spark, dir)
     val bands = lshBandsOf(sk.select(col("doc_id"), col("sig")), p)
     val hb = sharedShingleArrays(docs.filter(restrict))
-    val bandsB = lshBandsOf(minhashSignaturesFromRows(
-      hb.select(col("doc_id"), explode(col("ghs")).as("gh"))), p)
+    val bandsB = lshBandsOf(kernelSignatures(hb), p)
     val cand = bands.as("a")
       .join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -304,8 +304,12 @@ object Streams {
       .map(split => freshAll.filter(col("doc_id") >= lit(split)))
       .getOrElse(freshAll.filter(lit(false)))
     val sigs = fresh
+      // shingle-less docs out on the RAW column, before the kernel —
+      // the same source-level predicate as sharedShingleArrays (a
+      // post-kernel size filter would let pushdown substitute the
+      // kernel into the scan's filter and run it twice per row)
+      .filter(length(col("text")) >= Dedup.ShingleN)
       .select(col("doc_id"), expr(s"graft_hash_shingles(text, ${Dedup.ShingleN})").as("ghs"))
-      .filter(size(col("ghs")) > 0) // empty docs have no batch signature either
       .select(col("doc_id"), col("ghs"), size(col("ghs")).as("n"),
         Dedup.rowMinhashSig(col("ghs")).as("sig"))
     val freshBands = Dedup.lshBandsOf(sigs, p, carry = Seq("ghs", "n"))

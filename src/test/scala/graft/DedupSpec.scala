@@ -179,9 +179,14 @@ class DedupSpec extends AnyFunSuite {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("null doc_id")),
       s"expected the null-doc_id raise_error, got: ${messages(ex)}")
-    // and a well-formed corpus is untouched by the guard
+    // a well-formed corpus is untouched by the guard, and
+    // shingle-less docs (text shorter than one shingle) are dropped
+    // at the source — they can never join a candidate pair, and the
+    // raw-column predicate keeps the exclusion identical across
+    // every consumer branch (no post-kernel filter to push down)
     val ok = Dedup.sharedShingleArrays(
-      Seq((1L, "aaaa bbbb cccc"), (2L, "bbbb cccc dddd")).toDF("doc_id", "text"))
+      Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, "bbbb cccc dddd eeee ffff"),
+        (3L, "too short")).toDF("doc_id", "text"))
     assert(ok.count() == 2)
   }
 }
