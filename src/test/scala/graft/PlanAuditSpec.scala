@@ -306,6 +306,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
   }
 
+  test("dedup_simhash_incremental: slice pushed to the b-side scan, a side reads persisted sigs") {
+    val plan = formatted(operators.Dedup.dedupSimhashIncremental(spark, dir))
+    // b side tokenizes ONLY the fresh slice: the restriction must
+    // reach the documents parquet as a pushed doc_id predicate
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"slice restriction not pushed to the b-side documents scan:\n$plan")
+    // a side reads the persisted signature table, not the corpus
+    assert(plan.contains("simhash_sigs"),
+      s"a side does not read the persisted signature table:\n$plan")
+    val atScale = planAtScale(operators.Dedup.dedupSimhashIncremental(spark, dir))
+    assert(!atScale.contains("CartesianProduct"), atScale)
+    assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
+  }
+
+  test("minhash signature kernel stays below the band explode (one eval per doc, not per band)") {
+    val plan = formatted(operators.Dedup.dedupMinhashLsh(spark, dir))
+    // the per-row kernel must be evaluated in a projection BENEATH
+    // the 16-way band Generate: collapsed above it, every doc pays
+    // 16 kernel evaluations and the allocation churn that entails
+    val sigLines = plan.linesIterator.filter(_.contains("graft_minhash_sig")).toSeq
+    assert(sigLines.nonEmpty, s"kernel absent from the plan:\n$plan")
+    assert(!sigLines.exists(_.contains("band")),
+      s"signature kernel collapsed into a per-band projection:\n${sigLines.mkString("\n")}")
+  }
+
   test("sample_mixture at scale: quota join is the broadcast of a bounded agg, one corpus window") {
     val plan = planAtScale(operators.Curation.sampleMixture(spark, dir))
     // the corpus side must never shuffle-join: quotas (one row per
