@@ -46,13 +46,31 @@ object Streams {
     * part of the operator. */
   val HarnessStatePartitions = 2
 
+  /** Effective state-store count: `graft.stream.statePartitions`
+    * overrides the batch-sized harness default. The default (2) is
+    * tuned for sf0.1-sized one-shot runs where per-store commit
+    * overhead dominates; at 10x the volume the stateful operators
+    * become partition-parallel compute (each store's task sorts and
+    * folds its keys' full event slice single-threaded), and 2 stores
+    * serialize it — measured for stream_sessionize over 10M events
+    * (sf10, local[32]): 45.2 s at 2 stores, 21.7 s at 16, 20.2 s at
+    * 32 — the knee sits near 16, after which the serial tail
+    * (memory-sink append + presentation sort of ~1.4M sessions +
+    * per-batch planning) dominates. A continuous deployment sizes
+    * this to keyspace x executors; the conf/env is the scale-run
+    * knob for the same decision. */
+  private def harnessStatePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("graft.stream.statePartitions").map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt))
+      .getOrElse(HarnessStatePartitions)
+
   /** Start `f`'s streaming query with the harness state sizing, then
     * restore the session conf (the running query keeps the value it
     * started with). */
   private def withHarnessStateSizing[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, HarnessStatePartitions.toString)
+    spark.conf.set(key, harnessStatePartitions(spark).toString)
     try f finally spark.conf.set(key, old)
   }
 
