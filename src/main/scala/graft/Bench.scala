@@ -73,7 +73,12 @@ object Bench {
     // Silence logging before stop() so teardown can't print over it,
     // THEN emit the line and flush.
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // stop() inside its own try: every measurement already exists, so
+    // a teardown failure (shutdown hook, state-store close) must not
+    // swallow the metrics line the whole run exists to produce
+    // (ADVICE r11). The failure still surfaces on stderr.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
   }

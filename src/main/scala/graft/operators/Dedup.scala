@@ -274,12 +274,34 @@ object Dedup {
     if (row.isNullAt(0)) 0L else 8L * row.getLong(0)
   }
 
+  /** The heap the verify grid's memory ceiling must fit: the TASK
+    * heap, not the driver's. In local mode the two are one JVM, so
+    * `Runtime.maxMemory` is exact; on a cluster the executors run
+    * their own JVMs sized by `spark.executor.memory`, and sizing B
+    * against a (often larger) driver heap would under-size the grid
+    * and reintroduce the executor OOM the ceiling exists to prevent
+    * (ADVICE r11). Non-local with the conf unset falls back to
+    * Spark's own 1g executor default — conservative (B only rises),
+    * with a loud warning that `graft.verify.gridSide` is the real
+    * cluster knob. */
+  private[graft] def taskHeapBytes(spark: SparkSession): Long = {
+    if (spark.sparkContext.master.startsWith("local")) Runtime.getRuntime.maxMemory
+    else spark.conf.getOption("spark.executor.memory") match {
+      case Some(m) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
+      case None =>
+        System.err.println(
+          "[graft] verify grid: non-local master with spark.executor.memory unset — " +
+            "sizing B against the 1g executor default; set graft.verify.gridSide to tune")
+        1L << 30
+    }
+  }
+
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
                             volumeBytes: Long): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
     val b = spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
-      .getOrElse(gridSideFor(volumeBytes, Runtime.getRuntime.maxMemory,
+      .getOrElse(gridSideFor(volumeBytes, taskHeapBytes(spark),
         spark.sparkContext.defaultParallelism))
     // grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
     // not a hash: ids are assigned sequentially so residues are
