@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real subword tokenization — byte-pair encoding with a learned,
+  * persisted merges table (VERDICT r11 item 2: the most-used
+  * operator in an actual training pipeline, since token budgets gate
+  * everything downstream). `text_tokens` (TextOps) remains the
+  * whitespace/regex baseline; this operator learns a merge
+  * vocabulary from the corpus (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") and reports exact
+  * BPE token counts per document.
+  *
+  * Exactness across engines: the tokenization is DEFINED as the
+  * sequential-replace form — encode each word's chars as
+  * boundary-flanked symbols (`_c_`, abutting `__`), then apply each
+  * merge (l, r) in rank order as one literal replace of `_l__r_`
+  * with `_lr_` (left-to-right, non-overlapping). That form is
+  * directly executable by DuckDB (a recursive CTE steps rank r → r+1
+  * over the staged merges table), is expressible as a fold of
+  * codegen'd `replace` Columns (the reference form the spec pins
+  * against), and equals the classic min-rank merge loop for any
+  * properly learned merge list. The native kernel
+  * (functions.BpeCodec) computes identical counts in one Java loop
+  * per DISTINCT word (thread-memoized).
+  *
+  * Scale design (100 TB lens):
+  *  - TRAINING is bounded: a deterministic [[BpeSampleDocs]]-doc
+  *    sample (md5 permutation order — the sampling family's
+  *    convention) collapsed to word counts, learned driver-side in
+  *    milliseconds; the PQ-codebook pattern (constant-size training
+  *    input regardless of corpus size).
+  *  - The MERGES TABLE is persisted once per corpus version
+  *    (fingerprint-keyed like the minhash sketch) — ≤ [[BpeMerges]]
+  *    rows, broadcast-trivial; steady-state tokenization reads it,
+  *    never retrains.
+  *  - TOKENIZATION is one codegen'd projection over the scan — no
+  *    shuffle, no join, scan-bound like the rest of the text family;
+  *    the per-thread word memo makes the merge loop amortize to
+  *    ~O(chars) on Zipf-shaped vocabularies.
+  */
+object Bpe {
+
+  /** Maximum learned merges. 64 keeps the recursive oracle bounded
+    * while covering the corpus vocabulary; real deployments raise it
+    * (the shapes are all rank-count-linear). */
+  val BpeMerges = 64
+
+  /** Bounded training sample size (docs), PQ-codebook style. */
+  val BpeSampleDocs = 512
+
+  /** Training stops when the best pair's sample count falls below
+    * this — merges memorizing one rare occurrence don't generalize. */
+  val MinPairCount = 2L
+
+  /** The shared normalization, identical codegen'd regexp in both
+    * engines: collapse non-alphanumeric runs to one space, then
+    * lowercase (ASCII-only after the strip, so case mapping is
+    * locale-free). All BPE arithmetic happens on this cleaned form. */
+  private[graft] def cleanedCol(text: Column): Column =
+    lower(regexp_replace(text, "[^A-Za-z0-9]+", " "))
+  private val CleanedSql = "lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))"
+
+  /** Where the merges table — (rank, lhs, rhs), rank 0-based — is
+    * persisted, fingerprint-keyed per corpus version (the minhash
+    * sketch's lifecycle). */
+  val BpeMergesStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "bpe_merges.parquet"
+
+  private val stagedMerges = new graft.StagedVersion[(String, String)]
+
+  /** Learn ≤ `maxMerges` merges from weighted word counts — the
+    * classic BPE loop: count adjacent symbol pairs (weighted by word
+    * frequency; overlapping positions each count, the standard
+    * quirk), take the max with a deterministic (count desc, lhs asc,
+    * rhs asc) tie-break, apply left-to-right non-overlapping,
+    * repeat. Driver-side: the input is the bounded sample's
+    * vocabulary, not the corpus. */
+  private[graft] def trainMerges(wordCounts: Seq[(String, Long)],
+                                 maxMerges: Int): Seq[(String, String)] = {
+    var seqs: Array[(Array[String], Long)] = wordCounts.sortBy(_._1).toArray
+      .map { case (w, c) => (w.toCharArray.map(String.valueOf(_)), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < maxMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < MinPairCount) done = true
+        else {
+          merges += ((l, r))
+          seqs = seqs.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge pass, left-to-right non-overlapping — the same
+    * semantics the codec, the replace fold, and the oracle use. */
+  private def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Stage (once per corpus version) and read the merges table. The
+    * sample is the first [[BpeSampleDocs]] documents in the md5
+    * permutation order (TakeOrderedAndProject — never a corpus
+    * sort), collapsed to word counts before collecting (vocabulary-
+    * bounded, ≪ sample text volume). */
+  def bpeMergesTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedMerges((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      val docs = Tables.documents(spark, dir)
+      val wordCounts = docs
+        .select(col("doc_id"), cleanedCol(col("text")).as("c"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(BpeSampleDocs)
+        .select(explode(split(col("c"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = trainMerges(wordCounts, BpeMerges)
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), rank) => (rank, l, r) }
+        .toDF("rank", "lhs", "rhs")
+        .coalesce(1).write.mode("overwrite").parquet(BpeMergesStagePath)
+    }
+    spark.read.parquet(BpeMergesStagePath)
+  }
+
+  /** The staged merges as a rank-ordered driver-side list — ≤
+    * [[BpeMerges]] rows, the bounded collect class (centroids,
+    * codebooks). */
+  private def mergesList(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesTable(spark, dir).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** REFERENCE form: token count as a fold of literal `replace`
+    * Columns over the flanked encoding — the sequential-replace
+    * definition executed by Spark's own builtins. The kernel is
+    * spec-pinned equal to this; the oracle is this same fold as a
+    * recursive CTE. n_words must be the word count of the same
+    * cleaned string. */
+  private[graft] def replaceChainCount(cleaned: Column,
+                                       merges: Seq[(String, String)]): Column = {
+    val encoded = regexp_replace(cleaned, "([a-z0-9])", "_$1_")
+    val folded = merges.foldLeft(encoded) { case (s, (l, r)) =>
+      replace(s, lit("_" + l + "__" + r + "_"), lit("_" + l + r + "_"))
+    }
+    val nWords = size(regexp_extract_all(cleaned, lit("[a-z0-9]+"), lit(0))).cast("long")
+    (length(folded) - length(replace(folded, lit("__"), lit("_")))).cast("long") + nWords
+  }
+
+  /** Per-document BPE token counts over the corpus — the driver
+    * entry. One projection over the scan: cleaned text → word count,
+    * alphanumeric char count, kernel token count, chars-per-token.
+    * Documents with no alphanumeric content are excluded (no words →
+    * nothing to tokenize; the oracle's word unnest drops them
+    * identically). */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesList(spark, dir)
+    val codec = new graft.functions.BpeCodec(
+      merges.flatMap { case (l, r) => Seq(l, r) }.toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = Tables.documents(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    val kernelCount = ColumnBridge.column(graft.functions.BpeTokenCountExpr(
+      ColumnBridge.expression(col("c")), codec))
+    docs
+      // spread the scan off the single input split (the text-family
+      // pinned-count repartition rationale — see TextOps)
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"), cleanedCol(col("text")).as("c"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("c"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
+        length(translate(col("c"), " ", "")).cast("long").as("n_alnum"),
+        kernelCount.as("n_tokens"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_alnum"), col("n_tokens"),
+        round(col("n_alnum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: tokenize the DISTINCT vocabulary with a recursive
+    * CTE stepping one merge rank per level (the sequential-replace
+    * definition verbatim), then join word instances back — per-word
+    * token counts sum to the per-doc counts exactly. Vocabulary-
+    * sized recursion, not corpus-sized. */
+  private lazy val textTokensBpeSql: String =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT rank, lhs, rhs FROM read_parquet('$BpeMergesStagePath/*.parquet')
+       |), nm AS (SELECT COUNT(*) AS n FROM m
+       |), dc AS (
+       |  SELECT doc_id, $CleanedSql AS c FROM documents
+       |), words AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(c, '[a-z0-9]+')) AS w FROM dc
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM words
+       |), enc(w, s, r) AS (
+       |  SELECT w, regexp_replace(w, '([a-z0-9])', '_\\1_', 'g'), 0 FROM vocab
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s, '_' || m.lhs || '__' || m.rhs || '_',
+       |                      '_' || m.lhs || m.rhs || '_'), e.r + 1
+       |  FROM enc e JOIN m ON m.rank = e.r
+       |), wtok AS (
+       |  SELECT w, (length(s) - length(replace(s, '__', '_'))) + 1 AS n_tok
+       |  FROM enc WHERE r = (SELECT n FROM nm)
+       |)
+       |SELECT w.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(w.w)) AS BIGINT) AS n_alnum,
+       |  CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(length(w.w)) AS DOUBLE) / CAST(SUM(t.n_tok) AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM words w JOIN wtok t ON w.w = t.w
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("text_tokens_bpe", Some(textTokensBpeSql), textTokensBpe))
+}
