@@ -47,6 +47,29 @@ class CurationSpec extends AnyFunSuite {
     roots.values.foreach(r => assert(roots(r) == r))
   }
 
+  test("dedup_clusters_incremental equals the full recompute restricted to touched components") {
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    // full recompute over all pairs
+    val full = Curation.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // components touched by a slice pair (either endpoint)
+    val sliceEndpoints = operators.Dedup.ngramPairsStaged(spark, dir)
+      .filter(col("doc_b") >= lit(split))
+      .collect().flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(sliceEndpoints.nonEmpty, "corpus must plant cross-split near-dups")
+    val touchedRoots = sliceEndpoints.map(full)
+    val expected = full.filter { case (_, root) => touchedRoots(root) }
+    val got = Curation.dedupClustersIncremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"incremental fold diverged: ${got.size} rows vs expected ${expected.size}")
+    // and it must be a strict subset of the full output when some
+    // component is untouched (otherwise the restriction is vacuous)
+    assert(got.size <= full.size)
+  }
+
   test("importance resampling: entry shape, and target near-dups outrank the pool median") {
     val top = Curation.sampleImportance(spark, dir).collect()
     assert(top.length == Curation.ImportanceTarget)
