@@ -69,6 +69,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq append maintenance: slice codes equal the full re-encode, physically appendable, same probe output") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // force artifacts + base staging, and capture the two outputs
+    val fullOut = Similarity.annIvfPq(spark, dir).collect().map(_.toString).toSeq
+    val appendOut = Similarity.annIvfPqAppend(spark, dir).collect().map(_.toString).toSeq
+    // the probe over append-maintained codes is the probe over
+    // re-encoded codes — append maintenance loses nothing
+    assert(appendOut == fullOut)
+
+    val split = Tables.embeddings(spark, dir)
+      .agg(max(col("vec_id"))).head.getLong(0) * 9 / 10
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), col("codes"), col("cid"))
+        .as[(Long, Seq[Int], Int)].collect().sortBy(_._1).toSeq
+    val full = key(spark.read.parquet(Similarity.IvfPqCodesStagePath))
+    val idx = Similarity.ivfIndex(spark, dir)
+    val slice = Similarity.ivfPqSliceCodes(spark, dir, idx, split)
+    assert(slice.count() > 0, "slice must be non-empty for the test to mean anything")
+    // per-row determinism: base ∪ slice-encode == full re-encode
+    val base = key(spark.read.parquet(Similarity.IvfPqCodesBasePath))
+    assert((base ++ key(slice.toDF())).sortBy(_._1) == full)
+
+    // physical append mechanics: mode("append") into the cid
+    // partitions reproduces the full table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_append_test").toString
+    spark.read.parquet(Similarity.IvfPqCodesBasePath)
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    slice.select(col("vec_id"), col("codes"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(tmp)
+    assert(key(spark.read.parquet(tmp)) == full)
+  }
+
   test("ivf cell count scales with corpus size and stays bounded") {
     assert(Similarity.ivfCells(100) == 16)       // floor
     assert(Similarity.ivfCells(1000000) == 1000) // ~sqrt(n)
