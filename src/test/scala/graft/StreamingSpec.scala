@@ -122,6 +122,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("bounded gate: in-window pair dedup, state eviction re-emit, behind-watermark drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // a fresh doc that EXACTLY duplicates a corpus doc → guaranteed pairs
+    val dupText = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    val freshId = 10_000_000L
+    val base = 1700000000L * 1000000
+    val min = 60L * 1000000
+    val ms = MemoryStream[(Long, String, Long)] // (doc_id, text, ingestUs)
+    val fresh = ms.toDS().toDF("doc_id", "text", "iUs")
+      .withColumn("ingest_ts", timestamp_micros(col("iUs")))
+      .select(col("doc_id"), col("text"), col("ingest_ts"))
+    val gate = Streams.streamDedupDocsBounded(spark, dir, fresh, "10 minutes")
+    val q = gate.writeStream.format("memory").queryName("graft_gate_bounded_test")
+      .outputMode(OutputMode.Append()).start()
+    def emittedForFresh(): Int = spark.table("graft_gate_bounded_test")
+      .filter(col("doc_b") === freshId).count().toInt
+    try {
+      ms.addData((freshId, dupText, base)); q.processAllAvailable()
+      val n1 = emittedForFresh()
+      assert(n1 > 0, "planted duplicate produced no pairs")
+      // same doc re-detected INSIDE the watermark window → deduped
+      ms.addData((freshId, dupText, base + min)); q.processAllAvailable()
+      assert(emittedForFresh() == n1, "in-window re-detection was not deduped")
+      // advance the watermark far past base + delay (unrelated doc)
+      ms.addData((freshId + 1, "x".repeat(64), base + 120 * min)); q.processAllAvailable()
+      // ON-TIME re-detection after eviction → re-emitted: the pair
+      // state demonstrably left the store (plain dropDuplicates
+      // would suppress this forever — unbounded state)
+      ms.addData((freshId, dupText, base + 121 * min)); q.processAllAvailable()
+      assert(emittedForFresh() == 2 * n1,
+        s"post-eviction re-detection not re-emitted (state not evicted?): ${emittedForFresh()} vs ${2 * n1}")
+      // BEHIND-watermark late re-arrival → dropped by the watermark,
+      // nothing new emitted
+      ms.addData((freshId, dupText, base + min)); q.processAllAvailable()
+      assert(emittedForFresh() == 2 * n1, "behind-watermark row leaked through")
+    } finally q.stop()
+  }
+
   test("stream dedup emits exactly the distinct key set") {
     val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
     val batch = Tables.events(spark, dir)
