@@ -45,6 +45,21 @@ class TabularSpec extends AnyFunSuite {
     assert(viaOrc == direct)
   }
 
+  test("csv_extract / json_extract driver entries equal the SDF compounds pipeline") {
+    import org.apache.spark.sql.functions.col
+    // the entries ingest the staged raw-tag export under the FULL
+    // default layout — their rows must equal the direct SDF pipeline
+    val direct = Sdf.compounds(spark, s"$sdfDir/*.sdf")
+      .orderBy(col("cid").asc_nulls_last).collect().map(_.toString).toSeq
+    val csv = SparkEntry.queries("csv_extract")(spark, "unused")
+      .collect().map(_.toString).toSeq
+    val json = SparkEntry.queries("json_extract")(spark, "unused")
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty)
+    assert(csv == direct, "csv entry diverged from the SDF pipeline")
+    assert(json == direct, "json entry diverged from the SDF pipeline")
+  }
+
   test("missing source columns fall through the tag priority list") {
     import spark.implicits._
     // only the _AA variant exists in this source → it fills xlogp3
