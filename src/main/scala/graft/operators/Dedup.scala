@@ -563,7 +563,22 @@ object Dedup {
     * there). Zero-shingle docs are dropped, exactly as the aggregate
     * form never sees a row for them. */
   private def kernelSignatures(hashed: DataFrame): DataFrame =
-    hashed.select(col("doc_id"), rowMinhashSig(col("ghs")).as("sig"))
+    hashed.select(col("doc_id"), col("n"), rowMinhashSig(col("ghs")).as("sig"))
+
+  /** PROVABLY-SAFE length prefilter on an (a, b) banded candidate
+    * join (round 12): J(A,B) <= min|A|,|B| / max|A|,|B|, so a pair
+    * with n_min < t*n_max can never clear the threshold — dropping
+    * it IN the join condition (the PPJoin length filter, applied to
+    * LSH collisions) prunes verification work without touching the
+    * emitted pair set. The 1e-9 slack keeps double rounding from
+    * over-pruning at exact-integer boundaries (a slightly low bound
+    * only admits extra candidates — same slack as the PPJoin join).
+    * Matters most at scale on band-collision-heavy corpora: the
+    * synthetic 30-word vocabulary makes unrelated same-band docs
+    * common, and a length mismatch is the cheapest disqualifier. */
+  private def lshLengthFilter: Column =
+    least(col("a.n"), col("b.n")) >=
+      lit(JaccardThreshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9)
 
   /** The (band, bh) bucket relation of a (doc_id, sig) signature
     * frame, behind a pinned exchange on the join's own distribution:
@@ -656,11 +671,11 @@ object Dedup {
     // explode and no 64-aggregate shuffle (the r11 kernel path; the
     // aggregate reference lives in minhashSignatures, spec-pinned
     // equal)
-    val bands = lshBandsOf(kernelSignatures(hashed), p)
+    val bands = lshBandsOf(kernelSignatures(hashed), p, carry = Seq("n"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && lshLengthFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, hashed, shingleVolumeBytes(docs))
@@ -694,13 +709,13 @@ object Dedup {
       .getOrElse(lit(false))
     val p = spark.sparkContext.defaultParallelism
     val sk = minhashSketchTable(spark, dir)
-    val bands = lshBandsOf(sk.select(col("doc_id"), col("sig")), p)
+    val bands = lshBandsOf(sk.select(col("doc_id"), col("n"), col("sig")), p, carry = Seq("n"))
     val hb = sharedShingleArrays(docs.filter(restrict))
-    val bandsB = lshBandsOf(kernelSignatures(hb), p)
+    val bandsB = lshBandsOf(kernelSignatures(hb), p, carry = Seq("n"))
     val cand = bands.as("a")
       .join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && lshLengthFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, sk.select(col("doc_id"), col("ghs"), col("n")),

@@ -164,6 +164,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh candidate join carries the length prefilter (round 12)") {
+    // the provably-safe n_min >= t*n_max cut must sit IN the banded
+    // join condition (pruning before any shingle array ships to the
+    // verify grid), for both the full and the incremental form — a
+    // dropped carry column or filter silently re-admits every
+    // mismatched-length band collision at scale
+    for ((name, df) <- Seq(
+        "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh(spark, dir),
+        "dedup_minhash_incremental" -> operators.Dedup.dedupMinhashLshIncremental(spark, dir))) {
+      val joins = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") && l.contains("bh")).mkString("\n")
+      assert(joins.contains("greatest") && joins.contains("least"),
+        s"$name banded join lost the length prefilter:\n$joins")
+    }
+  }
+
   test("ivf probe prunes the posting-list scan statically — no DPP subquery, no ranking join") {
     val dir = "/root/testdata/sf0.001"
     val df = operators.Similarity.annIvfProbe(spark, dir)
