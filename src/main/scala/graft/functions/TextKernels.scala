@@ -59,6 +59,39 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-POSITION polynomial rolling hash of every k-code-point
+    * window — one long per position, NOT deduped (the substring-
+    * duplication profile weighs each occurrence). Code points, not
+    * bytes or UTF-16 chars, so the window count equals SQL
+    * `length(text) - k + 1` (DuckDB substr/length semantics) on any
+    * input. Rabin-Karp over mod-2^64 arithmetic with the FNV prime
+    * as multiplier: h_{i+1} = (h_i - c_i * P^{k-1}) * P + c_{i+k},
+    * O(n) per document regardless of k. The hash never needs
+    * cross-engine parity — the oracle groups by the window STRING —
+    * only distinctness up to 64-bit collisions, the same honest
+    * bound as the shingle pipeline. */
+  def windowHashes(s: UTF8String, k: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val P = 0x100000001b3L
+    var pk = 1L // P^(k-1)
+    var i = 1
+    while (i < k) { pk *= P; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * P + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - cps(i - 1) * pk) * P + cps(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** Analysis-time string-input check shared by the text kernels —
@@ -111,4 +144,24 @@ case class WordBigramsExpr(child: Expression) extends UnaryExpression with Strin
     copy(child = newChild)
 
   override def prettyName: String = "graft_word_bigrams"
+}
+
+/** `graft_window_hashes(string, k) → array<long>` — k fixed at plan
+  * time (a foldable argument in the SQL form). */
+case class WindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with StringInputCheck {
+  require(k > 0, "window size must be positive")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.windowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_window_hashes"
 }

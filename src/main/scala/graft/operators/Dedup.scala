@@ -339,37 +339,57 @@ object Dedup {
       .cogroupSorted(docsRep.groupByKey(_._1))(col("doc_a"), col("doc_b"))() { (_, ps, ds) =>
         val arrs = new java.util.HashMap[Long, Array[Long]]()
         ds.foreach { d => arrs.put(d._2, d._3) }
-        var prevA = -1L
-        var prevB = -1L
-        ps.flatMap { case (_, docA, docB) =>
-          if (docA == prevA && docB == prevB) Iterator.empty
-          else {
-            prevA = docA; prevB = docB
-            val (ga, gb) = (arrs.get(docA), arrs.get(docB))
-            if (ga == null || gb == null)
-              throw new IllegalStateException(
-                s"verify grid: candidate pair ($docA, $docB) references a doc absent from the shingle relation")
-            // early-exit merge (the PPJoin verification bound): once
-            // inter + min(remaining_a, remaining_b) can no longer
-            // reach the overlap a qualifying pair needs, stop — the
-            // overwhelmingly-false candidate stream (2.9k true in
-            // 3.8M at sf1) rejects after a fraction of the merge.
-            // `required` carries the same 1e-9 rounding slack as the
-            // candidate join (a slightly LOW bound only completes
-            // extra merges); the EMITTED decision stays the exact
-            // jac >= t comparison, bit-identical to the unbounded
-            // merge.
-            val required = math.ceil(
-              JaccardThreshold / (1 + JaccardThreshold) * (ga.length + gb.length) - 1e-9).toInt
-            var (i, j, inter) = (0, 0, 0)
-            while (i < ga.length && j < gb.length &&
-                   inter + math.min(ga.length - i, gb.length - j) >= required) {
-              if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
-              else if (ga(i) < gb(j)) i += 1
-              else j += 1
+        // one hand-rolled iterator over the whole cell, not a
+        // per-pair flatMap: at sf10 a cell stream carries ~10^7
+        // candidate rows, and two iterator allocations per row is
+        // real GC pressure in the job's hottest stage
+        new Iterator[(Long, Long, Double)] {
+          private var nextRow: (Long, Long, Double) = _
+          private var prevA = -1L
+          private var prevB = -1L
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && ps.hasNext) {
+              val p = ps.next()
+              val docA = p._2
+              val docB = p._3
+              if (docA != prevA || docB != prevB) {
+                prevA = docA; prevB = docB
+                val ga = arrs.get(docA)
+                val gb = arrs.get(docB)
+                if (ga == null || gb == null)
+                  throw new IllegalStateException(
+                    s"verify grid: candidate pair ($docA, $docB) references a doc absent from the shingle relation")
+                // early-exit merge (the PPJoin verification bound):
+                // once inter + min(remaining_a, remaining_b) can no
+                // longer reach the overlap a qualifying pair needs,
+                // stop — the overwhelmingly-false candidate stream
+                // (2.9k true in 3.8M at sf1) rejects after a
+                // fraction of the merge. `required` carries the same
+                // 1e-9 rounding slack as the candidate join (a
+                // slightly LOW bound only completes extra merges);
+                // the EMITTED decision stays the exact jac >= t
+                // comparison, bit-identical to the unbounded merge.
+                val required = math.ceil(
+                  JaccardThreshold / (1 + JaccardThreshold) * (ga.length + gb.length) - 1e-9).toInt
+                var i = 0
+                var j = 0
+                var inter = 0
+                while (i < ga.length && j < gb.length &&
+                       inter + math.min(ga.length - i, gb.length - j) >= required) {
+                  if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+                  else if (ga(i) < gb(j)) i += 1
+                  else j += 1
+                }
+                val jac = inter.toDouble / (ga.length + gb.length - inter)
+                if (jac >= JaccardThreshold) nextRow = (docA, docB, jac)
+              }
             }
-            val jac = inter.toDouble / (ga.length + gb.length - inter)
-            if (jac >= JaccardThreshold) Iterator.single((docA, docB, jac)) else Iterator.empty
+          }
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): (Long, Long, Double) = {
+            val r = nextRow; advance(); r
           }
         }
       }.toDF("doc_a", "doc_b", "jaccard")
@@ -457,19 +477,63 @@ object Dedup {
     // a slightly LOW threshold only admits extra candidates.
     val t = JaccardThreshold
     val alpha = ceil(lit(t / (1 + t)) * (col("a.n") + col("b.n")) - lit(1e-9))
-    // bRestrict narrows the HIGHER-id side of every candidate pair
-    // (the incremental form): since doc_a < doc_b always, "the pair
-    // touches the new slice" is exactly "doc_b is new". The filter
-    // pushes through the shared exchange to the b branch's own scan
-    // — deliberate divergence: at warehouse scale the restricted
-    // side shingles only the fresh slice while the a side still
-    // reuses the full-corpus stages.
-    val bSide = bRestrict.fold(prefix)(f => prefix.filter(f))
-    val cand = prefix.as("a")
-      .join(bSide.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n"), col("b.n")) >= lit(t) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
-        lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val lengthF =
+      least(col("a.n"), col("b.n")) >= lit(t) * greatest(col("a.n"), col("b.n")) - lit(1e-9)
+    val positionalF =
+      lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha
+    val cand = bRestrict match {
+      case Some(f) =>
+        // INCREMENTAL: the slice restriction narrows the HIGHER-id
+        // side of every candidate pair: since doc_a < doc_b always,
+        // "the pair touches the new slice" is exactly "doc_b is
+        // new". The filter pushes through the shared exchange to the
+        // b branch's own scan — deliberate divergence: at warehouse
+        // scale the restricted side shingles only the fresh slice
+        // while the a side still reuses the full-corpus stages. (The
+        // index-prefix reduction below needs a SIZE-oriented join,
+        // which would spread the slice predicate across both sides —
+        // candidate volume here is slice x corpus, so the id-
+        // oriented join keeps the pushdown that matters more.)
+        prefix.as("a")
+          .join(prefix.filter(f).as("b"),
+            col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+              lengthF && positionalF)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      case None =>
+        // FULL sweep: PPJoin's index-prefix reduction (Xiao et al.
+        // §4; confirmed across implementations by Mann et al.'s
+        // set-join evaluation). Orient the self-join by (n, doc_id)
+        // lex order instead of bare id and the smaller-set side only
+        // needs its first n - ceil(2t/(1+t)*n) + 1 prefix rows
+        // (~0.11n at t=0.8 vs the probing prefix's ~0.2n).
+        // Completeness: for a qualifying pair with n_y <= n_x, the
+        // globally-first shared shingle w1 sits at position <=
+        // n_y - O + 1 in y, and O >= alpha >= ceil(2t/(1+t)*n_y), so
+        // w1 is inside y's index prefix; O >= t*n_x (length filter)
+        // puts w1 inside x's probing prefix; and the positional
+        // bound on w1 is >= O — so the one row that matters always
+        // matches and passes.
+        //
+        // Honest measurement (sf1 AND sf10): the OUTPUT row count is
+        // IDENTICAL to the symmetric probing-prefix join — the
+        // positional filter already implies rn <= n - alpha + 1 <=
+        // idxLen on the smaller side of every emitted row, so the
+        // index prefix prunes no candidates the join wouldn't. What
+        // it does buy: the indexed side's gh exchange shrinks ~45%
+        // (0.55 -> 0.32 GB at sf10) and the sort-merge join compares
+        // |I_a| x |P_b| rows per shingle group instead of
+        // |P_a| x |P_b| — worth keeping, priced honestly. The filter
+        // sits ABOVE the shared doc_id exchange (rn is born in the
+        // explode), so the shingle kernel still runs once.
+        val idxLen = col("n") - ceil(lit(2 * t / (1 + t)) * col("n") - lit(1e-9)) + lit(1)
+        val lexLt = col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))
+        prefix.filter(col("rn") <= idxLen).as("a")
+          .join(prefix.as("b"),
+            col("a.gh") === col("b.gh") && lexLt && lengthF && positionalF)
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    }
     // NO distinct() here: a pair matched once per shared prefix
     // shingle rides to the verify grid raw, and the grid's secondary
     // sort dedupes it as an adjacent-row skip — see verifyJaccard.
@@ -1094,8 +1158,80 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dedup_substring: exact substring-duplication profile ----
+  /** Window length for the exact-substring profile. Real pipelines
+    * use 40-60 TOKENS (Lee et al. 2022 use 50 BPE tokens); 30 CHARS
+    * keeps the same mechanics visible on this corpus's 48-553-char
+    * documents. */
+  val SubstringK = 30
+
+  /** Per-document exact substring duplication profile — the
+    * distributed form of Lee et al. 2022's EXACTSUBSTR criterion
+    * ("Deduplicating Training Data Makes Language Models Better"): a
+    * window POSITION is duplicated iff its k-char window string
+    * occurs >= 2 times anywhere in the corpus (another document or
+    * the same one). Lee et al. build one suffix array over the
+    * concatenated corpus — inherently single-node; the distributed
+    * equivalent profiles every k-window instead, which preserves the
+    * duplicated-span MEASURE (any duplicated substring of length
+    * >= k duplicates all its k-windows) at strictly linear shuffle
+    * cost:
+    *
+    *   explode(rolling window hashes)        — O(chars) rows, kernel
+    *   groupBy (doc_id, wh) count            — map-side combined
+    *   groupBy wh sum                        — map-side combined
+    *   join back on wh + groupBy doc_id      — linear, AQE-planned
+    *
+    * No pair relation ever exists — corpus-size-squared never
+    * appears, so this shape runs at any scale the shuffles fit.
+    * Downstream curation drops documents above a dup_frac threshold
+    * or (as in the paper) cuts just the duplicated spans; the
+    * profile is the expensive, reusable part. Hash-grouped windows
+    * are exact up to 64-bit collisions (the oracle groups by the
+    * window STRING itself, so correctness runs cross-check the
+    * bound). */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    // pushed n_chars predicate: a doc shorter than one window
+    // contributes nothing — prune it at the scan, not post-kernel
+    val w = docs.filter(col("n_chars") >= SubstringK)
+      .select(col("doc_id"),
+        explode(expr(s"graft_window_hashes(text, $SubstringK)")).as("wh"))
+    val perDoc = w.groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("cnt"))
+    val perWin = perDoc.groupBy(col("wh")).agg(sum(col("cnt")).as("total"))
+    perDoc.join(perWin, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("total") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle re-derives the profile from the window STRINGS —
+    * substr over generate_series — so the hash-grouped Spark plan is
+    * checked against an independent exact-string grouping. */
+  private val dedupSubstringSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INTEGER), $SubstringK) AS win
+       |  FROM documents, UNNEST(range(1, length(text) - ${SubstringK - 2})) AS t(i)
+       |), per_doc AS (
+       |  SELECT doc_id, win, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+       |), per_win AS (
+       |  SELECT win, CAST(SUM(cnt) AS BIGINT) AS total FROM per_doc GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(SUM(d.cnt) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN p.total >= 2 THEN d.cnt ELSE 0 END) AS BIGINT) AS dup_windows,
+       |  CAST(SUM(CASE WHEN p.total >= 2 THEN d.cnt ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(d.cnt) AS DOUBLE) AS dup_frac
+       |FROM per_doc d JOIN per_win p USING (win)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactSql), dedupExact),
+    GraftQuery("dedup_substring", Some(dedupSubstringSql), dedupSubstring),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),

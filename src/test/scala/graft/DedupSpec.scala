@@ -189,4 +189,69 @@ class DedupSpec extends AnyFunSuite {
         (3L, "too short")).toDF("doc_id", "text"))
     assert(ok.count() == 2)
   }
+
+  test("window-hash kernel: rolling update equals direct per-window hashing") {
+    // the Rabin-Karp rolling recurrence must reproduce the direct
+    // polynomial of every window — a wrong P^(k-1) or a sign slip
+    // corrupts all windows past the first; checked on text with
+    // repeats, multibyte code points, and lengths around k
+    import graft.functions.TextKernels
+    val P = 0x100000001b3L
+    def direct(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * P + cps(j))
+        h
+      }
+    }
+    for (s <- Seq("abcabcabcabc", "the quick brown fox", "ééé日本語テキストのサンプル", "ab");
+         k <- Seq(2, 3, 5)) {
+      val got = TextKernels.windowHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+      val want = direct(s, k)
+      assert(got.toLongArray().toSeq == want, s"text='$s' k=$k")
+    }
+    // shorter than one window -> empty, exactly length(s) - k + 1 otherwise
+    assert(TextKernels.windowHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab"), 3).numElements() == 0)
+  }
+
+  test("dedup_substring: planted spans are duplicated, unique text is not") {
+    // two docs sharing a long exact span + one unique doc: shared
+    // windows are duplicated in BOTH docs, every window of the
+    // unique doc is clean; the internal-repeat doc duplicates
+    // against ITSELF (Lee et al.'s criterion counts total
+    // occurrences, not distinct docs)
+    import spark.implicits._
+    val k = Dedup.SubstringK
+    val span = "zqxwvutsrqponmlkjihgfedcba0123456789ABCDEFGHIJ" // 46 chars, > k
+    val docs = Seq(
+      (0L, s"left $span right"),
+      (1L, s"other $span tail"),
+      (2L, "completely unique text with no repeated windows at all, long enough to have windows"),
+      (3L, span + span) // self-repeat
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupSubstring(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 2: zero duplicated windows
+    assert(out(2L)._2 == 0L)
+    // docs 0 and 1: exactly the shared region's k-windows are
+    // duplicated — and the shared region includes the flanking
+    // SPACES both docs put around the span (" span " = 48 chars ->
+    // 48-k+1 windows), a reminder that exact-substring dedup sees
+    // characters, not tokens
+    val shared = s" $span "
+    assert(out(0L)._2 == (shared.length - k + 1).toLong)
+    assert(out(1L)._2 == (shared.length - k + 1).toLong)
+    // doc 3 duplicates against itself: every window of the doubled
+    // span that appears twice counts; at least the two full-span
+    // copies' windows are dup (window counts are per POSITION)
+    assert(out(3L)._2 > 0L)
+    // n_windows bookkeeping: length - k + 1 per doc
+    assert(out(0L)._1 == (s"left $span right".length - k + 1).toLong)
+  }
 }
