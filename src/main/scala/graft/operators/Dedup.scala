@@ -1193,17 +1193,50 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     graft.functions.GraftFunctions.register(spark)
+    // Complement trick: dup_windows = n_windows - unique_windows.
+    // A window with corpus-total 1 belongs to exactly ONE document
+    // (its single occurrence), so after the per-window aggregate the
+    // owning doc rides along as min(doc_id) and the whole profile
+    // needs NO join back on wh — the first formulation re-shipped
+    // the full per-doc window relation into a wh-join (measured
+    // 17 s at sf1); this one is three map-side-combined aggregates
+    // and a broadcast-sized count join. n_windows itself is pure
+    // arithmetic on the text length — never aggregated.
     // pushed n_chars predicate: a doc shorter than one window
     // contributes nothing — prune it at the scan, not post-kernel
+    // repartition BELOW the kernel: a small corpus arrives as one or
+    // two scan splits and the explode + partial aggregate would run
+    // on as many cores (measured: 8.6 of 9.7 s at sf1 on 2 tasks).
+    // The exchange ships raw text once — a few percent of the
+    // window-row volume the wh exchange ships right after.
+    val p = spark.sparkContext.defaultParallelism
     val w = docs.filter(col("n_chars") >= SubstringK)
+      .repartition(p, col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"graft_window_hashes(text, $SubstringK)")).as("wh"))
-    val perDoc = w.groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("cnt"))
-    val perWin = perDoc.groupBy(col("wh")).agg(sum(col("cnt")).as("total"))
-    perDoc.join(perWin, "wh")
+    // ONE aggregate over the exploded relation: total == 1 means the
+    // window has a single occurrence in the whole corpus, so
+    // min(doc_id) IS its owner and it contributes exactly one unique
+    // POSITION to that doc — no per-(doc, wh) pre-aggregate needed
+    val uniqPerDoc = w.groupBy(col("wh"))
+      .agg(count(lit(1)).as("total"), min(col("doc_id")).as("doc_id"))
+      .filter(col("total") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("uniq"))
+    // union-aggregate instead of a LEFT join of the arithmetic
+    // n_windows branch onto the uniq aggregate: the aggregate side
+    // has unique keys, so Catalyst (correctly) ELIMINATES such an
+    // outer join under a count(*)-style consumer and the benchmark
+    // action would measure a pruned plan — the union keeps every
+    // consumer paying the real profile while staying join-back-free
+    val nPerDoc = docs.filter(col("n_chars") >= SubstringK)
+      .select(col("doc_id"),
+        (length(col("text")) - lit(SubstringK - 1)).cast("long").as("n_windows"),
+        lit(0L).as("uniq"))
+    nPerDoc.unionByName(
+        uniqPerDoc.select(col("doc_id"), lit(0L).as("n_windows"), col("uniq")))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_windows"),
-        sum(when(col("total") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_windows"))
+      .agg(sum(col("n_windows")).as("n_windows"),
+        (sum(col("n_windows")) - sum(col("uniq"))).as("dup_windows"))
       .withColumn("dup_frac",
         col("dup_windows").cast("double") / col("n_windows").cast("double"))
       .orderBy(col("doc_id"))
