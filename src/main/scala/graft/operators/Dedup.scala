@@ -1242,10 +1242,84 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Where the corpus WINDOW-TOTAL table — (wh, total), occurrence
+    * count of every k-char window (as its rolling hash) across the
+    * whole corpus — is persisted, fingerprint-keyed like the minhash
+    * sketch. The incremental entry reads it instead of re-hashing
+    * the old corpus's text per run; at warehouse scale it would be
+    * written bucketed by wh so the slice join needs no corpus-side
+    * exchange (here the table re-shuffles per run — the saving is
+    * the text pass + window aggregate, the same honest trade the
+    * minhash incremental makes on its band relation). */
+  val SubstringTablePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "substring_windows.parquet"
+
+  private val stagedWindows = new graft.StagedVersion[(String, String)]
+
+  /** Read (building if this corpus version is not yet staged) the
+    * persisted per-window total table for `dir`. */
+  def substringWindowTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedWindows((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      graft.functions.GraftFunctions.register(spark)
+      val p = spark.sparkContext.defaultParallelism
+      Tables.documents(spark, dir).filter(col("n_chars") >= SubstringK)
+        .repartition(p, col("doc_id"))
+        .select(col("doc_id"),
+          explode(expr(s"graft_window_hashes(text, $SubstringK)")).as("wh"))
+        .groupBy(col("wh")).agg(count(lit(1)).as("total"))
+        .write.mode("overwrite").parquet(SubstringTablePath)
+    }
+    spark.read.parquet(SubstringTablePath)
+  }
+
+  /** Fresh-crawl form of the substring profile: the per-doc
+    * duplication profile of the NEW slice (doc_id >= the 90% split,
+    * the shared convention) against window totals over the WHOLE
+    * corpus — what an ingest pipeline asks nightly ("how much of
+    * this crawl is already in the corpus, span-exactly?"). Steady
+    * state explodes ONLY the slice's text; totals come from the
+    * persisted table. Per-position logic is even simpler than the
+    * full form: a position is unique iff its window's corpus total
+    * is 1 (that one occurrence can only be this position), so the
+    * slice join needs no ownership bookkeeping at all. Output equals
+    * the full entry restricted to the slice (spec-pinned). */
+  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    val p = spark.sparkContext.defaultParallelism
+    val wt = substringWindowTable(spark, dir)
+    val sliceDocs = docs.filter(col("n_chars") >= SubstringK && restrict)
+    val uniqPerDoc = sliceDocs
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_window_hashes(text, $SubstringK)")).as("wh"))
+      .join(wt, "wh")
+      .filter(col("total") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("uniq"))
+    val nPerDoc = sliceDocs
+      .select(col("doc_id"),
+        (length(col("text")) - lit(SubstringK - 1)).cast("long").as("n_windows"),
+        lit(0L).as("uniq"))
+    nPerDoc.unionByName(
+        uniqPerDoc.select(col("doc_id"), lit(0L).as("n_windows"), col("uniq")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_windows")).as("n_windows"),
+        (sum(col("n_windows")) - sum(col("uniq"))).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The oracle re-derives the profile from the window STRINGS —
     * substr over generate_series — so the hash-grouped Spark plan is
-    * checked against an independent exact-string grouping. */
-  private val dedupSubstringSql: String =
+    * checked against an independent exact-string grouping. The
+    * incremental twin restricts the FINAL select only: window totals
+    * must still count the whole corpus (a slice window duplicated
+    * against old text is exactly what the entry exists to find). */
+  private def substringSqlWith(dPredicate: String): String =
     s"""WITH w AS (
        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), $SubstringK) AS win
        |  FROM documents, UNNEST(range(1, length(text) - ${SubstringK - 2})) AS t(i)
@@ -1259,12 +1333,19 @@ object Dedup {
        |  CAST(SUM(CASE WHEN p.total >= 2 THEN d.cnt ELSE 0 END) AS BIGINT) AS dup_windows,
        |  CAST(SUM(CASE WHEN p.total >= 2 THEN d.cnt ELSE 0 END) AS DOUBLE)
        |    / CAST(SUM(d.cnt) AS DOUBLE) AS dup_frac
-       |FROM per_doc d JOIN per_win p USING (win)
+       |FROM per_doc d JOIN per_win p USING (win)$dPredicate
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val dedupSubstringSql: String = substringSqlWith("")
+
+  private val dedupSubstringIncrementalSql: String = substringSqlWith(
+    "\nWHERE d.doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("dedup_exact", Some(dedupExactSql), dedupExact),
     GraftQuery("dedup_substring", Some(dedupSubstringSql), dedupSubstring),
+    GraftQuery("dedup_substring_incremental", Some(dedupSubstringIncrementalSql),
+      dedupSubstringIncremental),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),

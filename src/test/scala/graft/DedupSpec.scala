@@ -254,4 +254,22 @@ class DedupSpec extends AnyFunSuite {
     // n_windows bookkeeping: length - k + 1 per doc
     assert(out(0L)._1 == (s"left $span right".length - k + 1).toLong)
   }
+
+  test("substring incremental is exactly the full profile restricted to the slice") {
+    // family convention: the fresh-crawl form must equal the full
+    // sweep filtered to slice docs — totals count the WHOLE corpus
+    // either way, so a slice doc duplicated only against old text
+    // still profiles as duplicated
+    val full = Dedup.dedupSubstring(spark, dir)
+    // split over the DOCUMENTS table's max id (the operator's own
+    // convention), not the profile's — a short max-id doc is absent
+    // from the profile but still moves the split
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val want = full.filter(col("doc_id") >= split).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = Dedup.dedupSubstringIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty && got == want)
+  }
 }
