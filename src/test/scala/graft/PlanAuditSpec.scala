@@ -388,4 +388,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"unpruned documents scan: $readSchema")
   }
+
+  test("dedup_substring: pushed length predicate, partial aggregates, pruned scan, no join") {
+    val plan = formatted(operators.Dedup.dedupSubstring(spark, dir))
+    // the n_chars >= K cut must reach the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(n_chars"),
+      s"n_chars predicate not pushed:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+    // window aggregate map-side combined before its exchange
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "window aggregate is not partial (no map-side combine)")
+    // the complement form has NO join anywhere — the round-12 lesson
+    // (the wh join-back re-shipped the per-doc window relation, and
+    // its outer-join replacement benched a Catalyst-pruned plan)
+    assert(!plan.contains("Join"), "substring profile must stay join-free")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned documents scan: $readSchema")
+  }
 }
