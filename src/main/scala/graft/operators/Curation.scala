@@ -753,7 +753,113 @@ object Curation {
        |WHERE CAST(n_contaminated AS DOUBLE) / n_shingles >= $ContainmentThreshold
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- curate_pipeline: the composed nightly curation job ----
+  /** Quality gates for the composed pipeline — deliberately plain
+    * raw-column rules (the Gopher/C4-style length+symbol cuts), each
+    * an IEEE long/long division both engines compute identically. */
+  val CurateMinChars = 100L
+  val CurateMaxChars = 10000L
+  val CurateMaxPunctRatio = 0.1
+  val CurateMaxMeanWordLen = 12.0
+
+  /** END-TO-END curation: quality gates → exact dedup → near-dup
+    * drop → stratified quota sample, composed EXACTLY as a nightly
+    * training-data job chains them — the completeness claim that the
+    * engine's operators compose, priced as one plan.
+    *
+    *  1. QUALITY: length window + punctuation-ratio + mean-word-
+    *     length cuts (raw-column predicates, pushdown-friendly).
+    *  2. EXACT DEDUP: keep the min doc_id per content hash — one
+    *     window over md5(text), the dedup_exact decision applied.
+    *  3. NEAR-DUP DROP: drop every non-root member of a corpus-level
+    *     near-dup cluster (dedup_clusters over the staged verified
+    *     pair list). Corpus-level deliberately: the canonical keeper
+    *     is a property of the corpus, not of whatever survived this
+    *     run's quality gates — the roots themselves may have been
+    *     quality-dropped, and then the whole cluster is gone, which
+    *     is the conservative curation answer. The anti-join side is
+    *     cluster-member-sized (pair-bounded), broadcast under AQE.
+    *  4. SAMPLE: per-language quota in THE shared md5 permutation
+    *     order, with the same quantile pre-cut + in-plan undercut
+    *     guard as sample_stratified (counts computed over the
+    *     SURVIVORS — the stratum the quota draws from).
+    *
+    * One corpus scan, two linear shuffles (content-hash window,
+    * stratum window with pre-cut-bounded input), one bounded
+    * broadcast anti-join, one bounded counts join — no stage is
+    * pair-quadratic or corpus-squared, so the composition scales
+    * exactly as far as its worst member. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nChars = length(col("text")).cast("long")
+    val nWords = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val quality = docs.filter(
+      nChars >= lit(CurateMinChars) && nChars <= lit(CurateMaxChars) &&
+        nPunct / nChars < lit(CurateMaxPunctRatio) &&
+        nNonSpace / nWords < lit(CurateMaxMeanWordLen))
+    val exact = quality
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val nonRoots = dedupClusters(spark, dir)
+      .filter(col("cluster_root") =!= col("doc_id")).select(col("doc_id"))
+    val kept = exact.join(nonRoots, Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("doc_id"))
+    val counts = kept.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumnRenamed("lang", "c_lang")
+    val w = Window.partitionBy(col("lang")).orderBy(permutationOrder: _*)
+    val picked = kept
+      .join(broadcast(counts), col("lang") <=> col("c_lang"))
+      .filter(preCut(lit(SampleQuota.toDouble), col("n")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= SampleQuota)
+    guardUndercut(picked, "curate_pipeline", lit(SampleQuota.toLong), col("n"))
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("lang").asc_nulls_last, col("sample_rank"))
+  }
+
+  /** The oracle composes the same four stages from the same pieces:
+    * the quality predicates as text_quality's SQL forms, the exact
+    * window, the recursive-CTE closure over the SAME staged pair
+    * list, the shared permutation sample. */
+  private lazy val curatePipelineSql: String =
+    s"""WITH RECURSIVE q AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE length(text) >= $CurateMinChars AND length(text) <= $CurateMaxChars
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) < $CurateMaxPunctRatio
+       |    AND length(regexp_replace(text, '\\s', '', 'g')) / len(regexp_extract_all(text, '\\S+')) < $CurateMaxMeanWordLen
+       |), e AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM q) t WHERE rk = 1
+       |), pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |), sym AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), cc(v, lab) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT sym.a, cc.lab FROM cc JOIN sym ON sym.b = cc.v
+       |), roots AS (
+       |  SELECT v AS doc_id, MIN(lab) AS cluster_root FROM cc GROUP BY v
+       |), kept AS (
+       |  SELECT e.doc_id, e.lang FROM e LEFT JOIN roots r USING (doc_id)
+       |  WHERE r.cluster_root IS NULL OR r.cluster_root = e.doc_id
+       |)
+       |SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY $PermutationOrderSql) AS rn
+       |  FROM kept) t
+       |WHERE rn <= $SampleQuota ORDER BY lang NULLS LAST, sample_rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("curate_pipeline", Some(curatePipelineSql), curatePipeline),
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("dedup_clusters_incremental",
       Some(dedupClustersIncrementalSql), dedupClustersIncremental),

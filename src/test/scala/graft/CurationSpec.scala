@@ -232,4 +232,32 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"corpus-sized join in the decontamination plan:\n$plan")
   }
+
+  test("curate_pipeline composes its stages faithfully") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val out = Curation.curatePipeline(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._2).toSet
+    val docs = Tables.documents(spark, dir)
+    // 1. every emitted doc passes the quality gates (spot the length window)
+    val lens = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(slen(col("text"))).collect().map(_.getInt(0))
+    assert(lens.forall(l => l >= Curation.CurateMinChars && l <= Curation.CurateMaxChars))
+    // 2. no two emitted docs share exact content
+    val texts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "exact duplicates survived curation")
+    // 3. no emitted doc is a non-root member of a near-dup cluster
+    val nonRoots = Curation.dedupClusters(spark, dir)
+      .filter(col("cluster_root") =!= col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(nonRoots).isEmpty, "near-dup non-roots survived curation")
+    // 4. per-language quota respected, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks.length <= Curation.SampleQuota)
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+    }
+  }
 }
