@@ -16,6 +16,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     operators.Relational.queries ++
       operators.TextOps.queries ++
+      operators.Pack.queries ++
       operators.Bpe.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++

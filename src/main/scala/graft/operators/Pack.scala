@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard preparation operators: sequence packing and
+  * sliding-window chunking over the `documents` table.
+  *
+  * `pack_sequences` is the step right before a pretraining run
+  * writes token shards: concatenate documents in a fixed permutation
+  * and cut the stream at exact `Budget`-token boundaries, documents
+  * crossing cuts (the GPT-style concat-and-chunk regime — packing
+  * loses zero tokens to padding by construction). The distributed
+  * form never concatenates anything: a per-bucket running-total
+  * window gives each document its token OFFSET in the bucket's
+  * virtual stream, and the sequences a document touches are pure
+  * arithmetic on that offset (floor(start/B) .. floor((end-1)/B)).
+  * Shuffle cost is one window exchange on the bucket key plus one
+  * map-side-combined aggregate of the exploded (doc, sequence)
+  * overlap rows — the explode is |tokens|/B + |docs| rows, linear
+  * in corpus size and INDEPENDENT of document length skew.
+  *
+  * Buckets make the running sum distributed: packing is defined
+  * within `Buckets` independent streams (bucket = doc_id % Buckets),
+  * so no global sort/scan exists. At warehouse scale the bucket
+  * count is the parallelism knob (set ≫ executors via
+  * `graft.pack.buckets`; the driver entry pins the default so the
+  * oracle is deterministic). Each bucket's window input is
+  * corpus/Buckets rows of (doc_id, n_tokens) — 16 bytes/doc, not
+  * text — so the window state is tiny even for fat buckets.
+  *
+  * `docs_chunk` is RAG/eval-prep chunking: fixed `ChunkChars`-char
+  * windows advancing by `ChunkStride` (tail chunk may be short;
+  * every char lands in ≥1 chunk). Pure projection + explode over
+  * the scan — no shuffle at all before the presentation sort. The
+  * output carries md5(chunk) rather than the chunk text so the
+  * result (and the oracle hash compare) stays row-sized; a library
+  * user keeps the `chunk` column by calling [[chunksOf]] directly.
+  *
+  * Both are exactly SQL-expressible (integer window arithmetic,
+  * `substr` code-point semantics shared with dedup_substring) and
+  * hash-verified against DuckDB.
+  */
+object Pack {
+
+  /** Tokens per sequence — GPT-2's 1024/2048-token shard era value;
+    * the arithmetic is budget-agnostic. */
+  val Budget = 2048L
+
+  /** Independent packing streams; the driver entry's pinned default.
+    * Library users scale it with `graft.pack.buckets` (cardinality
+    * should be ≫ executors on a cluster). */
+  val DefaultBuckets = 8L
+
+  val ChunkChars = 512L
+  val ChunkStride = 384L
+
+  private def buckets(spark: SparkSession): Long =
+    spark.conf.getOption("graft.pack.buckets").map(_.toLong).getOrElse(DefaultBuckets)
+
+  /** Per-(bucket, seq_ix) packing manifest: how many documents the
+    * sequence draws from, its exact token fill (== Budget everywhere
+    * but each bucket's tail sequence — spec-pinned), and how many of
+    * its documents continue into the next sequence. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val nb = buckets(spark)
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % nb).as("bucket"),
+      size(regexp_extract_all(col("text"), lit(TextOps.WsToken), lit(0))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    // THE sampling/packing permutation (md5, doc_id) — same order
+    // convention as Curation's samplers, so a curation→packing
+    // pipeline reads one shuffle-ready ordering end to end.
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = toks
+      .withColumn("fin", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("fin") - col("n_tokens"))
+    // `div`, not `/`: Column./ on longs is IEEE double division and a
+    // truncating cast — exact only below ~2^41*Budget tokens per
+    // bucket; integer div has no such cliff at any corpus size.
+    val spans = pos.select(
+      col("bucket"), col("start"), col("fin"),
+      explode(sequence(
+        expr(s"start div $Budget"),
+        expr(s"(fin - 1) div $Budget"))).as("seq_ix"))
+    spans
+      .groupBy(col("bucket"), col("seq_ix"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least((col("seq_ix") + 1) * Budget, col("fin")) -
+          greatest(col("seq_ix") * Budget, col("start"))).cast("long").as("n_seq_tokens"),
+        sum(when(col("fin") > (col("seq_ix") + 1) * Budget, 1L).otherwise(0L))
+          .cast("long").as("n_spanning"))
+      .orderBy(col("bucket"), col("seq_ix"))
+  }
+
+  private lazy val packSequencesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % $DefaultBuckets AS bucket,
+       |         len(regexp_extract_all(text, '${TextOps.WsToken}')) AS n_tokens
+       |  FROM documents
+       |), pos AS (
+       |  SELECT bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin,
+       |    n_tokens
+       |  FROM toks WHERE n_tokens > 0
+       |), spans AS (
+       |  SELECT bucket, fin - n_tokens AS strt, fin,
+       |    UNNEST(generate_series((fin - n_tokens) // $Budget, (fin - 1) // $Budget)) AS seq_ix
+       |  FROM pos
+       |)
+       |SELECT bucket, seq_ix,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(LEAST((seq_ix + 1) * $Budget, fin) - GREATEST(seq_ix * $Budget, strt)) AS BIGINT) AS n_seq_tokens,
+       |  CAST(SUM(CASE WHEN fin > (seq_ix + 1) * $Budget THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+       |FROM spans GROUP BY bucket, seq_ix ORDER BY bucket, seq_ix""".stripMargin
+
+  /** (doc_id, chunk_ix, chunk) sliding windows — the text-carrying
+    * form for library use. Chunk i covers code points
+    * [i*stride, i*stride + size); the last window starts at the
+    * largest i with i*stride < len (or i = 0 for short/empty docs).
+    */
+  def chunksOf(docs: DataFrame, size: Long = ChunkChars, stride: Long = ChunkStride): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(sequence(
+        lit(0L),
+        greatest(lit(0L), ((length(col("text")).cast("long") - size + stride - 1) / stride)
+          .cast("long")))).as("chunk_ix"),
+      col("text"))
+      .select(
+        col("doc_id"), col("chunk_ix"),
+        substring(col("text"), (col("chunk_ix") * stride + 1).cast("int"), lit(size.toInt)).as("chunk"))
+
+  def docsChunk(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documents(spark, dir)).select(
+      col("doc_id"), col("chunk_ix"),
+      length(col("chunk")).cast("long").as("chunk_chars"),
+      md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
+  private lazy val docsChunkSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    UNNEST(generate_series(0,
+       |      GREATEST(0, (length(text) - $ChunkChars + $ChunkStride - 1) // $ChunkStride))) AS chunk_ix,
+       |    text
+       |  FROM documents
+       |)
+       |SELECT doc_id, chunk_ix,
+       |  length(substr(text, CAST(chunk_ix * $ChunkStride + 1 AS BIGINT), $ChunkChars)) AS chunk_chars,
+       |  md5(substr(text, CAST(chunk_ix * $ChunkStride + 1 AS BIGINT), $ChunkChars)) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("pack_sequences", Some(packSequencesSql), packSequences),
+    GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk))
+}

@@ -20,7 +20,10 @@ object TextOps {
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
   // `\S+`-token and BPE-ish segmentations; identical RE2/Java syntax.
-  private val WsToken = "\\S+"
+  // WsToken is the ONE word segmentation shared across the text
+  // family (tokens/quality/unigram-lm here, sequence packing in
+  // Pack) — widened so Pack cannot desync from it.
+  private[operators] val WsToken = "\\S+"
   private val BpeToken = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** (doc_id, term) exploded whitespace tokens — THE shared word
