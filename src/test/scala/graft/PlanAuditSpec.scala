@@ -405,4 +405,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"unpruned documents scan: $readSchema")
   }
+
+  test("pack_sequences: one bucket window exchange, partial agg over the span explode, pruned scan") {
+    val plan = formatted(operators.Pack.packSequences(spark, dir))
+    // exactly two exchanges: the bucket-key window shuffle and the
+    // presentation range sort — the span aggregate must NOT add a
+    // third (its grouping key extends the window partitioning only
+    // when the planner fails to combine; pin the count so a
+    // regression to three shuffles of the span relation is loud)
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges (window + presentation sort), got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "span aggregate is not map-side combined")
+    assert(!plan.contains("Join"), "packing arithmetic must stay join-free")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned documents scan: $readSchema")
+  }
+
+  test("docs_chunk: zero shuffles before the presentation sort, one codegen span") {
+    val plan = formatted(operators.Pack.docsChunk(spark, dir))
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(exchanges == 1, s"chunking must only shuffle for the presentation sort, got $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), "chunking is a pure projection")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned documents scan: $readSchema")
+  }
 }
