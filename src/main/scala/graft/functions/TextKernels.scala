@@ -92,6 +92,58 @@ object TextKernels {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Remove every code point covered by a duplicated k-window: given
+    * the SORTED 0-based window-start positions, merge the equal-
+    * length intervals [p, p+k) in one pass and emit the complement
+    * segments. O(|text| + |positions|) per document; code-point
+    * indexing matches [[windowHashes]] and SQL substr. An empty
+    * position list returns the input unchanged (same object — no
+    * copy for the clean-document common case). */
+  def stripDupWindows(s: UTF8String, positions: ArrayData, k: Int): UTF8String = {
+    val m = positions.numElements()
+    if (m == 0) return s
+    val cps = s.toString.codePoints().toArray
+    val out = new java.lang.StringBuilder(cps.length)
+    var cur = 0 // next code point to keep
+    var i = 0
+    while (i < m) {
+      val start = positions.getInt(i)
+      var end = start + k
+      i += 1
+      while (i < m && positions.getInt(i) <= end) {
+        val e2 = positions.getInt(i) + k
+        if (e2 > end) end = e2
+        i += 1
+      }
+      var j = cur
+      while (j < start) { out.appendCodePoint(cps(j)); j += 1 }
+      cur = end
+    }
+    var j = cur
+    while (j < cps.length) { out.appendCodePoint(cps(j)); j += 1 }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Count of merged duplicated spans over the same sorted-position
+    * interval merge as [[stripDupWindows]]. */
+  def dupSpanCount(positions: ArrayData, k: Int): Int = {
+    val m = positions.numElements()
+    if (m == 0) return 0
+    var spans = 0
+    var i = 0
+    while (i < m) {
+      var end = positions.getInt(i) + k
+      i += 1
+      while (i < m && positions.getInt(i) <= end) {
+        val e2 = positions.getInt(i) + k
+        if (e2 > end) end = e2
+        i += 1
+      }
+      spans += 1
+    }
+    spans
+  }
 }
 
 /** Analysis-time string-input check shared by the text kernels —
@@ -164,4 +216,60 @@ case class WindowHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_window_hashes"
+}
+
+/** `graft_strip_dup_windows(text, sorted_positions, k) → string` —
+  * the cleaned document; k fixed at plan time. */
+case class StripDupWindowsExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "window size must be positive")
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, array<int>), got $other")
+    }
+
+  override def nullSafeEval(text: Any, positions: Any): Any =
+    TextKernels.stripDupWindows(text.asInstanceOf[UTF8String], positions.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.TextKernels.stripDupWindows($t, $p, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripDupWindowsExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_strip_dup_windows"
+}
+
+/** `graft_dup_span_count(sorted_positions, k) → int` — merged
+  * duplicated-span count; k fixed at plan time. */
+case class DupSpanCountExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "window size must be positive")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int>, got $other")
+    }
+
+  override def nullSafeEval(positions: Any): Any =
+    TextKernels.dupSpanCount(positions.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.TextKernels.dupSpanCount($p, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupSpanCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_dup_span_count"
 }

@@ -1313,6 +1313,111 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The cleaning form of the substring criterion — what Lee et al.
+    * 2022 actually DO to the corpus (cut the duplicated spans, keep
+    * the rest), not just the measure: every code point covered by a
+    * duplicated k-window is removed and the kept islands concatenate
+    * into the cleaned document. Position-level output needs
+    * per-position corpus totals; instead of aggregating totals and
+    * joining back on wh (TWO wh exchanges of the position relation
+    * or shared-exchange column-parity gymnastics — and the kernel
+    * measurably ran twice in that form), the total rides a
+    * `count(*) over (partition by wh)` window: ONE exchange of the
+    * exploded relation, tiny skew-proof groups (one window string's
+    * corpus occurrences), a single consumer so the kernel provably
+    * runs once. The interval merge and complement emission are one
+    * native codegen'd pass per doc (`graft_strip_dup_windows` /
+    * `graft_dup_span_count` over the sorted position array, bounded
+    * per row by doc length like the text itself), and the output
+    * carries md5(clean) so the row stays small. Emits EVERY doc
+    * (short/clean docs pass through byte-identical). */
+  def dedupSubstringClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val p = spark.sparkContext.defaultParallelism
+    val w = docs.filter(col("n_chars") >= SubstringK)
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_window_hashes(text, $SubstringK)")))
+      .withColumnRenamed("col", "wh")
+    val dps = w
+      .withColumn("total", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
+      .filter(col("total") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    docs.join(dps, Seq("doc_id"), "left")
+      .withColumn("dps", coalesce(col("dps"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        expr(s"graft_strip_dup_windows(text, dps, $SubstringK)").as("clean"),
+        length(col("text")).cast("long").as("len"),
+        expr(s"graft_dup_span_count(dps, $SubstringK)").cast("long").as("n_spans"))
+      .select(col("doc_id"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        (col("len") - length(col("clean"))).cast("long").as("n_removed"),
+        col("n_spans"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the cleaned text re-derived entirely in SQL from the
+    * window STRINGS — gaps-and-islands over the duplicated
+    * positions, per-island spans [min, max+k), kept segments via
+    * LAG + the tail, string_agg in segment order. A doc whose every
+    * char is covered must come out '' (not the original — the
+    * n_spans NULL test distinguishes "no spans" from "no kept
+    * segments"). */
+  private val dedupSubstringCleanSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    substr(text, CAST(i AS INTEGER), $SubstringK) AS win
+       |  FROM documents, UNNEST(range(1, length(text) - ${SubstringK - 2})) AS t(i)
+       |), dup AS (
+       |  SELECT doc_id, pos FROM w
+       |  JOIN (SELECT win FROM w GROUP BY 1 HAVING COUNT(*) >= 2) d USING (win)
+       |), brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SubstringK
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM dup
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + $SubstringK AS e
+       |  FROM isl GROUP BY doc_id, g
+       |), nsp AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1
+       |), segs AS (
+       |  SELECT doc_id, ks, ke FROM (
+       |    SELECT doc_id,
+       |      COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+       |      s AS ke
+       |    FROM spans
+       |    UNION ALL
+       |    SELECT sp.doc_id, MAX(sp.e) AS ks, MAX(length(d.text)) + 1 AS ke
+       |    FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id
+       |  ) WHERE ke > ks
+       |), cl AS (
+       |  SELECT s.doc_id,
+       |    string_agg(substr(d.text, CAST(s.ks AS INTEGER), CAST(s.ke - s.ks AS INTEGER)),
+       |               '' ORDER BY s.ks) AS clean
+       |  FROM segs s JOIN documents d USING (doc_id) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(length(CASE WHEN n.n_spans IS NULL THEN d.text
+       |                   ELSE COALESCE(c.clean, '') END) AS BIGINT) AS clean_chars,
+       |  CAST(length(d.text) - length(CASE WHEN n.n_spans IS NULL THEN d.text
+       |                   ELSE COALESCE(c.clean, '') END) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(n.n_spans, 0) AS BIGINT) AS n_spans,
+       |  md5(CASE WHEN n.n_spans IS NULL THEN d.text
+       |           ELSE COALESCE(c.clean, '') END) AS clean_md5
+       |FROM documents d
+       |LEFT JOIN cl c USING (doc_id)
+       |LEFT JOIN nsp n USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The oracle re-derives the profile from the window STRINGS —
     * substr over generate_series — so the hash-grouped Spark plan is
     * checked against an independent exact-string grouping. The
@@ -1346,6 +1451,7 @@ object Dedup {
     GraftQuery("dedup_substring", Some(dedupSubstringSql), dedupSubstring),
     GraftQuery("dedup_substring_incremental", Some(dedupSubstringIncrementalSql),
       dedupSubstringIncremental),
+    GraftQuery("dedup_substring_clean", Some(dedupSubstringCleanSql), dedupSubstringClean),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),

@@ -272,4 +272,66 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got.nonEmpty && got == want)
   }
+
+  test("strip kernel: interval merge, adjacency, full cover, multibyte, empty pass-through") {
+    import graft.functions.TextKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def strip(s: String, ps: Seq[Int], k: Int): String =
+      TextKernels.stripDupWindows(UTF8String.fromString(s),
+        new GenericArrayData(ps.toArray.asInstanceOf[Array[Int]].map(Int.box): Array[Any]), k)
+        .toString
+    def spans(ps: Seq[Int], k: Int): Int =
+      TextKernels.dupSpanCount(
+        new GenericArrayData(ps.toArray.asInstanceOf[Array[Int]].map(Int.box): Array[Any]), k)
+    val t = "0123456789abcdefghij" // 20 chars
+    assert(strip(t, Seq(), 3) == t && spans(Seq(), 3) == 0)
+    // one window [2,5)
+    assert(strip(t, Seq(2), 3) == "01" + "56789abcdefghij" && spans(Seq(2), 3) == 1)
+    // overlap [2,5)+[4,7) merges to [2,7)
+    assert(strip(t, Seq(2, 4), 3) == "01" + "789abcdefghij" && spans(Seq(2, 4), 3) == 1)
+    // adjacency [2,5)+[5,8) merges (contiguous duplicated run)
+    assert(strip(t, Seq(2, 5), 3) == "01" + "89abcdefghij" && spans(Seq(2, 5), 3) == 1)
+    // gap > 0 chars between covers -> two spans
+    assert(strip(t, Seq(2, 8), 3) == "01" + "567" + "bcdefghij" && spans(Seq(2, 8), 3) == 2)
+    // full cover -> empty
+    assert(strip("abcd", Seq(0, 1), 3) == "" && spans(Seq(0, 1), 3) == 1)
+    // code points, not UTF-16 units: é and 日 are single positions
+    assert(strip("ééé日本語xx", Seq(1, 4), 3) == "é" + "x")
+  }
+
+  test("dedup_substring_clean: planted spans are removed, clean docs pass through byte-identical") {
+    import spark.implicits._
+    val k = Dedup.SubstringK
+    val span = "zqxwvutsrqponmlkjihgfedcba0123456789ABCDEFGHIJ" // 46 > k
+    val unique = "completely unique text with no repeated windows at all, long enough to have windows"
+    val docs = Seq(
+      (0L, s"left $span right"),
+      (1L, s"other $span tail"),
+      (2L, unique),
+      (3L, "shorty") // below k: untouched by construction
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("substrclean").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupSubstringClean(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // clean/short docs: byte-identical pass-through
+    assert(out(2L) == ((unique.length.toLong, 0L, 0L, md5hex(unique))))
+    assert(out(3L) == ((6L, 0L, 0L, md5hex("shorty"))))
+    // planted docs: the duplicated region is " span " (flanking
+    // spaces shared); covered chars = union of its k-windows =
+    // exactly that region; the kept text is the complement
+    val sharedLen = span.length + 2
+    val clean0 = "left" + " right".drop(1) // "left" + the chars after the removed " span "
+    val expect0 = s"left $span right".patch(4, "", sharedLen)
+    assert(clean0 == expect0) // sanity of the hand calculation itself
+    assert(out(0L) == ((expect0.length.toLong, sharedLen.toLong, 1L, md5hex(expect0))))
+    val expect1 = s"other $span tail".patch(5, "", sharedLen)
+    assert(out(1L) == ((expect1.length.toLong, sharedLen.toLong, 1L, md5hex(expect1))))
+  }
 }

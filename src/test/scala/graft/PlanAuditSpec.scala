@@ -406,6 +406,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
+  test("dedup_substring_clean: window kernel runs once (windowed total, no wh join-back)") {
+    val df = operators.Dedup.dedupSubstringClean(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the totals-aggregate + wh-join formulation measurably exploded
+    // the corpus twice; the count-over-wh window keeps one consumer
+    val kernels = "graft_window_hashes".r.findAllIn(plan).size
+    assert(kernels == 1, s"window kernel appears $kernels times:\n$plan")
+    // the only join left is the per-doc position-array attach
+    assert(!plan.contains("SortMergeJoin [wh") && !plan.contains("BroadcastHashJoin [wh"),
+      s"positions still join back on wh:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(n_chars"),
+      "n_chars predicate not pushed to the documents scan")
+  }
+
   test("pack_sequences: one bucket window exchange, partial agg over the span explode, pruned scan") {
     val plan = formatted(operators.Pack.packSequences(spark, dir))
     // exactly two exchanges: the bucket-key window shuffle and the
