@@ -1346,8 +1346,20 @@ object Dedup {
       .filter(col("total") >= 2)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
-    docs.join(dps, Seq("doc_id"), "left")
-      .withColumn("dps", coalesce(col("dps"), expr("cast(array() as array<int>)")))
+    // union-aggregate, NOT a left join: the positions aggregate has
+    // unique keys and the attach preserves row count, so Catalyst
+    // (correctly) eliminates a left outer join under a count(*)-style
+    // consumer and a benchmark action would measure a pruned plan —
+    // the same trap the profile's complement form documents. The
+    // union's group count is not statically derivable, so every
+    // consumer pays the real pipeline. max() picks the non-null text
+    // and the non-empty position array (empty array sorts first).
+    docs.select(col("doc_id"), col("text"),
+        expr("cast(array() as array<int>)").as("dps"))
+      .unionByName(dps.select(col("doc_id"),
+        lit(null).cast("string").as("text"), col("dps")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("text")).as("text"), max(col("dps")).as("dps"))
       .select(col("doc_id"),
         expr(s"graft_strip_dup_windows(text, dps, $SubstringK)").as("clean"),
         length(col("text")).cast("long").as("len"),
