@@ -19,7 +19,9 @@ object BenchOne {
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd.count, not df.count — see Bench.scala: df.count lets
+        // Catalyst prune projection-shaped entries to a scan count
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name%-24s best=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")

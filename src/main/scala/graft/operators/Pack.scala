@@ -66,10 +66,14 @@ object Pack {
     * its documents continue into the next sequence. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val nb = buckets(spark)
+    graft.functions.GraftFunctions.register(spark)
+    // token measure = `\S+` count via the fused stats kernel
+    // (element 1), spec-pinned equal to the regex the oracle runs —
+    // the regexp_extract_all form was the scan bottleneck at sf10
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"),
       (col("doc_id") % nb).as("bucket"),
-      size(regexp_extract_all(col("text"), lit(TextOps.WsToken), lit(0))).cast("long").as("n_tokens"))
+      element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
       .where(col("n_tokens") > 0)
     // THE sampling/packing permutation (md5, doc_id) — same order
     // convention as Curation's samplers, so a curation→packing

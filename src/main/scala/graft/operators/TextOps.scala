@@ -44,12 +44,27 @@ object TextOps {
       .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit(WsToken), lit(0))).as("term"))
   }
 
-  def textTokens(spark: SparkSession, dir: String): DataFrame =
+  /** The fused stats kernel (see TextKernels.textStats): ONE code-
+    * point pass replaces the per-entry stack of regexp_extract_all
+    * counts, which benched 3-19x behind DuckDB's RE2 once the bench
+    * action stopped letting Catalyst prune them (round 12). The
+    * regexes remain the DEFINITION — the oracles still run them, and
+    * TextOpsSpec pins kernel == regex per column on the corpus. CSE
+    * evaluates the repeated subexpression once per row in the
+    * collapsed projection (spec-pinned via the plan). */
+  private def stats(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    expr("graft_text_stats(text)")
+  }
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val st = stats(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      nMatches(col("text"), WsToken).cast("long").as("n_ws_tokens"),
-      nMatches(col("text"), BpeToken).cast("long").as("n_bpe_tokens"))
+      element_at(st, 1).as("n_ws_tokens"),
+      element_at(st, 2).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
+  }
 
   private lazy val textTokensSql: String =
     s"""SELECT doc_id,
@@ -62,12 +77,13 @@ object TextOps {
     * a single correctly-rounded op in both engines. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    val st = stats(spark)
     val nChars = length(col("text")).cast("long")
-    val nWords = nMatches(col("text"), WsToken).cast("long")
-    val nPunct = nMatches(col("text"), "[^A-Za-z0-9\\s]").cast("long")
-    val nDigit = nMatches(col("text"), "[0-9]").cast("long")
-    val nStop = nMatches(col("text"), StopRe("en")).cast("long")
-    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nWords = element_at(st, 1)
+    val nPunct = element_at(st, 3)
+    val nDigit = element_at(st, 4)
+    val nStop = element_at(st, 7) // en profile hits
+    val nNonSpace = element_at(st, 5)
     d.select(
       col("doc_id"),
       nChars.as("n_chars_m"),
@@ -88,13 +104,9 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic
-    * — small, public, high-frequency function words per language. */
-  val Profiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"),
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "you"),
-    "es" -> Seq("el", "la", "los", "que", "en", "un", "es", "por", "con", "una"),
-    "fr" -> Seq("le", "les", "et", "des", "en", "un", "est", "que", "pour", "dans"),
-    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这", "中"))
+    * — the single definition lives beside the fused stats kernel
+    * whose hit counting must stay in sync with it. */
+  val Profiles: Seq[(String, Seq[String])] = graft.functions.TextKernels.StopProfiles
 
   /** Case-insensitive whole-word alternation for a profile; CJK gets
     * no \b (RE2/Java word boundaries are ASCII-centric). */
@@ -109,8 +121,11 @@ object TextOps {
     * tie-break is explicit so both engines agree. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val hits = Profiles.map { case (l, _) =>
-      nMatches(col("text"), StopRe(l)).cast("long").as(s"${l}_hits")
+    val st = stats(spark)
+    // kernel layout positions 6..10 are the profile hit counts in
+    // Profiles order (de en es fr zh)
+    val hits = Profiles.zipWithIndex.map { case ((l, _), i) =>
+      element_at(st, 6 + i).as(s"${l}_hits")
     }
     val withHits = d.select(Seq(col("doc_id"), col("lang")) ++ hits: _*)
     val maxHits = greatest(Profiles.map(p => col(s"${p._1}_hits")): _*)

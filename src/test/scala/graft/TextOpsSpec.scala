@@ -151,4 +151,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.length == 500)
     rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
+
+  test("graft_text_stats equals the defining Java regexes column-for-column") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // corpus rows PLUS adversarial literals: \b/\w interactions the
+    // run-membership shortcut must reproduce ("theory" no hit,
+    // "the-and" two hits, "_the_" none — underscore is \w so no
+    // boundary), ASCII-only case fold, vertical tab as Java \s,
+    // multibyte letters outside \w (é creates a boundary), CJK hits
+    // without \b, empty string
+    val edge = Seq("", "theory theatre", "the-and", "_the_", "THE The tHe",
+      "ab", "éthe", "x9the", "的是的 foo99_bar", "  leading  and  trailing  ",
+      "é é é", "1the2 and3").toDF("text")
+    val corpus = Tables.documents(spark, dir).select(col("text"))
+    val all = corpus.unionByName(edge)
+    val k = expr("graft_text_stats(text)")
+    def re(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    val checks = Seq(
+      element_at(k, 1) === re("\\S+"),
+      element_at(k, 2) === re("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+      element_at(k, 3) === re("[^A-Za-z0-9\\s]"),
+      element_at(k, 4) === re("[0-9]"),
+      element_at(k, 5) === length(regexp_replace(col("text"), "\\s", "")).cast("long")) ++
+      operators.TextOps.Profiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(k, 6 + i) === re(operators.TextOps.StopRe(l))
+      }
+    val bad = all.filter(!checks.reduce(_ && _)).count()
+    assert(bad == 0, s"$bad rows where the kernel diverges from the regexes")
+  }
 }
