@@ -228,6 +228,31 @@ object TextKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** The BPE family's text normalization as one pass — exactly
+    * `lower(regexp_replace(text, "[^A-Za-z0-9]+", " "))`: every run
+    * of non-ASCII-alnum code points collapses to ONE space (leading/
+    * trailing runs included), then ASCII lowering. Because the
+    * replace runs FIRST, the survivors are pure [A-Za-z0-9] and the
+    * lower() is plain +32 — no unicode case-mapping edge exists by
+    * construction. The regex form benched as the dominant cost of
+    * text_tokens_bpe at sf10 (a Java-regex replace over the whole
+    * corpus); parity is spec-pinned. */
+  def bpeClean(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i) // chars, not code points: non-BMP units are non-alnum either way
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') { sb.append(c); inRun = false }
+      else if (c >= 'A' && c <= 'Z') { sb.append((c + 32).toChar); inRun = false }
+      else { if (!inRun) sb.append(' '); inRun = true }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Count of merged duplicated spans over the same sorted-position
     * interval merge as [[stripDupWindows]]. */
   def dupSpanCount(positions: ArrayData, k: Int): Int = {
@@ -337,6 +362,22 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression with StringI
     copy(child = newChild)
 
   override def prettyName: String = "graft_text_stats"
+}
+
+/** `graft_bpe_clean(string) → string` — see [[TextKernels.bpeClean]]. */
+case class BpeCleanExpr(child: Expression) extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeClean(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeClean($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCleanExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe_clean"
 }
 
 /** `graft_strip_dup_windows(text, sorted_positions, k) → string` —

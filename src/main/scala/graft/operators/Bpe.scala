@@ -55,11 +55,18 @@ object Bpe {
     * this — merges memorizing one rare occurrence don't generalize. */
   val MinPairCount = 2L
 
-  /** The shared normalization, identical codegen'd regexp in both
-    * engines: collapse non-alphanumeric runs to one space, then
-    * lowercase (ASCII-only after the strip, so case mapping is
-    * locale-free). All BPE arithmetic happens on this cleaned form. */
-  private[graft] def cleanedCol(text: Column): Column =
+  /** The shared normalization: collapse non-alphanumeric runs to one
+    * space, then lowercase (ASCII-only after the strip, so case
+    * mapping is locale-free). All BPE arithmetic happens on this
+    * cleaned form. The Spark side runs the native one-pass kernel —
+    * the regexp_replace form was the dominant cost of the honest
+    * sf10 bench row — while the oracle keeps the defining regex
+    * (CleanedSql) and BpeSpec pins kernel == regex. */
+  private[graft] def cleanedCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.BpeCleanExpr(ColumnBridge.expression(text)))
+  }
+  private[graft] def cleanedColRegex(text: Column): Column =
     lower(regexp_replace(text, "[^A-Za-z0-9]+", " "))
   private val CleanedSql = "lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))"
 
@@ -190,9 +197,15 @@ object Bpe {
       // pinned-count repartition rationale — see TextOps)
       .repartition(p, col("doc_id"))
       .select(col("doc_id"), cleanedCol(col("text")).as("c"))
+      // cleaned text is pure [a-z0-9 ], so the regex-defined word
+      // and alnum counts equal the fused stats kernel's \S+-run and
+      // nonspace counts (elements 1 and 5) — the oracle keeps the
+      // regex forms, the hash gate pins the equality
       .select(col("doc_id"),
-        size(regexp_extract_all(col("c"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
-        length(translate(col("c"), " ", "")).cast("long").as("n_alnum"),
+        element_at(ColumnBridge.column(graft.functions.TextStatsExpr(
+          ColumnBridge.expression(col("c")))), 1).as("n_words"),
+        element_at(ColumnBridge.column(graft.functions.TextStatsExpr(
+          ColumnBridge.expression(col("c")))), 5).as("n_alnum"),
         kernelCount.as("n_tokens"))
       .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"), col("n_alnum"), col("n_tokens"),

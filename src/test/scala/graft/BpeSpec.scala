@@ -69,4 +69,19 @@ class BpeSpec extends AnyFunSuite {
     val avgCpt = out.map(_.getDouble(4)).sum / out.length
     assert(avgCpt > 1.5, s"mean chars-per-token $avgCpt — merges are not compressing")
   }
+
+  test("graft_bpe_clean equals the defining regex normalization byte-for-byte") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus rows plus run-collapse / boundary / unicode edges: the
+    // replace runs BEFORE lower, so É and 日 are just non-alnum runs
+    val edge = Seq("", "   ", "!!!", "a", "A!B", "!!ABC??def##", "É é mixed",
+      "日本語 TEXT 42", "tabs\tand\nnewlines", "a1B2c3", "--leading and trailing--")
+      .toDF("text")
+    val all = Tables.documents(spark, dir).select(col("text")).unionByName(edge)
+    val bad = all.filter(
+      operators.Bpe.cleanedCol(col("text")) =!=
+        operators.Bpe.cleanedColRegex(col("text"))).count()
+    assert(bad == 0, s"$bad rows where the clean kernel diverges from the regex")
+  }
 }
