@@ -1346,14 +1346,21 @@ object Dedup {
       .filter(col("total") >= 2)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
-    // union-aggregate, NOT a left join: the positions aggregate has
-    // unique keys and the attach preserves row count, so Catalyst
-    // (correctly) eliminates a left outer join under a count(*)-style
-    // consumer and a benchmark action would measure a pruned plan —
-    // the same trap the profile's complement form documents. The
-    // union's group count is not statically derivable, so every
-    // consumer pays the real pipeline. max() picks the non-null text
-    // and the non-empty position array (empty array sorts first).
+    stripStage(docs, dps)
+  }
+
+  /** Attach per-doc duplicated positions and emit the cleaned-doc
+    * row — shared by the full and incremental cleaners.
+    *
+    * Union-aggregate, NOT a left join: the positions aggregate has
+    * unique keys and the attach preserves row count, so Catalyst
+    * (correctly) eliminates a left outer join under a count(*)-style
+    * consumer and a benchmark action would measure a pruned plan —
+    * the same trap the profile's complement form documents. The
+    * union's group count is not statically derivable, so every
+    * consumer pays the real pipeline. max() picks the non-null text
+    * and the non-empty position array (empty array sorts first). */
+  private def stripStage(docs: DataFrame, dps: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"),
         expr("cast(array() as array<int>)").as("dps"))
       .unionByName(dps.select(col("doc_id"),
@@ -1370,6 +1377,35 @@ object Dedup {
         col("n_spans"),
         md5(col("clean")).as("clean_md5"))
       .orderBy(col("doc_id"))
+
+  /** Fresh-crawl form of the cleaner: strip the NEW slice's
+    * duplicated spans against window totals over the WHOLE corpus,
+    * read from the PERSISTED (wh, total) table — the nightly "clean
+    * this crawl against everything we already have" job. Steady
+    * state explodes only the slice's text; the total >= 2 cut is a
+    * pushed parquet predicate on the persisted table. A slice window
+    * duplicated only against old text still strips (totals count the
+    * whole corpus), and per-position independence makes the output
+    * EXACTLY the full cleaner restricted to the slice (spec-pinned,
+    * same argument as the profile's incremental). */
+  def dedupSubstringCleanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val restrict = incrementalSplit(docs)
+      .map(split => col("doc_id") >= lit(split))
+      .getOrElse(lit(false))
+    val p = spark.sparkContext.defaultParallelism
+    val wt = substringWindowTable(spark, dir).filter(col("total") >= 2)
+    val sliceDocs = docs.filter(restrict)
+    val w = sliceDocs.filter(col("n_chars") >= SubstringK)
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_window_hashes(text, $SubstringK)")))
+      .withColumnRenamed("col", "wh")
+    val dps = w.join(wt, "wh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    stripStage(sliceDocs, dps)
   }
 
   /** Oracle: the cleaned text re-derived entirely in SQL from the
@@ -1379,7 +1415,7 @@ object Dedup {
     * char is covered must come out '' (not the original — the
     * n_spans NULL test distinguishes "no spans" from "no kept
     * segments"). */
-  private val dedupSubstringCleanSql: String =
+  private def substringCleanSqlWith(dPredicate: String): String =
     s"""WITH w AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    substr(text, CAST(i AS INTEGER), $SubstringK) AS win
@@ -1427,8 +1463,15 @@ object Dedup {
        |           ELSE COALESCE(c.clean, '') END) AS clean_md5
        |FROM documents d
        |LEFT JOIN cl c USING (doc_id)
-       |LEFT JOIN nsp n USING (doc_id)
+       |LEFT JOIN nsp n USING (doc_id)$dPredicate
        |ORDER BY d.doc_id""".stripMargin
+
+  private val dedupSubstringCleanSql: String = substringCleanSqlWith("")
+
+  /** Restricts the FINAL select only — duplicated positions must
+    * still be judged against whole-corpus window totals. */
+  private val dedupSubstringCleanIncrementalSql: String = substringCleanSqlWith(
+    "\nWHERE d.doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
   /** The oracle re-derives the profile from the window STRINGS —
     * substr over generate_series — so the hash-grouped Spark plan is
@@ -1464,6 +1507,8 @@ object Dedup {
     GraftQuery("dedup_substring_incremental", Some(dedupSubstringIncrementalSql),
       dedupSubstringIncremental),
     GraftQuery("dedup_substring_clean", Some(dedupSubstringCleanSql), dedupSubstringClean),
+    GraftQuery("dedup_substring_clean_incremental", Some(dedupSubstringCleanIncrementalSql),
+      dedupSubstringCleanIncremental),
     GraftQuery("dedup_ngram_jaccard", Some(dedupNgramJaccardSql), dedupNgramJaccard),
     GraftQuery("dedup_incremental", Some(dedupIncrementalSql), dedupNgramJaccardIncremental),
     GraftQuery("dedup_minhash_lsh", Some(dedupMinhashLshSql), dedupMinhashLshStaged),

@@ -273,6 +273,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("clean incremental is exactly the full cleaner restricted to the slice") {
+    val full = Dedup.dedupSubstringClean(spark, dir)
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val want = full.filter(col("doc_id") >= split).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val got = Dedup.dedupSubstringCleanIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("strip kernel: interval merge, adjacency, full cover, multibyte, empty pass-through") {
     import graft.functions.TextKernels
     import org.apache.spark.sql.catalyst.util.GenericArrayData
