@@ -193,13 +193,19 @@ object TextOps {
   /** PII surface counts per document — the signal a training-data
     * pipeline filters or redacts on. Pure codegen'd regex counts
     * over the scan, like the other text metrics. */
-  def textPii(spark: SparkSession, dir: String): DataFrame =
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // hand automata for the three fixed patterns (17x RE2 as Java
+    // NFAs under the honest bench); regex parity spec-pinned and the
+    // oracle keeps the regex definitions
+    val pc = expr("graft_pii_counts(text)")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      nMatches(col("text"), EmailRe).cast("long").as("n_emails"),
-      nMatches(col("text"), UrlRe).cast("long").as("n_urls"),
-      nMatches(col("text"), PhoneRe).cast("long").as("n_phones"))
+      element_at(pc, 1).as("n_emails"),
+      element_at(pc, 2).as("n_urls"),
+      element_at(pc, 3).as("n_phones"))
       .orderBy(col("doc_id"))
+  }
 
   private lazy val textPiiSql: String =
     s"""SELECT doc_id,

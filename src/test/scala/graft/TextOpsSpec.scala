@@ -181,4 +181,51 @@ class TextOpsSpec extends AnyFunSuite {
     val bad = all.filter(!checks.reduce(_ && _)).count()
     assert(bad == 0, s"$bad rows where the kernel diverges from the regexes")
   }
+
+  test("graft_pii_counts equals the defining regexes (find semantics, backtracking edges)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val edge = Seq(
+      "", "a@b.cd", "a@b.c", "a@b.cd.ef", "a@b@c.de", "@b.cd", "a@.cd", "a@b.",
+      "user+tag%x.y-z@mail-svr.example.co.uk", "....@....", "a@b.cd5", "a@b.CD",
+      "no emails here at all", "two a@b.cd and c@d.ef emails",
+      "http://x", "https://", "xhttps://ok?a=1#f", "HTTP://x", "httpss://x",
+      "http://http://", "see https://a.b/c_d%e#f?g=h& end",
+      "123-456-7890", "123.456.7890", "1234567890", "123-4567-890",
+      "123-456-78901234", "call 555.123.4567 or 555-123-4567 now",
+      "000-000-0000000-000-0000", "email a@b.cd http://u 123-456-7890 combo")
+      .toDF("text")
+    val all = Tables.documents(spark, dir).select(col("text")).unionByName(edge)
+    val pc = expr("graft_pii_counts(text)")
+    def re(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    val bad = all.filter(!(
+      element_at(pc, 1) === re("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+") &&
+      element_at(pc, 2) === re("https?://[A-Za-z0-9./_%#?&=-]+") &&
+      element_at(pc, 3) === re("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"))).count()
+    assert(bad == 0, s"$bad rows where the pii kernel diverges from the regexes")
+  }
+
+  test("pii kernel fuzz: random strings over a pattern-dense alphabet match Java find counts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // alphabet chosen so emails/urls/phones form and break constantly
+    // — dots and dashes are in several classes at once, which is
+    // where the hand backtracking could diverge
+    val alpha = "a1.-@+ http:/s%2"
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 4000).map { _ =>
+      val len = 1 + rnd.nextInt(40)
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val pc = expr("graft_pii_counts(text)")
+    def re(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    val bad = strs.toDF("text").filter(!(
+      element_at(pc, 1) === re("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+") &&
+      element_at(pc, 2) === re("https?://[A-Za-z0-9./_%#?&=-]+") &&
+      element_at(pc, 3) === re("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}")))
+      .select(col("text")).collect()
+    assert(bad.isEmpty, s"diverging inputs: ${bad.take(5).map(_.getString(0)).mkString(" | ")}")
+  }
 }
