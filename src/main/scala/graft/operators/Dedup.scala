@@ -1498,7 +1498,9 @@ object Dedup {
 
   private val dedupSubstringSql: String = substringSqlWith("")
 
-  private val dedupSubstringIncrementalSql: String = substringSqlWith(
+  // private[graft]: the streaming profile gate shares this oracle —
+  // its one-shot output is spec-pinned equal to the batch entry
+  private[graft] val dedupSubstringIncrementalSql: String = substringSqlWith(
     "\nWHERE d.doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
   def queries: Seq[GraftQuery] = Seq(

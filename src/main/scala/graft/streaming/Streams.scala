@@ -390,6 +390,49 @@ object Streams {
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Streaming twin of `dedup_substring_incremental` — the SECOND
+    * ingest-time gate (the minhash gate flags near-dup PAIRS; this
+    * one profiles exact substring duplication): each arriving
+    * document's k-window duplication fraction against the WHOLE
+    * corpus, judged via a stream-static join on the PERSISTED
+    * (wh, total) window-total table. Every slice window is in the
+    * table (totals cover the whole corpus), so the inner join is
+    * lossless and `total == 1` means globally unique — no ownership
+    * state, no stream-stream anything. The per-doc aggregate groups
+    * on (doc_id, n_windows) where n_windows is row arithmetic;
+    * Complete output mode because the one-shot harness has no
+    * event-time column to watermark on (state = slice-doc-count
+    * rows; a continuous deployment watermarks on its crawl's
+    * ingest time instead, same trade documented on the pair gate).
+    * One-shot output equals the batch incremental entry row-for-row
+    * (spec-pinned), so the batch oracle applies unchanged. */
+  def streamSubstringProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val schema = docsBatch.schema
+    val wt = Dedup.substringWindowTable(spark, dir)
+    val freshAll = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val fresh = Dedup.incrementalSplit(docsBatch)
+      .map(split => freshAll.filter(col("doc_id") >= lit(split)))
+      .getOrElse(freshAll.filter(lit(false)))
+      .filter(col("n_chars") >= Dedup.SubstringK)
+    val w = fresh
+      .select(col("doc_id"),
+        (length(col("text")) - lit(Dedup.SubstringK - 1)).cast("long").as("n_windows"),
+        explode(expr(s"graft_window_hashes(text, ${Dedup.SubstringK})")).as("wh"))
+    val profile = w.join(wt, "wh")
+      .groupBy(col("doc_id"), col("n_windows"))
+      .agg(sum(when(col("total") === 1, 1L).otherwise(0L)).as("uniq"))
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_windows") - col("uniq")).as("dup_windows"),
+        ((col("n_windows") - col("uniq")).cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+    runToMemory(spark, profile, "graft_stream_substring_profile", OutputMode.Complete())
+      .orderBy(col("doc_id"))
+  }
+
   /** Stage path + memo for the entry's oracle (the usual
     * once-per-corpus staged-pairs convention). */
   val StreamDocPairStagePath: String =
@@ -565,5 +608,7 @@ object Streams {
     GraftQuery("stream_join", Some(streamJoinSql), streamJoin),
     GraftQuery("stream_dedup", Some(streamDedupSql), streamDedup),
     GraftQuery("stream_dedup_docs", Some(streamDedupDocsSql), streamDedupDocsStaged),
+    GraftQuery("stream_substring_profile",
+      Some(graft.operators.Dedup.dedupSubstringIncrementalSql), streamSubstringProfile),
     GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))
 }

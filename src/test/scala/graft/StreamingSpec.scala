@@ -122,6 +122,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming substring profile equals the batch incremental operator") {
+    val stream = Streams.streamSubstringProfile(spark, dir).collect().map(_.toString).toSeq
+    val batch = operators.Dedup.dedupSubstringIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("bounded gate: in-window pair dedup, state eviction re-emit, behind-watermark drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
