@@ -421,6 +421,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "n_chars predicate not pushed to the documents scan")
   }
 
+  test("dedup_substring_clean_incremental: slice predicate and total-cut pushed to both scans") {
+    val plan = formatted(operators.Dedup.dedupSubstringCleanIncremental(spark, dir))
+    // the slice restriction must reach the documents parquet scan
+    assert(plan.contains("GreaterThanOrEqual(doc_id"),
+      s"slice predicate not pushed to the documents scan:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+    // the duplicated-window cut must reach the persisted totals scan
+    assert(plan.contains("GreaterThanOrEqual(total,2"),
+      "total >= 2 not pushed into the persisted window-total table scan")
+    // kernel once: the strip stage reuses the one slice explode
+    val kernels = "graft_window_hashes".r.findAllIn(plan).size
+    assert(kernels == 1, s"window kernel appears $kernels times:\n$plan")
+  }
+
   test("pack_sequences: one bucket window exchange, partial agg over the span explode, pruned scan") {
     val plan = formatted(operators.Pack.packSequences(spark, dir))
     // exactly two exchanges: the bucket-key window shuffle and the
