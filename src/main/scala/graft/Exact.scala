@@ -25,17 +25,23 @@ object Exact {
 
   /** Exact sum of a double measure, emitted as double.
     *
-    * The ROUND(_, 6) before the double cast matters: it is an
-    * identity on this data (inputs have ≤6 decimal places, so sums
-    * do too) but it caps the decimal scale so the scaled integer
-    * numerator stays below 2^53 — making the decimal→double
-    * conversion a single correctly-rounded step in BOTH engines.
-    * Without it, DuckDB's int128/10^s conversion of scale-12/18
-    * sums double-rounds and drifts 1 ulp from Spark. */
-  def dsum(c: Column): Column = round(sum(dec(c)), 6).cast(DoubleType)
+    * The ROUND(_, 6) is an identity on this data (inputs have ≤6
+    * decimal places, so sums do too) — it normalizes the scale. The
+    * decimal→double conversion then goes THROUGH A STRING: the
+    * decimal→string step is exact in both engines and the
+    * string→double parse is correctly rounded in both (Java
+    * parseDouble, DuckDB fast_float), so both emit the double
+    * closest to the exact sum AT ANY MAGNITUDE. The direct
+    * decimal→double cast is only single-rounded while the scaled
+    * integer fits 2^53 — sum_charge crossed that at sf1 (≈4.5e16
+    * at scale 6) and the engines drifted a final ulp apart. */
+  def dsum(c: Column): Column = viaString(round(sum(dec(c)), 6))
 
   /** Exact sum of an already-decimal expression, emitted as double. */
-  def dsumRaw(c: Column): Column = round(sum(c), 6).cast(DoubleType)
+  def dsumRaw(c: Column): Column = viaString(round(sum(c), 6))
+
+  private def viaString(d: Column): Column =
+    d.cast(org.apache.spark.sql.types.StringType).cast(DoubleType)
 
   /** extendedprice * (1 - discount) as an exact decimal product. */
   def discPrice(ep: Column, disc: Column): Column =
@@ -52,9 +58,12 @@ object Exact {
   /** SQL fragments for the DuckDB oracle, mirroring the casts above. */
   object sql {
     def sdec(c: String): String = s"CAST($c AS DECIMAL(18,6))"
-    def sdsum(c: String): String = s"CAST(ROUND(SUM(${sdec(c)}), 6) AS DOUBLE)"
-    /** Wrap an aggregate so its decimal→double cast single-rounds. */
-    def sd(aggExpr: String): String = s"CAST(ROUND($aggExpr, 6) AS DOUBLE)"
+    def sdsum(c: String): String =
+      s"CAST(CAST(ROUND(SUM(${sdec(c)}), 6) AS VARCHAR) AS DOUBLE)"
+    /** Wrap an aggregate so its decimal→double conversion is the
+      * correctly-rounded string parse (see dsum). */
+    def sd(aggExpr: String): String =
+      s"CAST(CAST(ROUND($aggExpr, 6) AS VARCHAR) AS DOUBLE)"
     def sdiscPrice(ep: String, disc: String): String =
       s"${sdec(ep)} * (1 - ${sdec(disc)})"
     def scharge(ep: String, disc: String, tax: String): String =
