@@ -72,7 +72,13 @@ object Bench {
           errors += name; None
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision: full double repr made the 74-entry line
+    // ~10 KB and BENCH_r12's tail capture truncated it mid-stream
+    // (`parsed: null` — the suite total and 11 entries were lost).
+    // 3 decimals is far below run-to-run noise and keeps the whole
+    // line ~2.5 KB, inside any log-tail window.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -89,7 +95,17 @@ object Bench {
     // (ADVICE r11). The failure still surfaces on stderr.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Belt-and-braces against tail truncation (BENCH_r12 lesson): the
+    // same JSON also lands in a file no log window can clip. The path
+    // goes to stderr so stdout's last line stays the metrics line.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] json also written to $out")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(line)
     System.out.flush()
   }
 }
