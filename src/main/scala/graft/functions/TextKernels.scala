@@ -156,7 +156,15 @@ object TextKernels {
     * kernel-vs-regex spec both pin the equivalence:
     *
     *   [0] n_ws       `\S+` matches (maximal non-\s runs; Java \s =
-    *                  [ \t\n\x0B\f\r])
+    *                  [ \t\n\x0B\f\r]. KNOWN ENGINE DIVERGENCE: the
+    *                  DuckDB oracles run RE2, whose \s EXCLUDES
+    *                  vertical tab \x0B — a corpus containing \x0B
+    *                  would fail the hash gate on n_ws/n_punct/
+    *                  n_nonspace. The testdata generator never emits
+    *                  it (checked: 0 occurrences at every SF); if a
+    *                  future corpus does, pick one \s definition and
+    *                  pin BOTH engines to it — this is a corpus
+    *                  property, not a kernel bug. ADVICE r12.)
     *   [1] n_bpe      `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches
     *                  (letter runs + digit runs + every other
     *                  non-space code point)

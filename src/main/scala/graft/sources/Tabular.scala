@@ -34,9 +34,14 @@ object Tabular {
     Sdf.filterNotNull(extracted, layout)
   }
 
-  /** CSV with a header row → compounds table per layout. */
-  def fromCsv(spark: SparkSession, path: String, layout: LayoutSpec = LayoutSpec.default): DataFrame =
-    extract(spark.read.option("header", "true").csv(path), layout)
+  /** CSV with a header row → compounds table per layout.
+    * `options` lets a caller pin the file's null encoding (e.g.
+    * `nullValue -> "\\N"` for exports staged by [[graft.sources
+    * .SdfQueries]], whose writer distinguishes null from the empty
+    * string with an explicit sentinel). */
+  def fromCsv(spark: SparkSession, path: String, layout: LayoutSpec = LayoutSpec.default,
+              options: Map[String, String] = Map.empty): DataFrame =
+    extract(spark.read.option("header", "true").options(options).csv(path), layout)
 
   /** JSON-lines → compounds table per layout. */
   def fromJson(spark: SparkSession, path: String, layout: LayoutSpec = LayoutSpec.default): DataFrame =
