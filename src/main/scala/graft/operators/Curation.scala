@@ -790,11 +790,20 @@ object Curation {
     * pair-quadratic or corpus-squared, so the composition scales
     * exactly as far as its worst member. */
   def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
+    // Quality counts via the fused one-pass stats kernel — the same
+    // regexes remain the DEFINITION (the oracle runs them; the
+    // kernel==regex equivalence is TextOpsSpec-pinned). The raw
+    // regexp_count/regexp_replace stack here was the last regex
+    // consumer left after round 12 retired the text family's, and
+    // was the bulk of this entry's 2.4x sf10 gap (VERDICT r12).
+    // CSE evaluates graft_text_stats(text) once per row.
+    val st = expr("graft_text_stats(text)")
     val nChars = length(col("text")).cast("long")
-    val nWords = regexp_count(col("text"), lit("\\S+")).cast("long")
-    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
-    val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nWords = element_at(st, 1)
+    val nPunct = element_at(st, 3)
+    val nNonSpace = element_at(st, 5)
     val quality = docs.filter(
       nChars >= lit(CurateMinChars) && nChars <= lit(CurateMaxChars) &&
         nPunct / nChars < lit(CurateMaxPunctRatio) &&
