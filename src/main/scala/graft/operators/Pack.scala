@@ -81,6 +81,13 @@ object Pack {
       (col("doc_id") % nb).as("bucket"),
       element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
       .where(col("n_tokens") > 0)
+    packFrom(toks)
+  }
+
+  /** The packing core over any (doc_id, bucket, n_tokens) frame —
+    * shared by the `\S+`-measured and BPE-measured entries; the
+    * token MEASURE is the only thing that differs between them. */
+  private def packFrom(toks: DataFrame): DataFrame = {
     // THE sampling/packing permutation (md5, doc_id) — same order
     // convention as Curation's samplers, so a curation→packing
     // pipeline reads one shuffle-ready ordering end to end.
@@ -114,6 +121,50 @@ object Pack {
        |  SELECT doc_id, doc_id % $DefaultBuckets AS bucket,
        |         len(regexp_extract_all(text, '${TextOps.WsToken}')) AS n_tokens
        |  FROM documents
+       |), pos AS (
+       |  SELECT bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin,
+       |    n_tokens
+       |  FROM toks WHERE n_tokens > 0
+       |), spans AS (
+       |  SELECT bucket, fin - n_tokens AS strt, fin,
+       |    UNNEST(generate_series((fin - n_tokens) // $Budget, (fin - 1) // $Budget)) AS seq_ix
+       |  FROM pos
+       |)
+       |SELECT bucket, seq_ix,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(LEAST((seq_ix + 1) * $Budget, fin) - GREATEST(seq_ix * $Budget, strt)) AS BIGINT) AS n_seq_tokens,
+       |  CAST(SUM(CASE WHEN fin > (seq_ix + 1) * $Budget THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+       |FROM spans GROUP BY bucket, seq_ix ORDER BY bucket, seq_ix""".stripMargin
+
+  /** pack_sequences with the TRUE model-token measure: `n_tokens`
+    * is the learned-BPE token count (the same persisted merges table
+    * and codegen kernel as `text_tokens_bpe`), so `Budget` means
+    * MODEL tokens — the tokenize→pack composition every real
+    * pretraining shard packer runs (VERDICT r12 item 1). Identical
+    * packing core and plan shape (one codegen'd projection feeding
+    * one window exchange); only the token measure differs from
+    * [[packSequences]]. The oracle swaps its token source for the
+    * recursive-CTE tokenization summed per document. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val codec = Bpe.codecOf(Bpe.mergesList(spark, dir))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % DefaultBuckets).as("bucket"),
+      ColumnBridge.column(graft.functions.BpeTokenCountExpr(
+        ColumnBridge.expression(Bpe.cleanedCol(col("text"))), codec)).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    packFrom(toks)
+  }
+
+  private lazy val packSequencesBpeSql: String =
+    s"""WITH RECURSIVE ${Bpe.bpeTokenCtes}, toks AS (
+       |  SELECT w.doc_id, w.doc_id % $DefaultBuckets AS bucket,
+       |         CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+       |  FROM words w JOIN wtok t ON w.w = t.w GROUP BY w.doc_id
        |), pos AS (
        |  SELECT bucket,
        |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket
@@ -171,5 +222,7 @@ object Pack {
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("pack_sequences", Some(packSequencesSql), packSequences),
+    GraftQuery("pack_sequences_bpe", Some(packSequencesBpeSql),
+      (s, dir) => packSequencesBpe(s, dir)),
     GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk))
 }

@@ -73,6 +73,27 @@ class PackSpec extends AnyFunSuite {
     assert(out.map(_._4).sum == total)
   }
 
+  test("pack_sequences_bpe: model-token conservation and the shared structure invariants") {
+    val seqs = Pack.packSequencesBpe(spark, dir).collect()
+    assert(seqs.nonEmpty)
+    for ((b, rows) <- seqs.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"bucket $b sequence ids must be dense")
+      sorted.dropRight(1).foreach(r => assert(r.getLong(3) == Pack.Budget,
+        s"bucket $b seq ${r.getLong(1)}: non-tail fill ${r.getLong(3)} != ${Pack.Budget}"))
+      assert(sorted.last.getLong(3) <= Pack.Budget)
+      sorted.foreach(r => assert(r.getLong(4) <= 1))
+    }
+    // conservation in MODEL tokens: packed == the BPE entry's corpus
+    // total over the same merges table (docs with zero words excluded
+    // by both)
+    val packed = seqs.map(_.getLong(3)).sum
+    val corpus = operators.Bpe.textTokensBpe(spark, dir)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(packed == corpus, s"packed $packed != corpus BPE tokens $corpus")
+  }
+
   test("docs_chunk: full coverage, stride overlap, code-point semantics") {
     import spark.implicits._
     val cases = Seq(
