@@ -171,6 +171,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded substring gate: in-window collapse, eviction re-emit, late drop, batch-equal values") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val dupText = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    val freshId = 20_000_000L
+    val base = 1700000000L * 1000000
+    val min = 60L * 1000000
+    val ms = MemoryStream[(Long, String, Long)]
+    val fresh = ms.toDS().toDF("doc_id", "text", "iUs")
+      .withColumn("ingest_ts", timestamp_micros(col("iUs")))
+      .select(col("doc_id"), col("text"), col("ingest_ts"))
+    val gate = Streams.streamSubstringProfileBounded(spark, dir, fresh, "10 minutes")
+    val q = gate.writeStream.format("memory").queryName("graft_substr_bounded_test")
+      .outputMode(OutputMode.Append()).start()
+    def rowsForFresh() = spark.table("graft_substr_bounded_test")
+      .filter(col("doc_id") === freshId).collect()
+    try {
+      // two in-window arrivals of the same doc...
+      ms.addData((freshId, dupText, base)); q.processAllAvailable()
+      ms.addData((freshId, dupText, base + min)); q.processAllAvailable()
+      // ...then an unrelated doc far ahead advances the watermark and
+      // flushes append-mode state: exactly ONE profile row (the
+      // in-window duplicate collapsed; without the dedup stage the
+      // base+min arrival would sit in its own 1-minute bucket and a
+      // second row would eventually emit)
+      ms.addData((freshId + 1, "x".repeat(64), base + 120 * min)); q.processAllAvailable()
+      val r1 = rowsForFresh()
+      assert(r1.length == 1, s"expected one collapsed profile row, got ${r1.length}")
+      // values equal the same profile computed in batch over the
+      // persisted (wh, total) table
+      val expect = Seq((freshId, dupText)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          (length(col("text")) - lit(Dedup.SubstringK - 1)).cast("long").as("n_windows"),
+          explode(expr(s"graft_window_hashes(text, ${Dedup.SubstringK})")).as("wh"))
+        .join(Dedup.substringWindowTable(spark, dir), "wh")
+        .groupBy(col("doc_id"), col("n_windows"))
+        .agg(sum(when(col("total") === 1, 1L).otherwise(0L)).as("uniq"))
+        .select(col("doc_id"), col("n_windows"),
+          (col("n_windows") - col("uniq")).as("dup_windows"),
+          ((col("n_windows") - col("uniq")).cast("double") / col("n_windows").cast("double"))
+            .as("dup_frac"))
+        .head()
+      assert(r1.head.toSeq == expect.toSeq,
+        s"stream profile ${r1.head.toSeq} != batch ${expect.toSeq}")
+      // ON-TIME re-crawl after eviction → re-profiled (dedup state
+      // demonstrably left the store)
+      ms.addData((freshId, dupText, base + 121 * min)); q.processAllAvailable()
+      ms.addData((freshId + 2, "y".repeat(64), base + 240 * min)); q.processAllAvailable()
+      assert(rowsForFresh().length == 2,
+        "post-eviction re-crawl not re-profiled (state not evicted?)")
+      // BEHIND-watermark late re-arrival → dropped
+      ms.addData((freshId, dupText, base + min)); q.processAllAvailable()
+      ms.addData((freshId + 3, "z".repeat(64), base + 360 * min)); q.processAllAvailable()
+      assert(rowsForFresh().length == 2, "behind-watermark row leaked through")
+    } finally q.stop()
+  }
+
   test("stream dedup emits exactly the distinct key set") {
     val stream = Streams.streamDedup(spark, dir).collect().map(_.toString).toSeq
     val batch = Tables.events(spark, dir)
