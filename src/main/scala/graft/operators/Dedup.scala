@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines
@@ -311,21 +312,38 @@ object Dedup {
     }
   }
 
-  private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
-                            volumeBytes: Long): DataFrame = {
-    val spark = cand.sparkSession
-    import spark.implicits._
-    val b = spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
+  private[graft] def gridB(spark: SparkSession, volumeBytes: Long): Int =
+    spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
       .getOrElse(gridSideFor(volumeBytes, taskHeapBytes(spark),
         spark.sparkContext.defaultParallelism))
-    // grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
-    // not a hash: ids are assigned sequentially so residues are
-    // uniform, and the SAME bucketing must be computed on the doc
-    // side below. `cand` arrives UNDEDUPED (one row per matching
-    // prefix/band token) — dedup happens inside the cogroup below.
+
+  /** The grid's ONE declarative input plan: candidate pairs and
+    * replicated doc rows UNIONed into a single tagged relation.
+    * One relation on purpose — both branches hang off the shared
+    * shingle exchange, and exchange reuse only dedupes subtrees
+    * inside a single query; two separate executions would run the
+    * shingle kernel once per side. Repartitioned by cell and sorted
+    * (cell, kind, da, db) so the merge below is a single forward
+    * pass: each cell's docs (kind 0) arrive before its pairs
+    * (kind 1), and duplicate pairs are adjacent.
+    *
+    * grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
+    * not a hash: ids are assigned sequentially so residues are
+    * uniform, and the SAME bucketing must be computed on the doc
+    * side. `cand` arrives UNDEDUPED (one row per matching
+    * prefix/band token) — dedup happens in the merge. NO global
+    * distinct(): a pair's duplicates all land in the SAME cell, so
+    * the in-sort adjacency skip costs zero memory while a pre-dedup
+    * distinct costs a full extra write+sort+read of the entire pair
+    * relation (measured ~10% surplus vs ~25 GB of shuffle IO at
+    * sf10). */
+  private[graft] def verifyGridPlan(cand: DataFrame, hashed: DataFrame, b: Int): DataFrame = {
+    val spark = cand.sparkSession
     val pairs = cand.select(
       (pmod(col("doc_a"), lit(b)) * b + pmod(col("doc_b"), lit(b))).as("cell"),
-      col("doc_a"), col("doc_b")).as[(Long, Long, Long)]
+      lit(1).as("kind"),
+      col("doc_a").as("da"), col("doc_b").as("db"),
+      lit(null).cast("array<bigint>").as("ghs"))
     // every doc serves its grid ROW (as a potential doc_a: cells
     // bucket*B + j) and its grid COLUMN (as doc_b: cells i*B +
     // bucket); the diagonal cell appears in both sequences, deduped
@@ -339,35 +357,47 @@ object Dedup {
             j => pmod(col("doc_id"), lit(b)) * b + j),
           transform(sequence(lit(0), lit(b - 1)),
             i => i * b + pmod(col("doc_id"), lit(b)))))).as("cell"),
-        col("doc_id"), col("ghs")).as[(Long, Long, Array[Long])]
-    // cogroupSorted, not a global distinct() + cogroup: a candidate
-    // pair's duplicates all hash to the SAME cell, so a secondary
-    // sort by (doc_a, doc_b) inside the cell makes dedup an
-    // adjacent-row skip — zero memory, and the pre-dedup distinct's
-    // whole shuffle round-trip disappears. Measured at sf10: the
-    // duplicate surplus is ~10% of the pair volume (4.24e8 raw vs
-    // 3.87e8 distinct), so shipping raw pairs to the grid costs ~10%
-    // on one shuffle while the removed distinct cost a full extra
-    // write+sort+read of the entire pair relation (~25 GB of
-    // shuffle IO on a disk-bound stage).
-    pairs.groupByKey(_._1)
-      .cogroupSorted(docsRep.groupByKey(_._1))(col("doc_a"), col("doc_b"))() { (_, ps, ds) =>
-        val arrs = new java.util.HashMap[Long, Array[Long]]()
-        ds.foreach { d => arrs.put(d._2, d._3) }
-        // one hand-rolled iterator over the whole cell, not a
-        // per-pair flatMap: at sf10 a cell stream carries ~10^7
-        // candidate rows, and two iterator allocations per row is
-        // real GC pressure in the job's hottest stage
-        new Iterator[(Long, Long, Double)] {
-          private var nextRow: (Long, Long, Double) = _
-          private var prevA = -1L
-          private var prevB = -1L
-          private def advance(): Unit = {
-            nextRow = null
-            while (nextRow == null && ps.hasNext) {
-              val p = ps.next()
-              val docA = p._2
-              val docB = p._3
+        lit(0).as("kind"),
+        col("doc_id").as("da"), lit(0L).as("db"), col("ghs"))
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docsRep.unionByName(pairs)
+      .repartition(p, col("cell"))
+      .sortWithinPartitions(col("cell"), col("kind"), col("da"), col("db"))
+  }
+
+  /** The grid merge, at the `InternalRow` level (r13, VERDICT item
+    * 5): the previous typed-Dataset cogroup decoded a
+    * `Tuple3[Long, Long, Long]` per candidate row — 4 allocations x
+    * ~4e8 sf10 rows was 102 s of GC in the sweep's hottest stage.
+    * `queryExecution.toRdd` hands the SAME sorted partitions as
+    * reused `UnsafeRow`s; primitives are read in place, the only
+    * surviving per-row allocation is the one doc-array copy per
+    * replica the map must own anyway. Semantics are unchanged
+    * (per-cell doc map, adjacent-duplicate skip, early-exit merge,
+    * exact jac >= t emission) — the grid-invariance and
+    * pairs-identical specs pin that. */
+  private def gridMerge(combined: DataFrame): DataFrame = {
+    val spark = combined.sparkSession
+    val out = combined.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private val arrs = new java.util.HashMap[Long, Array[Long]]()
+        private var curCell = Long.MinValue
+        private var prevA = -1L
+        private var prevB = -1L
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && it.hasNext) {
+            val r = it.next()
+            val cell = r.getLong(0)
+            if (cell != curCell) {
+              curCell = cell; arrs.clear(); prevA = -1L; prevB = -1L
+            }
+            if (r.getInt(1) == 0) {
+              arrs.put(r.getLong(2), r.getArray(4).toLongArray())
+            } else {
+              val docA = r.getLong(2)
+              val docB = r.getLong(3)
               if (docA != prevA || docB != prevB) {
                 prevA = docA; prevB = docB
                 val ga = arrs.get(docA)
@@ -397,17 +427,34 @@ object Dedup {
                   else j += 1
                 }
                 val jac = inter.toDouble / (ga.length + gb.length - inter)
-                if (jac >= JaccardThreshold) nextRow = (docA, docB, jac)
+                if (jac >= JaccardThreshold)
+                  nextRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                    Array[Any](docA, docB, jac))
               }
             }
           }
-          advance()
-          override def hasNext: Boolean = nextRow != null
-          override def next(): (Long, Long, Double) = {
-            val r = nextRow; advance(); r
-          }
         }
-      }.toDF("doc_a", "doc_b", "jaccard")
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.DatasetBridge.internalCreateDataFrame(
+      spark, out, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
+                            volumeBytes: Long): DataFrame = {
+    val spark = cand.sparkSession
+    gridMerge(verifyGridPlan(cand, hashed, gridB(spark, volumeBytes)))
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----
@@ -423,7 +470,8 @@ object Dedup {
     * into further processing (dedup_clusters) use this form and skip
     * the presentation sort's range-sampling pass + exchange. */
   def dedupNgramJaccardPairs(spark: SparkSession, dir: String,
-                             bRestrict: Option[Column] = None): DataFrame = {
+                             bRestrict: Option[Column] = None,
+                             gridInputOnly: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Global shingle rarity as a count-min sketch: ONE bounded-size
     // aggregate (see CmsParams), collected once like the IVF
@@ -556,7 +604,14 @@ object Dedup {
     // inside the caller's one terminal job — nothing is persisted,
     // so there is nothing to release (ADVICE r3/r4 storage-leak
     // class is gone by construction)
-    verifyJaccard(cand, hashed, shingleVolumeBytes(docs))
+    val vol = shingleVolumeBytes(docs)
+    // gridInputOnly: the plan audit's window into the sweep — the
+    // grid merge runs at the InternalRow level behind a LogicalRDD
+    // barrier, so the FINAL frame's executedPlan no longer shows the
+    // upstream scans/joins; the audit inspects the grid's declarative
+    // input plan instead (same subtree the merge executes).
+    if (gridInputOnly) verifyGridPlan(cand, hashed, gridB(spark, vol))
+    else verifyJaccard(cand, hashed, vol)
   }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -768,7 +823,8 @@ object Dedup {
     * below times the steady-state regime over the persisted sketch
     * table — the same split as ann_ivf (build+probe fused) vs
     * ann_ivf_probe (probe over the persisted index). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      gridInputOnly: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // same shared-exchange shape as the ngram path: ONE shingle
@@ -789,8 +845,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") && lshLengthFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // raw (one row per colliding band) — the grid dedupes in-cell
-    verifyJaccard(cand, hashed, shingleVolumeBytes(docs))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val vol = shingleVolumeBytes(docs)
+    if (gridInputOnly) verifyGridPlan(cand, hashed, gridB(spark, vol))
+    else verifyJaccard(cand, hashed, vol).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Fresh-crawl form (round 9; persisted a-side round 11): near-dup
@@ -813,7 +870,8 @@ object Dedup {
     * the slice is the TOP of the id range, so "doc_b is new" is
     * exactly "the pair touches the slice") — spec-pinned, same rows
     * same scores, persisted or live. */
-  def dedupMinhashLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLshIncremental(spark: SparkSession, dir: String,
+                                 gridInputOnly: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val restrict = incrementalSplit(docs)
       .map(split => col("doc_id") >= lit(split))
@@ -829,9 +887,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") && lshLengthFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // raw (one row per colliding band) — the grid dedupes in-cell
-    verifyJaccard(cand, sk.select(col("doc_id"), col("ghs"), col("n")),
-        shingleVolumeBytes(docs))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val hashedSk = sk.select(col("doc_id"), col("ghs"), col("n"))
+    val vol = shingleVolumeBytes(docs)
+    if (gridInputOnly) verifyGridPlan(cand, hashedSk, gridB(spark, vol))
+    else verifyJaccard(cand, hashedSk, vol).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----

@@ -140,7 +140,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // stop canonicalizing to it (pruning divergence, inferred-filter
     // divergence — both round-5 regressions), every branch re-runs
     // the corpus-wide kernel
-    val df = operators.Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001")
+    // audited on the grid INPUT plan (the r13 merge runs behind a
+    // LogicalRDD barrier; this is the single query the merge's
+    // toRdd executes, where reuse must fire)
+    val df = operators.Dedup.dedupNgramJaccardPairs(
+      spark, "/root/testdata/sf0.001", gridInputOnly = true)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val kernels = "graft_hash_shingles".r.findAllIn(plan).size
@@ -153,9 +157,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // kernel expressions into inferred predicates and sink them to
     // the (often single-task) pre-shuffle scan — excluded /
     // nullability-proofed in round 5; this pins the property
+    // the dedup sweeps are audited on the grid's INPUT plan — the
+    // r13 InternalRow merge hides the upstream scans behind a
+    // LogicalRDD barrier in the final frame's executedPlan
     for ((name, df) <- Seq(
-        "dedup_ngram_jaccard" -> operators.Dedup.dedupNgramJaccard(spark, dir),
-        "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh(spark, dir),
+        "dedup_ngram_jaccard" ->
+          operators.Dedup.dedupNgramJaccardPairs(spark, dir, gridInputOnly = true),
+        "dedup_minhash_lsh" ->
+          operators.Dedup.dedupMinhashLsh(spark, dir, gridInputOnly = true),
         "tfidf_top_terms" -> operators.Curation.tfidfTopTerms(spark, dir))) {
       val plan = df.queryExecution.executedPlan.toString
       val scanFilters = plan.linesIterator.filter(_.contains("DataFilters:")).mkString("\n")
@@ -171,8 +180,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // dropped carry column or filter silently re-admits every
     // mismatched-length band collision at scale
     for ((name, df) <- Seq(
-        "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh(spark, dir),
-        "dedup_minhash_incremental" -> operators.Dedup.dedupMinhashLshIncremental(spark, dir))) {
+        "dedup_minhash_lsh" ->
+          operators.Dedup.dedupMinhashLsh(spark, dir, gridInputOnly = true),
+        "dedup_minhash_incremental" ->
+          operators.Dedup.dedupMinhashLshIncremental(spark, dir, gridInputOnly = true))) {
       val joins = df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") && l.contains("bh")).mkString("\n")
       assert(joins.contains("greatest") && joins.contains("least"),
@@ -194,11 +205,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val df = operators.Similarity.annIvfPq(spark, dir)
     val plan = formatted(df)
-    // two cid-partitioned scans feed the probe — the ADC codes scan
-    // and the exact-re-rank vector fetch — and both must carry the
-    // literal cid IN (...) partition filter
-    val pruned = "PartitionFilters: \\[cid".r.findAllIn(plan).size
-    assert(pruned >= 2, s"expected 2 partition-pruned scans, found $pruned:\n$plan")
+    // two statically-pruned scans feed the probe: the ADC codes scan
+    // (pg-grouped since r13 — literal pg IN (...) partition filter,
+    // plus the cid IN predicate pushed into the sorted files for
+    // row-group pruning) and the exact-re-rank vector fetch (still
+    // cid-partitioned, literal cid IN (...))
+    val prunedPg = "PartitionFilters: \\[pg".r.findAllIn(plan).size
+    val prunedCid = "PartitionFilters: \\[cid".r.findAllIn(plan).size
+    assert(prunedPg >= 1, s"codes scan lost its pg partition filter:\n$plan")
+    assert(prunedCid >= 1, s"fetch scan lost its cid partition filter:\n$plan")
+    assert(plan.contains("PushedFilters: [In(cid"),
+      s"codes scan lost the pushed cid row-group predicate:\n$plan")
     assert(!plan.contains("dynamicpruning"),
       s"ivf-pq probe still pays a dynamic-pruning subquery:\n$plan")
   }
@@ -308,7 +325,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash_incremental: slice restriction is pushed to the b-side documents scan") {
-    val plan = formatted(operators.Dedup.dedupMinhashLshIncremental(spark, dir))
+    // grid INPUT plan — the final frame's executedPlan stops at the
+    // r13 merge's LogicalRDD barrier
+    val plan = formatted(
+      operators.Dedup.dedupMinhashLshIncremental(spark, dir, gridInputOnly = true))
     // the b branch is a SEPARATE filtered scan — the fresh crawl is
     // sketched alone, so its restriction must reach parquet as a
     // pushed doc_id predicate (the a side keeps the full pipeline)
@@ -317,7 +337,8 @@ class PlanAuditSpec extends AnyFunSuite {
       s"slice restriction not pushed to the b-side documents scan:\n$plan")
     // candidate generation stays a banded equi-join at scale — no
     // cartesian anywhere in the incremental plan
-    val atScale = planAtScale(operators.Dedup.dedupMinhashLshIncremental(spark, dir))
+    val atScale = planAtScale(
+      operators.Dedup.dedupMinhashLshIncremental(spark, dir, gridInputOnly = true))
     assert(!atScale.contains("CartesianProduct"), atScale)
     assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
   }
@@ -338,7 +359,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("minhash signature kernel stays below the band explode (one eval per doc, not per band)") {
-    val plan = formatted(operators.Dedup.dedupMinhashLsh(spark, dir))
+    val plan = formatted(operators.Dedup.dedupMinhashLsh(spark, dir, gridInputOnly = true))
     // the per-row kernel must be evaluated in a projection BENEATH
     // the 16-way band Generate: collapsed above it, every doc pays
     // 16 kernel evaluations and the allocation churn that entails
