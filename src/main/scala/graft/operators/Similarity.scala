@@ -1029,6 +1029,29 @@ object Similarity {
   val IvfPqCodesStagePath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ivfpq_codes.parquet"
 
+  /** Directory-group count for the codes tables (r13, VERDICT item
+    * 6). Partitioning by RAW cid makes ~sqrt(n) directories of one
+    * tiny file each — 447 at sf10, and the cold probe paid a
+    * 6.6–23 s listing/open seek storm over them. The codes tables
+    * now partition by `pg = cid mod CodesPartGroups`: a FIXED
+    * directory fan-out with large files, rows sorted by cid inside
+    * each file. Static pruning survives in two layers — the probe
+    * filters pg with literals (directory-level PartitionFilters) and
+    * cid with literals (row-group pruning via the sorted files'
+    * min/max stats). At 100 TB the layout holds: fan-out stays
+    * constant while per-directory volume grows, exactly how a
+    * warehouse sizes partitions. */
+  val CodesPartGroups = 64
+
+  /** The shared codes-table writer: group, sort by (pg, cid), write
+    * one directory per group. */
+  private def writeCodes(codes: DataFrame, path: String): Unit =
+    codes.select(col("vec_id"), col("codes"), col("cid"))
+      .withColumn("pg", pmod(col("cid"), lit(CodesPartGroups)))
+      .repartition(col("pg"))
+      .sortWithinPartitions(col("pg"), col("cid"))
+      .write.mode("overwrite").partitionBy("pg").parquet(path)
+
   private val stagedIvfPqCodes = new graft.StagedVersion[String]
 
   /** IVFADC with exact re-ranking (Jégou, Douze, Schmid 2011 — the
@@ -1087,10 +1110,9 @@ object Similarity {
       // construction) — the same shape readIvfPqCodebooks returns,
       // so the build-time and append-time encoders are one function
       val cbs = codebooks.map(_.map(_._2))
-      ivfLists(spark, dir, idx)
-        .select(col("cid"), col("vec_id"), pqCodesExpr(cbs, starts).as("codes"))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(IvfPqCodesStagePath)
+      writeCodes(ivfLists(spark, dir, idx)
+        .select(col("cid"), col("vec_id"), pqCodesExpr(cbs, starts).as("codes")),
+        IvfPqCodesStagePath)
     }
 
   /** The staged codebooks as positional (j, code) → codeword lists —
@@ -1141,8 +1163,15 @@ object Similarity {
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
     val recon = expr(
       s"flatten(transform(codes, (c, j) -> element_at(element_at($cbLit, j + 1), c + 1)))")
-    val codes = codesIn
-      .filter(col("cid").isin(probedCids: _*))
+    // two literal pruning layers on the codes side: pg prunes
+    // directories, cid prunes row groups inside the sorted files
+    // (and stays the exact row filter). A codes relation without pg
+    // (a caller passing an ungrouped frame) just skips layer one.
+    val probedPgs = probedCids.map(_ % CodesPartGroups).distinct
+    val codes = {
+      val c = codesIn.filter(col("cid").isin(probedCids: _*))
+      if (codesIn.columns.contains("pg")) c.filter(col("pg").isin(probedPgs: _*)) else c
+    }
     val scored = codes.withColumn("rv", recon)
       .join(broadcast(probesDf), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -1292,15 +1321,14 @@ object Similarity {
     // the base table is staged once per index version — the steady
     // state READS it; only the slice is encoded per run
     stagedIvfPqBase(idx.listsPath) {
-      spark.read.parquet(IvfPqCodesStagePath)
-        .filter(col("vec_id") < lit(split))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(IvfPqCodesBasePath)
+      writeCodes(spark.read.parquet(IvfPqCodesStagePath)
+        .filter(col("vec_id") < lit(split)), IvfPqCodesBasePath)
     }
     val codes = spark.read.parquet(IvfPqCodesBasePath)
-      .select(col("vec_id"), col("codes"), col("cid"))
+      .select(col("vec_id"), col("codes"), col("cid"), col("pg"))
       .unionByName(ivfPqSliceCodes(spark, dir, idx, split)
-        .select(col("vec_id"), col("codes"), col("cid")))
+        .select(col("vec_id"), col("codes"), col("cid"))
+        .withColumn("pg", pmod(col("cid"), lit(CodesPartGroups))))
     ivfPqProbe(spark, dir, idx, readIvfPqCodebooks(spark), codes)
   }
 

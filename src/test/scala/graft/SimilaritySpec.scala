@@ -92,16 +92,18 @@ class SimilaritySpec extends AnyFunSuite {
     val base = key(spark.read.parquet(Similarity.IvfPqCodesBasePath))
     assert((base ++ key(slice.toDF())).sortBy(_._1) == full)
 
-    // physical append mechanics: mode("append") into the cid
-    // partitions reproduces the full table
+    // physical append mechanics: mode("append") into the grouped pg
+    // partitions (the production codes layout) reproduces the full
+    // table
+    val pg = pmod(col("cid"), lit(Similarity.CodesPartGroups))
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_append_test").toString
     spark.read.parquet(Similarity.IvfPqCodesBasePath)
-      .select(col("vec_id"), col("codes"), col("cid"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    slice.select(col("vec_id"), col("codes"), col("cid"))
-      .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(tmp)
+      .select(col("vec_id"), col("codes"), col("cid")).withColumn("pg", pg)
+      .repartition(col("pg"))
+      .write.mode("overwrite").partitionBy("pg").parquet(tmp)
+    slice.select(col("vec_id"), col("codes"), col("cid")).withColumn("pg", pg)
+      .repartition(col("pg"))
+      .write.mode("append").partitionBy("pg").parquet(tmp)
     assert(key(spark.read.parquet(tmp)) == full)
   }
 
