@@ -265,6 +265,30 @@ object Dedup {
     math.max(floor, memSide)
   }
 
+  /** Collision-free grid partitioning: for each cell c in [0, b²),
+    * the smallest non-negative int whose Spark HashPartitioning
+    * bucket over b² partitions is exactly c. Both grid inputs route
+    * rows through `element_at(tokens, cell + 1)` so partition index
+    * == cell — EXACTLY one cell map per task (the /3 memory budget
+    * in [[gridSideFor]] is sized to that; hash-colliding cells would
+    * stack maps). Driver-side cost is ~b² ln b² murmur evaluations
+    * (the coupon-collector walk), microseconds at any sane B. The
+    * seed-42 murmur3-of-int contract is pinned by a spec against
+    * Spark's own hash(). */
+  private[graft] def cellTokens(bsq: Int): Array[Int] = {
+    val toks = new Array[Int](bsq)
+    val found = new Array[Boolean](bsq)
+    var remaining = bsq
+    var t = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+      val c = ((h % bsq) + bsq) % bsq
+      if (!found(c)) { found(c) = true; toks(c) = t; remaining -= 1 }
+      t += 1
+    }
+    toks
+  }
+
   /** ~bytes of 64-bit shingle hashes the corpus expands to, from the
     * stored n_chars (each doc yields max(0, n_chars - N + 1) distinct
     * shingles at most). One tiny single-column aggregate — deliberately
@@ -317,15 +341,14 @@ object Dedup {
       .getOrElse(gridSideFor(volumeBytes, taskHeapBytes(spark),
         spark.sparkContext.defaultParallelism))
 
-  /** The grid's ONE declarative input plan: candidate pairs and
-    * replicated doc rows UNIONed into a single tagged relation.
-    * One relation on purpose — both branches hang off the shared
-    * shingle exchange, and exchange reuse only dedupes subtrees
-    * inside a single query; two separate executions would run the
-    * shingle kernel once per side. Repartitioned by cell and sorted
-    * (cell, kind, da, db) so the merge below is a single forward
-    * pass: each cell's docs (kind 0) arrive before its pairs
-    * (kind 1), and duplicate pairs are adjacent.
+  /** The grid's PAIRS-side input plan: candidate pairs bucketed to
+    * their cell and sorted (doc_a, doc_b) within each of the B²
+    * one-cell partitions, so duplicate pairs are adjacent in the
+    * merge. This is also the frame the plan audits inspect
+    * (`gridInputOnly`): every audited property — kernel kept out of
+    * scan filters, banded-join prefilters, slice pushdown, exchange
+    * reuse across the self-join branches — lives in `cand`'s
+    * subtree, which this plan carries.
     *
     * grid cell of a pair: (doc_a mod B) x (doc_b mod B). Plain mod,
     * not a hash: ids are assigned sequentially so residues are
@@ -336,68 +359,96 @@ object Dedup {
     * the in-sort adjacency skip costs zero memory while a pre-dedup
     * distinct costs a full extra write+sort+read of the entire pair
     * relation (measured ~10% surplus vs ~25 GB of shuffle IO at
-    * sf10). */
+    * sf10).
+    *
+    * ONE partition per cell (B² of them) is the load-bearing choice
+    * (r13): with the grid side B already sized so one cell's doc
+    * arrays fit the task budget ([[gridSideFor]]), a one-cell
+    * partition lets the merge hold its docs as a plain in-memory map
+    * with NO sort on the heavy replicated-array side at all. The
+    * r12 cogroup sorted the doc replicas by cell; the r13 union
+    * variant sorted them interleaved with 4e8 pair rows — measured
+    * 21.5 GB of sort spill and 3001 executor-seconds in that one
+    * stage at sf10. Here the only sort is the pairs side, tens of
+    * MB per partition, in memory. */
   private[graft] def verifyGridPlan(cand: DataFrame, hashed: DataFrame, b: Int): DataFrame = {
-    val spark = cand.sparkSession
-    val pairs = cand.select(
+    require(b <= 46340, s"grid side $b overflows Int partitioning — " +
+      "set graft.verify.gridSide (with executor-sized memory) instead")
+    val toks = typedLit(cellTokens(b * b).toSeq)
+    cand.select(
       (pmod(col("doc_a"), lit(b)) * b + pmod(col("doc_b"), lit(b))).as("cell"),
-      lit(1).as("kind"),
-      col("doc_a").as("da"), col("doc_b").as("db"),
-      lit(null).cast("array<bigint>").as("ghs"))
-    // every doc serves its grid ROW (as a potential doc_a: cells
-    // bucket*B + j) and its grid COLUMN (as doc_b: cells i*B +
-    // bucket); the diagonal cell appears in both sequences, deduped
-    // with array_distinct so the map build sees each doc once.
-    // array_sort BELOW the replication: one sort per doc, not one
-    // per replica — replicas copy already-sorted bytes.
-    val docsRep = hashed.select(col("doc_id"), array_sort(col("ghs")).as("ghs"))
+      col("doc_a"), col("doc_b"))
+      .repartition(b * b, element_at(toks, (col("cell") + 1).cast("int")))
+      .sortWithinPartitions(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DOCS-side input plan: every doc serves its grid ROW (as a
+    * potential doc_a: cells bucket*B + j) and its grid COLUMN (as
+    * doc_b: cells i*B + bucket); the diagonal cell appears in both
+    * sequences, deduped with array_distinct. array_sort BELOW the
+    * replication: one sort per doc, not one per replica — replicas
+    * copy already-sorted bytes. Bucketed to the same B² one-cell
+    * partitions as the pairs plan (same literal cell values through
+    * the same hash partitioning → aligned partition indices), and
+    * deliberately UNSORTED — the merge drains it into a map.
+    *
+    * A SEPARATE query from the pairs side, which re-runs the shingle
+    * kernel once more for the replication branch (~4.5 s of wall in
+    * a 200 s sf10 sweep; at warehouse scale one extra map-side
+    * corpus pass). That is the price of not sorting the array side:
+    * the one-query union that shared the kernel exchange had to push
+    * the replicated arrays through the pair sort, and the measured
+    * spill cost an order of magnitude more than the extra scan. */
+  private def gridDocsPlan(hashed: DataFrame, b: Int): DataFrame = {
+    val toks = typedLit(cellTokens(b * b).toSeq)
+    hashed.select(col("doc_id"), array_sort(col("ghs")).as("ghs"))
       .select(
         explode(array_distinct(concat(
           transform(sequence(lit(0), lit(b - 1)),
             j => pmod(col("doc_id"), lit(b)) * b + j),
           transform(sequence(lit(0), lit(b - 1)),
             i => i * b + pmod(col("doc_id"), lit(b)))))).as("cell"),
-        lit(0).as("kind"),
-        col("doc_id").as("da"), lit(0L).as("db"), col("ghs"))
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    docsRep.unionByName(pairs)
-      .repartition(p, col("cell"))
-      .sortWithinPartitions(col("cell"), col("kind"), col("da"), col("db"))
+        col("doc_id"), col("ghs"))
+      .repartition(b * b, element_at(toks, (col("cell") + 1).cast("int")))
   }
 
   /** The grid merge, at the `InternalRow` level (r13, VERDICT item
-    * 5): the previous typed-Dataset cogroup decoded a
+    * 5): the r12 typed-Dataset cogroup decoded a
     * `Tuple3[Long, Long, Long]` per candidate row — 4 allocations x
-    * ~4e8 sf10 rows was 102 s of GC in the sweep's hottest stage.
-    * `queryExecution.toRdd` hands the SAME sorted partitions as
-    * reused `UnsafeRow`s; primitives are read in place, the only
-    * surviving per-row allocation is the one doc-array copy per
-    * replica the map must own anyway. Semantics are unchanged
-    * (per-cell doc map, adjacent-duplicate skip, early-exit merge,
-    * exact jac >= t emission) — the grid-invariance and
-    * pairs-identical specs pin that. */
-  private def gridMerge(combined: DataFrame): DataFrame = {
-    val spark = combined.sparkSession
-    val out = combined.queryExecution.toRdd.mapPartitions { it =>
-      new Iterator[InternalRow] {
-        private val arrs = new java.util.HashMap[Long, Array[Long]]()
-        private var curCell = Long.MinValue
-        private var prevA = -1L
-        private var prevB = -1L
-        private var nextRow: InternalRow = _
-        private def advance(): Unit = {
-          nextRow = null
-          while (nextRow == null && it.hasNext) {
-            val r = it.next()
-            val cell = r.getLong(0)
-            if (cell != curCell) {
-              curCell = cell; arrs.clear(); prevA = -1L; prevB = -1L
-            }
-            if (r.getInt(1) == 0) {
-              arrs.put(r.getLong(2), r.getArray(4).toLongArray())
-            } else {
-              val docA = r.getLong(2)
-              val docB = r.getLong(3)
+    * ~4e8 sf10 rows of young-gen churn in the sweep's hottest
+    * stage. `queryExecution.toRdd` hands reused `UnsafeRow`s;
+    * primitives are read in place, and the only surviving per-row
+    * allocation is the one doc-array copy per distinct doc the map
+    * must own anyway (replica duplicates skip the copy via the
+    * containsKey probe). Semantics are unchanged (per-partition doc
+    * map, adjacent-duplicate skip, early-exit merge, exact jac >= t
+    * emission) — the grid-invariance and pairs-identical specs pin
+    * that. */
+  private def gridMerge(pairsPlan: DataFrame, docsPlan: DataFrame): DataFrame = {
+    val spark = pairsPlan.sparkSession
+    val out = pairsPlan.queryExecution.toRdd
+      .zipPartitions(docsPlan.queryExecution.toRdd) { (ps, ds) =>
+        val arrs = new java.util.HashMap[Long, Array[Long]]()
+        while (ds.hasNext) {
+          val r = ds.next()
+          val id = r.getLong(1)
+          // a doc's replicas are identical; copy the array once even
+          // when several of its cells hash into this partition
+          if (!arrs.containsKey(id)) arrs.put(id, r.getArray(2).toLongArray())
+        }
+        new Iterator[InternalRow] {
+          private var prevA = -1L
+          private var prevB = -1L
+          private var nextRow: InternalRow = _
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && ps.hasNext) {
+              val r = ps.next()
+              val docA = r.getLong(1)
+              val docB = r.getLong(2)
+              // duplicates of a pair share its (unique) cell and so
+              // this partition; the (doc_a, doc_b) sort makes them
+              // adjacent even when several cells share the partition
               if (docA != prevA || docB != prevB) {
                 prevA = docA; prevB = docB
                 val ga = arrs.get(docA)
@@ -433,14 +484,13 @@ object Dedup {
               }
             }
           }
-        }
-        advance()
-        override def hasNext: Boolean = nextRow != null
-        override def next(): InternalRow = {
-          val r = nextRow; advance(); r
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = nextRow; advance(); r
+          }
         }
       }
-    }
     org.apache.spark.sql.graftbridge.DatasetBridge.internalCreateDataFrame(
       spark, out, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_a",
@@ -454,7 +504,18 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
                             volumeBytes: Long): DataFrame = {
     val spark = cand.sparkSession
-    gridMerge(verifyGridPlan(cand, hashed, gridB(spark, volumeBytes)))
+    // The trailing repartition is a MATERIALIZATION BOUNDARY, not a
+    // distribution choice: the emitted pair set is tiny (threshold
+    // survivors), but a caller's presentation orderBy plans a range
+    // exchange directly over the merge, and computing range bounds
+    // SAMPLES the child — re-executing the entire grid pass over the
+    // 20 GB cell shuffle (measured: a second 967 executor-seconds
+    // stage at sf10, ~32 s of wall). With the cheap hash exchange
+    // here, AQE materializes the merge once and the sort's sampling
+    // reads the 27k-row shuffle output instead.
+    val b = gridB(spark, volumeBytes)
+    gridMerge(verifyGridPlan(cand, hashed, b), gridDocsPlan(hashed, b))
+      .repartition(col("doc_a"))
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----

@@ -115,6 +115,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.gridSideFor(1200L << 20, 32L << 30, 32) == 8)
   }
 
+  test("grid cell tokens route each cell to its own partition under Spark's hash()") {
+    // the one-cell-per-partition memory model depends on
+    // pmod(murmur3(token_c), b²) == c under Spark's own
+    // HashPartitioning — pin the seed-42 int-hash contract
+    import spark.implicits._
+    for (bsq <- Seq(4, 25, 169)) {
+      val toks = Dedup.cellTokens(bsq)
+      assert(toks.length == bsq)
+      val routed = toks.toSeq.zipWithIndex.toDF("t", "cell")
+        .select(col("cell"), expr(s"pmod(hash(t), $bsq)").as("p"))
+        .filter(col("cell") =!= col("p")).count()
+      assert(routed == 0, s"bsq=$bsq: ${routed} cells route to a foreign partition")
+    }
+  }
+
   test("minhash signatures are deterministic across partitionings") {
     val docs = Tables.documents(spark, dir)
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
