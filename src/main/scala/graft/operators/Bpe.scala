@@ -234,7 +234,9 @@ object Bpe {
         col("n_tokens"), col("n_tokens_64"),
         round(col("n_alnum").cast("double") / col("n_tokens").cast("double"), 6)
           .as("chars_per_token"))
-      .orderBy(col("doc_id"))
+      // materialization boundary before the presentation sort — the
+      // range sampling otherwise re-runs the BPE kernel (Present)
+      .transform(graft.Present.ordered(_, col("doc_id")))
   }
 
   /** The oracle's tokenization CTE chain, shared with the BPE-token

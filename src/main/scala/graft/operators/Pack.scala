@@ -201,11 +201,16 @@ object Pack {
         substring(col("text"), (col("chunk_ix") * stride + 1).cast("int"), lit(size.toInt)).as("chunk"))
 
   def docsChunk(spark: SparkSession, dir: String): DataFrame =
-    chunksOf(Tables.documents(spark, dir)).select(
-      col("doc_id"), col("chunk_ix"),
-      length(col("chunk")).cast("long").as("chunk_chars"),
-      md5(col("chunk")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_ix"))
+    // materialization boundary before the presentation sort — the
+    // range sampling otherwise re-runs the explode + md5 pass (see
+    // graft.Present; this entry is md5-bound, so the double pass
+    // was most of its sf10 row)
+    graft.Present.ordered(
+      chunksOf(Tables.documents(spark, dir)).select(
+        col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5")),
+      col("doc_id"), col("chunk_ix"))
 
   private lazy val docsChunkSql: String =
     s"""WITH c AS (

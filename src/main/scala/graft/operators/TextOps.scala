@@ -57,13 +57,17 @@ object TextOps {
     expr("graft_text_stats(text)")
   }
 
+  // projection-shaped entries present through graft.Present.ordered:
+  // a bare orderBy's range-bound sampling re-runs the scan + kernel
+  // (measured: langid 8.09 -> 3.4 s class at sf10 — see Present)
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
     val st = stats(spark)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(st, 1).as("n_ws_tokens"),
-      element_at(st, 2).as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
+    graft.Present.ordered(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        element_at(st, 1).as("n_ws_tokens"),
+        element_at(st, 2).as("n_bpe_tokens")),
+      col("doc_id"))
   }
 
   private lazy val textTokensSql: String =
@@ -84,14 +88,15 @@ object TextOps {
     val nDigit = element_at(st, 4)
     val nStop = element_at(st, 7) // en profile hits
     val nNonSpace = element_at(st, 5)
-    d.select(
-      col("doc_id"),
-      nChars.as("n_chars_m"),
-      (nPunct / nChars).as("punct_ratio"),
-      (nDigit / nChars).as("digit_ratio"),
-      (nStop / nWords).as("stopword_ratio"),
-      (nNonSpace / nWords).as("mean_word_len"))
-      .orderBy(col("doc_id"))
+    graft.Present.ordered(
+      d.select(
+        col("doc_id"),
+        nChars.as("n_chars_m"),
+        (nPunct / nChars).as("punct_ratio"),
+        (nDigit / nChars).as("digit_ratio"),
+        (nStop / nWords).as("stopword_ratio"),
+        (nNonSpace / nWords).as("mean_word_len")),
+      col("doc_id"))
   }
 
   private lazy val textQualitySql: String =
@@ -132,9 +137,11 @@ object TextOps {
     val pred = Profiles.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
       when(acc.isNotNull, acc).when(col(s"${l}_hits") === maxHits, lit(l))
     }
-    withHits.withColumn("lang_pred", pred)
-      .select("doc_id", "lang", "lang_pred", "de_hits", "en_hits", "es_hits", "fr_hits", "zh_hits")
-      .orderBy(col("doc_id"))
+    graft.Present.ordered(
+      withHits.withColumn("lang_pred", pred)
+        .select("doc_id", "lang", "lang_pred",
+          "de_hits", "en_hits", "es_hits", "fr_hits", "zh_hits"),
+      col("doc_id"))
   }
 
   // shared SQL scaffolding for the langid oracle and its eval twin —
@@ -199,12 +206,13 @@ object TextOps {
     // NFAs under the honest bench); regex parity spec-pinned and the
     // oracle keeps the regex definitions
     val pc = expr("graft_pii_counts(text)")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(pc, 1).as("n_emails"),
-      element_at(pc, 2).as("n_urls"),
-      element_at(pc, 3).as("n_phones"))
-      .orderBy(col("doc_id"))
+    graft.Present.ordered(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        element_at(pc, 1).as("n_emails"),
+        element_at(pc, 2).as("n_urls"),
+        element_at(pc, 3).as("n_phones")),
+      col("doc_id"))
   }
 
   private lazy val textPiiSql: String =
@@ -223,9 +231,10 @@ object TextOps {
     * value-pinning additionally lives in TextOpsSpec. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("fnv1a64(text)").as("fingerprint"))
-      .orderBy(col("doc_id"))
+    graft.Present.ordered(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr("fnv1a64(text)").as("fingerprint")),
+      col("doc_id"))
   }
 
   /** Corpus-wide top word-bigram frequencies — the corpus-analysis
