@@ -812,17 +812,23 @@ object Dedup {
     * computed once and read from both sides of the bucket self-join
     * (the r4 eager checkpoint materialized the same relation, but as
     * a separate scheduling barrier + a driver round-trip). */
-  private[graft] def lshBandsOf(s: DataFrame, p: Int, carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def lshBandsOf(s: DataFrame, p: Int, carry: Seq[String] = Nil,
+                                shuffle: Boolean = true): DataFrame = {
     val rows = MinhashPerms / LshBands
     // `carry` columns ride along unchanged (the streaming twin keeps
     // each fresh doc's shingle array next to its bands so the verify
     // join needs no second pass over the stream) — the band/bh
     // DERIVATION stays this one definition for every consumer.
+    // `shuffle = false` skips the (band, bh) exchange for consumers
+    // whose band join is BROADCAST (decontaminate_fuzzy): a
+    // map-side join needs no co-location, and the elided exchange
+    // is 16 rows/doc of the whole corpus.
     val c = carry.map(col)
-    s.select(col("doc_id") +: explode(sequence(lit(0), lit(LshBands - 1))).as("band") +: col("sig") +: c: _*)
+    val bands = s
+      .select(col("doc_id") +: explode(sequence(lit(0), lit(LshBands - 1))).as("band") +: col("sig") +: c: _*)
       .select(col("doc_id") +: col("band") +:
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))).as("bh") +: c: _*)
-      .repartition(p, col("band"), col("bh"))
+    if (shuffle) bands.repartition(p, col("band"), col("bh")) else bands
   }
 
   /** Where the corpus minhash SKETCH TABLE — (doc_id, ghs, n, sig),
@@ -953,6 +959,87 @@ object Dedup {
     if (gridInputOnly) verifyGridPlan(cand, hashedSk, gridB(spark, vol))
     else verifyJaccard(cand, hashedSk, vol).orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ---- decontaminate_fuzzy: near-dup train-vs-benchmark leakage ----
+  /** Fuzzy decontamination — the NEAR-DUPLICATE form of benchmark
+    * leakage detection (Curation.textDecontaminate is the exact
+    * shingle-containment form): emit (corpus doc, benchmark doc)
+    * pairs whose shingle-set Jaccard clears [[JaccardThreshold]] —
+    * training documents that ARE an eval document up to light edits,
+    * the train-vs-eval overlap check the GPT-3 appendix and Lee et
+    * al. 2022 run before reporting benchmark numbers. The benchmark
+    * slice reuses the fixed 90% split convention (eval suites are
+    * bounded — MBs, not TBs).
+    *
+    * Regime and scale shape: decontamination RECURS (every new eval
+    * suite, every corpus release), so the corpus side reads the
+    * PERSISTED minhash sketch table ([[minhashSketchTable]] — built
+    * once per corpus version by the dedup campaign) and the corpus
+    * TEXT is never rescanned: band hashes derive from stored
+    * signatures, verification joins stored shingle arrays. Only the
+    * benchmark slice is sketched live (pushed doc_id predicate on
+    * the documents scan — here the fresh-slice convention stands in
+    * for "the eval suite arrived as new rows"). The bench bands
+    * BROADCAST (bounded side), so the band join is map-side over
+    * the sketch scan with NO corpus-side exchange at all
+    * ([[lshBandsOf]]'s shuffle opt-out — a hash co-location
+    * exchange buys nothing under a broadcast build); candidates are
+    * corpus×bench through band cooccurrence, never corpus², and
+    * verification is the same grid-bounded exact-Jaccard merge as
+    * the self-dedup family. Signature/band derivations are the
+    * self-dedup definitions unchanged — one definition, so the
+    * sketch-vs-live equality stays spec-pinned in one place. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String,
+                         gridInputOnly: Boolean = false): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val sk = minhashSketchTable(spark, dir)
+    val corpusBands = lshBandsOf(
+      sk.filter(col("doc_id") < lit(split)).select(col("doc_id"), col("n"), col("sig")),
+      0, carry = Seq("n"), shuffle = false)
+    val benchBands = lshBandsOf(
+      kernelSignatures(sharedShingleArrays(docs.filter(col("doc_id") >= lit(split)))),
+      0, carry = Seq("n"), shuffle = false)
+    val cand = corpusBands.as("a")
+      .join(broadcast(benchBands.as("b")),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && lshLengthFilter)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // raw (one row per colliding band) — the grid dedupes in-cell;
+    // the verify arrays read the persisted sketch for BOTH sides
+    // (the slice's staged rows equal its live kernel output —
+    // deterministic, the incremental-minhash argument)
+    val hashedSk = sk.select(col("doc_id"), col("ghs"), col("n"))
+    val vol = shingleVolumeBytes(docs)
+    if (gridInputOnly) verifyGridPlan(cand, hashedSk, gridB(spark, vol))
+    else verifyJaccard(cand, hashedSk, vol).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Staged-pairs path + entry, the [[dedupMinhashLshStaged]]
+    * convention: pairs staged once per corpus dir for the oracle,
+    * the returned frame is the live pipeline. */
+  val DeconFuzzyPairStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "decon_fuzzy_pairs.parquet"
+
+  private val stagedDeconPairs = new graft.StagedVersion[String]
+
+  def decontaminateFuzzyStaged(spark: SparkSession, dir: String): DataFrame = {
+    stagedDeconPairs(dir) {
+      decontaminateFuzzy(spark, dir).write.mode("overwrite").parquet(DeconFuzzyPairStagePath)
+    }
+    decontaminateFuzzy(spark, dir)
+  }
+
+  /** Oracle: exact string-shingle Jaccard of every emitted pair,
+    * re-derived from the raw documents, threshold re-applied — AND
+    * the train-vs-bench restriction re-applied on both sides (the
+    * incremental-oracle move: a regression emitting in-slice or
+    * in-corpus pairs produces rows the oracle drops, failing the
+    * hash check). */
+  private val decontaminateFuzzySql: String = minhashLshSqlOver(
+    DeconFuzzyPairStagePath,
+    """
+      |  WHERE doc_a < (SELECT MAX(doc_id) * 9 // 10 FROM documents)
+      |    AND doc_b >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)""".stripMargin)
 
   // ---- dedup_simhash: 64-bit SimHash + banded hamming search ----
   val SimhashBands = 4 // 4 bands x 16 bits: catches hamming <= 3
@@ -1654,5 +1741,6 @@ object Dedup {
     GraftQuery("dedup_simhash", Some(dedupSimhashSql), dedupSimhash),
     GraftQuery("dedup_simhash_incremental", Some(dedupSimhashIncrementalSql),
       dedupSimhashIncremental),
-    GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding))
+    GraftQuery("dedup_embedding", Some(dedupEmbeddingSql), dedupEmbedding),
+    GraftQuery("decontaminate_fuzzy", Some(decontaminateFuzzySql), decontaminateFuzzyStaged))
 }

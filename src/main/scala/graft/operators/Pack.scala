@@ -225,9 +225,97 @@ object Pack {
        |  md5(substr(text, CAST(chunk_ix * $ChunkStride + 1 AS BIGINT), $ChunkChars)) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** Shards in the graded entry (pinned; the oracle bakes the same
+    * constant). Library users scale via the explicit-`ns` overload —
+    * at warehouse scale the shard count is the parallelism knob
+    * (thousands of shards ≫ executors), exactly the Buckets
+    * argument above. */
+  val DefaultShards = 16L
+
+  /** Deterministic global shuffle into training shards — the FINAL
+    * stage of a pretraining data pipeline: every document gets a
+    * shard assignment, a pseudo-random position within its shard,
+    * and its exact token offset in the shard's virtual stream (what
+    * a shard writer needs to lay the doc down without ever
+    * materializing the concatenation).
+    *
+    * Both coordinates derive from ONE engine-reproducible key,
+    * md5(doc_id) — THE permutation convention shared with the
+    * samplers and the packer: the 32-bit hex prefix (uniform on
+    * [0, 2^32)) mod `ns` assigns the shard, and the full (md5,
+    * doc_id) order is the within-shard shuffle. No RNG, so a re-run
+    * (or a second engine — the DuckDB oracle) reproduces the layout
+    * bit-for-bit, and a grown corpus only MOVES docs whose hash
+    * bucket changed (none — assignment is per-doc, so appends never
+    * reshuffle existing shards' relative order, they interleave).
+    *
+    * Plan shape: one projection (md5 + the fused stats kernel for
+    * the token measure) feeding one hash exchange on shard_ix with
+    * a per-shard sort — the window gives rank and running token
+    * total in the same pass. No join, no second corpus scan; the
+    * presentation sort reads the window's materialized exchange
+    * (Present). Per-shard window input is (doc_id, n_tokens) pairs,
+    * not text — bytes/doc, not KB/doc — so even fat shards sort
+    * in-memory at any corpus the shard count is sized for. */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardShuffle(spark, dir, DefaultShards)
+
+  def shardShuffle(spark: SparkSession, dir: String, ns: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
+    // plain orderBy, no Present boundary: this entry is WINDOW-shaped
+    // — the stats kernel sits below the window's shard_ix exchange,
+    // so the sort's range sampling replays only the (materialized)
+    // shuffle read + the cheap per-shard sort, never the kernel
+    shardsOf(docs, ns).orderBy(col("shard_ix"), col("shard_pos"))
+  }
+
+  /** The placement core over any (doc_id, n_tokens) frame — exposed
+    * for library use (shard any token measure) and for the spec's
+    * append-stability pin. */
+  def shardsOf(docs: DataFrame, ns: Long = DefaultShards): DataFrame = {
+    require(ns > 0, s"shard count must be positive, got $ns")
+    val keyed = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard_ix",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % ns)
+    val w = Window.partitionBy(col("shard_ix")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .withColumn("token_offset",
+        coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("shard_ix"), col("shard_pos"),
+        col("n_tokens"), col("token_offset"))
+  }
+
+  private lazy val shardShuffleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         len(regexp_extract_all(text, '${TextOps.WsToken}')) AS n_tokens
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, h, n_tokens,
+       |    ('0x' || substring(h, 1, 8))::BIGINT % $DefaultShards AS shard_ix
+       |  FROM keyed
+       |)
+       |SELECT doc_id, shard_ix,
+       |  row_number() OVER w AS shard_pos,
+       |  n_tokens,
+       |  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard_ix ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS token_offset
+       |FROM s
+       |WINDOW w AS (PARTITION BY shard_ix ORDER BY h, doc_id)
+       |ORDER BY shard_ix, shard_pos""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("pack_sequences", Some(packSequencesSql), packSequences),
     GraftQuery("pack_sequences_bpe", Some(packSequencesBpeSql),
       (s, dir) => packSequencesBpe(s, dir)),
-    GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk))
+    GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk),
+    GraftQuery("shard_shuffle", Some(shardShuffleSql),
+      (s, dir) => shardShuffle(s, dir)))
 }

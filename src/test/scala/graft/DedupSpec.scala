@@ -76,6 +76,35 @@ class DedupSpec extends AnyFunSuite {
       "split must actually restrict on this corpus")
   }
 
+  test("fuzzy decontamination is exactly the exact cross-slice pair set") {
+    // same full-recall corpus argument as the LSH test above: the
+    // planted near-dups are far above threshold, so the banded
+    // train-vs-bench join must surface exactly the pairs the exact
+    // ngram sweep finds with doc_a in the corpus and doc_b in the
+    // bench slice — persisted-sketch corpus side and all.
+    val split = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0) * 9 / 10
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < split && p._2 >= split).toSet
+    val fuzzy = Dedup.decontaminateFuzzy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    fuzzy.foreach { case (a, b, _) =>
+      assert(a < split && b >= split,
+        s"pair ($a, $b) violates the train-vs-bench restriction (split=$split)") }
+    assert(fuzzy == exact,
+      s"fuzzy decontamination diverges from the exact cross-slice set (split=$split)")
+    assert(fuzzy.nonEmpty, "corpus must actually plant cross-slice near-dups")
+  }
+
+  test("staged fuzzy-decontamination pair list equals the live pipeline") {
+    val live = Dedup.decontaminateFuzzy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val staged = Dedup.decontaminateFuzzyStaged(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staged == live)
+  }
+
   test("simhash incremental is exactly the full pair set restricted to new doc_b") {
     import org.apache.spark.sql.functions.max
     val full = Dedup.dedupSimhash(spark, dir).collect()

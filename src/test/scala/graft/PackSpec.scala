@@ -129,4 +129,57 @@ class PackSpec extends AnyFunSuite {
     }.mkString
     assert(rebuilt == text)
   }
+
+  test("shard_shuffle: every doc placed once, dense positions, exact offsets, md5 assignment") {
+    val out = Pack.shardShuffle(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.length == nDocs, "placement is total: one row per document")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "one placement per doc")
+    // shard assignment is the md5-prefix formula, recomputed JVM-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val hex = md.digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(1) == java.lang.Long.parseLong(hex.take(8), 16) % Pack.DefaultShards,
+        s"doc ${r.getLong(0)}: shard_ix diverges from the md5-prefix assignment")
+    }
+    for ((shard, rows) <- out.groupBy(_.getLong(1))) {
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq,
+        s"shard $shard positions must be dense from 1")
+      // token_offset is the exact running total of everything before
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == acc,
+          s"shard $shard pos ${r.getLong(2)}: offset ${r.getLong(4)} != running total $acc")
+        acc += r.getLong(3)
+      }
+    }
+  }
+
+  test("shard_shuffle: appends interleave — existing docs keep shard and relative order") {
+    // assignment is per-doc (hash), so growing the corpus must not
+    // move any existing doc across shards or reorder surviving
+    // pairs within a shard — new docs only interleave. This is the
+    // property that makes incremental shard maintenance possible at
+    // all (a corpus-size-dependent assignment would reshuffle
+    // everything on every append).
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+    val cut = Tables.documents(spark, dir).agg(max(col("doc_id"))).head.getLong(0) / 2
+    val full = Pack.shardsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val prefix = Pack.shardsOf(docs.filter(col("doc_id") <= cut)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(prefix.nonEmpty && prefix.length < full.size)
+    prefix.foreach { case (id, shard, _) =>
+      assert(full(id)._1 == shard, s"doc $id changed shard on append") }
+    for ((shard, rows) <- prefix.groupBy(_._2)) {
+      val byPrefixOrder = rows.sortBy(_._3).map(_._1).toSeq
+      val byFullOrder = rows.map(_._1).sortBy(id => full(id)._2).toSeq
+      assert(byPrefixOrder == byFullOrder,
+        s"shard $shard: surviving docs reordered by the append")
+    }
+  }
 }

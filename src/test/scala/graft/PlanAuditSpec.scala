@@ -343,6 +343,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
   }
 
+  test("decontaminate_fuzzy: broadcast bench, sketch-only corpus side, zero corpus-side exchange") {
+    val plan = formatted(
+      operators.Dedup.decontaminateFuzzy(spark, dir, gridInputOnly = true))
+    // bench side (bounded) is the STATIC broadcast build of the band
+    // join; corpus side reads the persisted sketch table, never the
+    // documents text
+    assert(plan.contains("BroadcastExchange"),
+      s"bench bands must broadcast:\n$plan")
+    assert(plan.contains("minhash_sketch"),
+      s"corpus side must read the persisted sketch table:\n$plan")
+    // only the bench slice touches the documents parquet — with the
+    // slice restriction pushed to that scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"bench slice restriction not pushed to the documents scan:\n$plan")
+    // the corpus side must reach the broadcast join WITHOUT any
+    // shuffle: the only Exchanges in the candidate subtree are the
+    // bench broadcast and the grid's own cell bucketing
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(exchanges - broadcasts <= 2,
+      s"corpus-side shuffle crept in (got ${exchanges - broadcasts} non-broadcast exchanges, " +
+        s"expected <= 2 = bench-sketch spread + grid cell bucketing):\n$plan")
+    val atScale = planAtScale(
+      operators.Dedup.decontaminateFuzzy(spark, dir, gridInputOnly = true))
+    assert(!atScale.contains("CartesianProduct"), atScale)
+    assert(!atScale.contains("BroadcastNestedLoopJoin"), atScale)
+  }
+
+  test("shard_shuffle: one shard-ix window exchange plus presentation sort, pruned scan") {
+    val plan = formatted(operators.Pack.shardShuffle(spark, dir))
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"shard placement must shuffle once on shard_ix plus the presentation range, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), "placement is scan -> window, no join")
+    // the token-measure kernel must sit BELOW the window exchange
+    // (the sampling-replay argument for skipping the Present
+    // boundary depends on it)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"unpruned documents scan: $readSchema")
+  }
+
   test("dedup_simhash_incremental: slice pushed to the b-side scan, a side reads persisted sigs") {
     val plan = formatted(operators.Dedup.dedupSimhashIncremental(spark, dir))
     // b side tokenizes ONLY the fresh slice: the restriction must
