@@ -292,6 +292,55 @@ object Pack {
         col("n_tokens"), col("token_offset"))
   }
 
+  /** Where the per-document token-measure table — (doc_id,
+    * n_tokens), the expensive half of shard placement — is persisted,
+    * keyed on the documents table's file-listing fingerprint (the
+    * minhash-sketch convention). */
+  val ShardMeasurePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "shard_measure.parquet"
+
+  private val stagedMeasure = new graft.StagedVersion[(String, String)]
+
+  /** Read (building once per corpus version) the persisted measure
+    * table for `dir`. Deterministic — the staged rows equal what the
+    * live kernel computes, so consumers are identical either way. */
+  def shardMeasureTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedMeasure((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
+        .write.mode("overwrite").parquet(ShardMeasurePath)
+    }
+    spark.read.parquet(ShardMeasurePath)
+  }
+
+  /** Steady-state shard placement for a GROWN corpus — the
+    * incremental twin ([[shardShuffle]]'s regime argument): appends
+    * interleave but DO shift absolute positions and token offsets of
+    * later-sorting existing docs, so the placement table must
+    * refresh corpus-wide on every release. What must NOT re-run is
+    * the expensive half — the token measure over the text (at real
+    * scale: BPE tokenization of 100 TB): existing docs read their
+    * persisted (doc_id, n_tokens) row ([[shardMeasureTable]] — 16
+    * bytes/doc, no text), only the fresh slice (doc_id >= the 90%
+    * split, the shared convention) pays the kernel behind a pushed
+    * scan predicate. The window then re-lays out metadata-sized
+    * rows — a ~1000x I/O cut per refresh vs re-measuring the corpus.
+    * Output is IDENTICAL to the full operator (same oracle SQL, and
+    * spec-pinned row-for-row). */
+  def shardShuffleIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val old = shardMeasureTable(spark, dir).filter(col("doc_id") < lit(split))
+    val fresh = docs.filter(col("doc_id") >= lit(split)).select(
+      col("doc_id"),
+      element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
+    shardsOf(old.unionByName(fresh), DefaultShards)
+      .orderBy(col("shard_ix"), col("shard_pos"))
+  }
+
   private lazy val shardShuffleSql: String =
     s"""WITH keyed AS (
        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
@@ -317,5 +366,9 @@ object Pack {
       (s, dir) => packSequencesBpe(s, dir)),
     GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk),
     GraftQuery("shard_shuffle", Some(shardShuffleSql),
-      (s, dir) => shardShuffle(s, dir)))
+      (s, dir) => shardShuffle(s, dir)),
+    // identical output (and oracle) to the full operator BY DESIGN —
+    // what differs is the plan: persisted measures for old docs, the
+    // kernel only over the pushed fresh-slice scan
+    GraftQuery("shard_shuffle_incremental", Some(shardShuffleSql), shardShuffleIncremental))
 }

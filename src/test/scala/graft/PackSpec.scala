@@ -157,6 +157,15 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("shard_shuffle_incremental equals the full recompute row-for-row") {
+    // persisted measures for old docs + live kernel for the slice
+    // must reproduce the full placement exactly (the measure staging
+    // is deterministic, and the layout window sees identical input)
+    val full = Pack.shardShuffle(spark, dir).collect().map(_.toSeq).toSeq
+    val inc = Pack.shardShuffleIncremental(spark, dir).collect().map(_.toSeq).toSeq
+    assert(inc == full)
+  }
+
   test("shard_shuffle: appends interleave — existing docs keep shard and relative order") {
     // assignment is per-doc (hash), so growing the corpus must not
     // move any existing doc across shards or reorder surviving

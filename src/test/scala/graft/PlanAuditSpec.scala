@@ -386,6 +386,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
+  test("shard_shuffle_incremental: kernel only over the pushed slice scan, measures from parquet") {
+    val plan = formatted(operators.Pack.shardShuffleIncremental(spark, dir))
+    // fresh slice: restriction pushed to the one documents scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"slice restriction not pushed to the documents scan:\n$plan")
+    // old docs: persisted measure table, never the documents text
+    assert(plan.contains("shard_measure"),
+      s"old-doc measures must come from the persisted table:\n$plan")
+    assert("graft_text_stats|GraftTextStats".r.findAllIn(plan).size <= 2,
+      s"the token kernel must run only on the fresh slice branch:\n$plan")
+  }
+
   test("dedup_simhash_incremental: slice pushed to the b-side scan, a side reads persisted sigs") {
     val plan = formatted(operators.Dedup.dedupSimhashIncremental(spark, dir))
     // b side tokenizes ONLY the fresh slice: the restriction must
