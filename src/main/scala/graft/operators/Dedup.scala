@@ -424,17 +424,69 @@ object Dedup {
     * map, adjacent-duplicate skip, early-exit merge, exact jac >= t
     * emission) — the grid-invariance and pairs-identical specs pin
     * that. */
+  /** Open-addressing long → long[] map for the merge's doc arrays.
+    * `java.util.HashMap[Long, _]` autoboxes EVERY probe key
+    * (Long.valueOf caches only [-128, 127]): two gets per candidate
+    * row × ~6e8 sf10 rows was ~1.2e9 young-gen allocations — the
+    * 250 s of GC the r13 profile still showed in the merge stage
+    * after the InternalRow rework removed the tuple decode. Probes
+    * here touch two primitive arrays and allocate nothing. Linear
+    * probing, power-of-two capacity, grow at 60% load; a slot is
+    * occupied iff vals(i) != null (no key sentinel — doc_id's full
+    * range stays legal). */
+  private final class LongToArrayMap(initialCapacity: Int) {
+    private var mask = {
+      var c = 16
+      while (c < initialCapacity * 2) c <<= 1
+      c - 1
+    }
+    private var keys = new Array[Long](mask + 1)
+    private var vals = new Array[Array[Long]](mask + 1)
+    private var n = 0
+    private def slotOf(k: Long, ks: Array[Long], vs: Array[Array[Long]], m: Int): Int = {
+      var i = (java.lang.Long.hashCode(k) * -1640531527) & m // Fibonacci-ish spread
+      while (vs(i) != null && ks(i) != k) i = (i + 1) & m
+      i
+    }
+    def get(k: Long): Array[Long] = {
+      val i = slotOf(k, keys, vals, mask)
+      vals(i)
+    }
+    def contains(k: Long): Boolean = get(k) != null
+    def put(k: Long, v: Array[Long]): Unit = {
+      val i = slotOf(k, keys, vals, mask)
+      if (vals(i) == null) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 5L > (mask + 1L) * 3L) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val m2 = mask * 2 + 1
+      val k2 = new Array[Long](m2 + 1)
+      val v2 = new Array[Array[Long]](m2 + 1)
+      var i = 0
+      while (i <= mask) {
+        if (vals(i) != null) {
+          val j = slotOf(keys(i), k2, v2, m2)
+          k2(j) = keys(i); v2(j) = vals(i)
+        }
+        i += 1
+      }
+      keys = k2; vals = v2; mask = m2
+    }
+  }
+
   private def gridMerge(pairsPlan: DataFrame, docsPlan: DataFrame): DataFrame = {
     val spark = pairsPlan.sparkSession
     val out = pairsPlan.queryExecution.toRdd
       .zipPartitions(docsPlan.queryExecution.toRdd) { (ps, ds) =>
-        val arrs = new java.util.HashMap[Long, Array[Long]]()
+        val arrs = new LongToArrayMap(1 << 12)
         while (ds.hasNext) {
           val r = ds.next()
           val id = r.getLong(1)
           // a doc's replicas are identical; copy the array once even
           // when several of its cells hash into this partition
-          if (!arrs.containsKey(id)) arrs.put(id, r.getArray(2).toLongArray())
+          if (!arrs.contains(id)) arrs.put(id, r.getArray(2).toLongArray())
         }
         new Iterator[InternalRow] {
           private var prevA = -1L
