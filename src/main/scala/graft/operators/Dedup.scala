@@ -260,7 +260,14 @@ object Dedup {
   private[graft] def gridSideFor(volumeBytes: Long, maxHeap: Long,
                                  parallelism: Int): Int = {
     val floor = math.max(2, math.ceil(math.sqrt(2.0 * parallelism)).toInt)
-    val budget = math.max(1L, maxHeap / 3 / parallelism)
+    // /4, not /3 (round 13): at 24 GB x 32 tasks the /3 budget let
+    // the per-task doc maps alone claim 8 GB NEXT TO Spark's own
+    // 0.6-fraction execution region (the pair sort's pages live
+    // there) — one observed merge-stage OOM in ~10 sf10 runs. The
+    // extra quarter costs ~B/3 more docs-side replication (a few
+    // seconds of a 100+ s sweep) and buys the headroom that keeps a
+    // marginal box out of the cliff.
+    val budget = math.max(1L, maxHeap / 4 / parallelism)
     val memSide = math.ceil(2.0 * volumeBytes / budget).toInt
     math.max(floor, memSide)
   }

@@ -135,13 +135,13 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.gridSideFor(10L << 20, g8, 32) == 8)
     // the round-11 OOM shape: ~1.2 GB of shingle hashes, 8 GB heap,
     // 32 concurrent tasks — B must rise so one cell map fits the
-    // per-task budget (maxHeap/3/parallelism)
+    // per-task budget (maxHeap/4/parallelism since round 13)
     val b = Dedup.gridSideFor(1200L << 20, g8, 32)
     assert(b > 8, s"B=$b did not rise for a heap-exceeding corpus")
-    val budget = g8 / 3 / 32
+    val budget = g8 / 4 / 32
     assert(2.0 * (1200L << 20) / b <= budget, s"cell map at B=$b still exceeds the budget")
     // more heap relaxes B back toward the floor
-    assert(Dedup.gridSideFor(1200L << 20, 32L << 30, 32) == 8)
+    assert(Dedup.gridSideFor(1200L << 20, 48L << 30, 32) == 8)
   }
 
   test("grid cell tokens route each cell to its own partition under Spark's hash()") {
