@@ -272,15 +272,26 @@ object Pack {
     shardsOf(docs, ns).orderBy(col("shard_ix"), col("shard_pos"))
   }
 
+  /** Per-row shard keying — the ONE expression shared by the batch
+    * layout ([[shardsOf]]) and the streaming router
+    * ([[graft.streaming.Streams.streamShardAssign]]): md5(doc_id)'s
+    * 32-bit hex prefix (uniform on [0, 2^32)) mod `ns`. Stateless
+    * row arithmetic by construction, which is exactly what lets the
+    * router run as a plain streaming projection with no coordination
+    * between executors. */
+  def shardKeyed(docs: DataFrame, ns: Long): DataFrame = {
+    require(ns > 0, s"shard count must be positive, got $ns")
+    docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard_ix",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % ns)
+  }
+
   /** The placement core over any (doc_id, n_tokens) frame — exposed
     * for library use (shard any token measure) and for the spec's
     * append-stability pin. */
   def shardsOf(docs: DataFrame, ns: Long = DefaultShards): DataFrame = {
-    require(ns > 0, s"shard count must be positive, got $ns")
-    val keyed = docs
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("shard_ix",
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % ns)
+    val keyed = shardKeyed(docs, ns)
     val w = Window.partitionBy(col("shard_ix")).orderBy(col("h"), col("doc_id"))
     keyed
       .withColumn("shard_pos", row_number().over(w).cast("long"))
@@ -359,6 +370,23 @@ object Pack {
        |FROM s
        |WINDOW w AS (PARTITION BY shard_ix ORDER BY h, doc_id)
        |ORDER BY shard_ix, shard_pos""".stripMargin
+
+  /** Order-free per-shard accounting — the streaming router's oracle
+    * (same keying + token measure as [[shardShuffleSql]], aggregated;
+    * the within-shard permutation, meaningless to totals, drops out). */
+  private[graft] lazy val shardAssignTotalsSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |         len(regexp_extract_all(text, '${TextOps.WsToken}')) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT ('0x' || substring(h, 1, 8))::BIGINT % $DefaultShards AS shard_ix,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+       |FROM keyed
+       |GROUP BY shard_ix
+       |ORDER BY shard_ix""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("pack_sequences", Some(packSequencesSql), packSequences),

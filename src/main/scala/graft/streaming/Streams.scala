@@ -502,6 +502,48 @@ object Streams {
     graft.operators.Dedup.minhashLshSqlOver(StreamDocPairStagePath,
       "\n  WHERE doc_b >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
 
+  // ---- streaming shard router (shard_shuffle's ingest-time twin) ----
+
+  /** Continuous shard placement for arriving documents — the
+    * ingest-time half of the shard_shuffle family. Each document's
+    * shard assignment is STATELESS row arithmetic (md5-prefix mod
+    * ns — the exact [[graft.operators.Pack.shardKeyed]] expression
+    * the batch layout uses), so the router itself is a streaming
+    * projection any number of executors run independently: no
+    * coordination, no state, and a re-run — or the batch engine, or
+    * the DuckDB oracle — reproduces every assignment bit-for-bit.
+    *
+    * What IS stateful is the accounting a shard writer consumes:
+    * per-shard document and token totals plus the largest single
+    * document seen (the writer's buffer-sizing input). That
+    * aggregate's state is ns rows BY CONSTRUCTION — the one stateful
+    * operator here whose state is bounded without a watermark,
+    * because the key domain is the fixed shard count, not the data.
+    * Complete mode re-emits the ns-row table each micro-batch, which
+    * is also the right continuous-deployment shape: the sink is a
+    * tiny live dashboard/placement table, not an append log.
+    *
+    * One-shot harness: stream the whole documents table; the oracle
+    * aggregates the batch layout per shard (order-free, so the
+    * within-shard permutation — meaningless to totals — drops out). */
+  def streamShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pack
+    graft.functions.GraftFunctions.register(spark)
+    val schema = graft.Tables.documents(spark, dir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val measured = docs.select(
+      col("doc_id"),
+      element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
+    val totals = Pack.shardKeyed(measured, Pack.DefaultShards)
+      .groupBy(col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_doc_tokens"))
+    runToMemory(spark, totals, "graft_stream_shard_assign", OutputMode.Complete())
+      .orderBy(col("shard_ix"))
+  }
+
   // ---- stateful sessionization via flatMapGroupsWithState ----
   final case class Ev(user_id: Long, event_id: Long, tsUs: Long)
   final case class SessionState(sessionId: Long, startUs: Long, endUs: Long, n: Long)
@@ -654,5 +696,7 @@ object Streams {
     GraftQuery("stream_dedup_docs", Some(streamDedupDocsSql), streamDedupDocsStaged),
     GraftQuery("stream_substring_profile",
       Some(graft.operators.Dedup.dedupSubstringIncrementalSql), streamSubstringProfile),
+    GraftQuery("stream_shard_assign",
+      Some(graft.operators.Pack.shardAssignTotalsSql), streamShardAssign),
     GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))
 }

@@ -122,6 +122,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming shard router totals equal the batch shard layout aggregated") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val stream = Streams.streamShardAssign(spark, dir).collect().map(_.toString).toSeq
+    val batch = operators.Pack.shardsOf(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          element_at(expr("graft_text_stats(text)"), 1).as("n_tokens")))
+      .groupBy(col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_doc_tokens"))
+      .orderBy(col("shard_ix")).collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming substring profile equals the batch incremental operator") {
     val stream = Streams.streamSubstringProfile(spark, dir).collect().map(_.toString).toSeq
     val batch = operators.Dedup.dedupSubstringIncremental(spark, dir)
