@@ -261,81 +261,137 @@ object TextKernels {
     * keeps the regex definition. Positions are UTF-16 chars, same
     * as java.util.regex — the classes are all ASCII so surrogate
     * halves never match. */
+  @inline private def piiLocalC(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  @inline private def piiDomC(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '.' || c == '-'
+  @inline private def piiLetter(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def piiDigit(c: Char) = c >= '0' && c <= '9'
+  @inline private def piiUrlC(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '.' || c == '/' || c == '_' || c == '%' || c == '#' || c == '?' ||
+      c == '&' || c == '=' || c == '-'
+
+  /** End (exclusive) of an email match ANCHORED at i, or -1. One
+    * attempt of the java.util.regex semantics: greedy local run,
+    * '@', greedy domain run, then backtrack to the rightmost '.'
+    * inside the run followed by >= 2 letters. */
+  private def emailEnd(str: String, i: Int): Int = {
+    val n = str.length
+    var l = i
+    while (l < n && piiLocalC(str.charAt(l))) l += 1
+    if (l > i && l < n && str.charAt(l) == '@') {
+      val a = l + 1
+      var b = a
+      while (b < n && piiDomC(str.charAt(b))) b += 1
+      if (b > a) {
+        var j = b - 1
+        while (j > a) {
+          if (str.charAt(j) == '.') {
+            var t = j + 1
+            while (t < n && piiLetter(str.charAt(t))) t += 1
+            if (t - (j + 1) >= 2) return t
+          }
+          j -= 1
+        }
+      }
+    }
+    -1
+  }
+
+  /** End of a url match anchored at i, or -1: literal http, optional
+    * 's', '://', then a non-empty greedy class run. */
+  private def urlEnd(str: String, i: Int): Int = {
+    val n = str.length
+    if (str.charAt(i) == 'h' && i + 7 <= n && str.regionMatches(i, "http", 0, 4)) {
+      var p = i + 4
+      if (p < n && str.charAt(p) == 's') p += 1
+      if (p + 3 <= n && str.charAt(p) == ':' && str.charAt(p + 1) == '/' &&
+          str.charAt(p + 2) == '/') {
+        var e = p + 3
+        while (e < n && piiUrlC(str.charAt(e))) e += 1
+        if (e > p + 3) return e
+      }
+    }
+    -1
+  }
+
+  /** End of a phone match anchored at i, or -1: fixed length 12,
+    * digits with '-'/'.' at positions 3 and 7 — no backtracking. */
+  private def phoneEnd(str: String, i: Int): Int = {
+    if (i + 12 > str.length) return -1
+    var k = 0
+    while (k < 12) {
+      val c = str.charAt(i + k)
+      val ok = k match {
+        case 3 | 7 => c == '-' || c == '.'
+        case _ => piiDigit(c)
+      }
+      if (!ok) return -1
+      k += 1
+    }
+    i + 12
+  }
+
   def piiCounts(s: UTF8String): ArrayData = {
     val str = s.toString
     val n = str.length
-    @inline def localC(c: Char) =
-      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
-        c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
-    @inline def domC(c: Char) =
-      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
-        c == '.' || c == '-'
-    @inline def letter(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
-    @inline def digit(c: Char) = c >= '0' && c <= '9'
-    @inline def urlC(c: Char) =
-      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
-        c == '.' || c == '/' || c == '_' || c == '%' || c == '#' || c == '?' ||
-        c == '&' || c == '=' || c == '-'
     val out = new Array[Long](3)
-    // emails
     var i = 0
     while (i < n) {
-      var l = i
-      while (l < n && localC(str.charAt(l))) l += 1
-      var matched = false
-      if (l > i && l < n && str.charAt(l) == '@') {
-        val a = l + 1
-        var b = a
-        while (b < n && domC(str.charAt(b))) b += 1
-        if (b > a) {
-          var j = b - 1
-          while (j > a && !matched) {
-            if (str.charAt(j) == '.') {
-              var t = j + 1
-              while (t < n && letter(str.charAt(t))) t += 1
-              if (t - (j + 1) >= 2) { out(0) += 1; i = t; matched = true }
-            }
-            if (!matched) j -= 1
-          }
-        }
-      }
-      if (!matched) i += 1
+      val e = emailEnd(str, i); if (e > i) { out(0) += 1; i = e } else i += 1
     }
-    // urls
     i = 0
     while (i < n) {
-      var matched = false
-      if (str.charAt(i) == 'h' && i + 7 <= n && str.regionMatches(i, "http", 0, 4)) {
-        var p = i + 4
-        if (p < n && str.charAt(p) == 's') p += 1
-        if (p + 3 <= n && str.charAt(p) == ':' && str.charAt(p + 1) == '/' &&
-            str.charAt(p + 2) == '/') {
-          var e = p + 3
-          while (e < n && urlC(str.charAt(e))) e += 1
-          if (e > p + 3) { out(1) += 1; i = e; matched = true }
-        }
-      }
-      if (!matched) i += 1
+      val e = urlEnd(str, i); if (e > i) { out(1) += 1; i = e } else i += 1
     }
-    // phones
     i = 0
     while (i < n) {
-      var ok = i + 12 <= n
-      if (ok) {
-        var k = 0
-        while (ok && k < 12) {
-          val c = str.charAt(i + k)
-          val want = k match {
-            case 3 | 7 => c == '-' || c == '.'
-            case _ => digit(c)
-          }
-          ok = want
-          k += 1
-        }
-      }
-      if (ok) { out(2) += 1; i += 12 } else i += 1
+      val e = phoneEnd(str, i); if (e > i) { out(2) += 1; i = e } else i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** One find()-and-replace pass for pattern `p` (0 email, 1 url,
+    * 2 phone) — exactly `str.replaceAll(pattern, token)`: each
+    * anchored match replaced by the token, failed attempts copy one
+    * char. Returns `str` itself (no allocation) when nothing
+    * matches — the overwhelmingly common row. */
+  private def redactPass(str: String, p: Int, token: String): String = {
+    val n = str.length
+    @inline def matchEnd(i: Int): Int = p match {
+      case 0 => emailEnd(str, i)
+      case 1 => urlEnd(str, i)
+      case _ => phoneEnd(str, i)
+    }
+    var i = 0
+    while (i < n && matchEnd(i) <= i) i += 1
+    if (i >= n) return str
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(str, 0, i)
+    while (i < n) {
+      val e = matchEnd(i)
+      if (e > i) { sb.append(token); i = e }
+      else { sb.append(str.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** PII redaction — the rewrite stage over [[piiCounts]]' anchored
+    * automata: three chained passes (email → url → phone), each the
+    * exact java `replaceAll` of its defining regex, composing like
+    * the nested regexp_replace oracle (later passes scan earlier
+    * passes' output, in BOTH engines — the category tokens contain
+    * no '@', '://', or digits, so they cannot seed new matches, but
+    * chaining keeps the engines mirrored regardless). */
+  def piiRedact(s: UTF8String): UTF8String = {
+    var str = s.toString
+    str = redactPass(str, 0, "[EMAIL]")
+    str = redactPass(str, 1, "[URL]")
+    str = redactPass(str, 2, "[PHONE]")
+    UTF8String.fromString(str)
   }
 
   /** The BPE family's text normalization as one pass — exactly
@@ -490,6 +546,23 @@ case class PiiCountsExpr(child: Expression) extends UnaryExpression with StringI
     copy(child = newChild)
 
   override def prettyName: String = "graft_pii_counts"
+}
+
+/** `graft_pii_redact(string) → string` — category-token redaction of
+  * the three PII patterns; see [[TextKernels.piiRedact]]. */
+case class PiiRedactExpr(child: Expression) extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.piiRedact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.piiRedact($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedactExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pii_redact"
 }
 
 /** `graft_bpe_clean(string) → string` — see [[TextKernels.bpeClean]]. */

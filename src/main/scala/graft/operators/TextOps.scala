@@ -222,6 +222,35 @@ object TextOps {
        |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII REDACTION — the rewrite stage downstream of [[textPii]]'s
+    * counts: every match replaced by its category token via the same
+    * anchored automata, chained email → url → phone exactly like the
+    * nested regexp_replace oracle (both engines scan each pass's
+    * output, so the composition is mirrored by construction). The
+    * entry emits the audit row a pipeline keeps — doc_id plus the
+    * md5 of the redacted text; the rewritten corpus itself stays in
+    * the engine (`graft_pii_redact(text)` is the library column),
+    * and the md5 makes the driver compare every redacted BYTE
+    * without shipping 100 TB of text through the gate. One scan,
+    * one codegen'd projection, the Present boundary under the
+    * presentation sort — the text-family plan shape. */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Present.ordered(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(expr("graft_pii_redact(text)")).as("redacted_md5")),
+      col("doc_id"))
+  }
+
+  private lazy val textPiiRedactSql: String =
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$UrlRe', '[URL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** 64-bit FNV-1a document fingerprint via the native Catalyst
     * expression (graft.functions.Fnv1a64 — codegen'd, no UDF).
     * DuckDB-oracled since round 7: the fold is expressible as a
@@ -472,6 +501,7 @@ object TextOps {
     GraftQuery("text_langid", Some(textLangidSql), textLangid),
     GraftQuery("text_langid_eval", Some(textLangidEvalSql), textLangidEval),
     GraftQuery("text_pii", Some(textPiiSql), textPii),
+    GraftQuery("text_pii_redact", Some(textPiiRedactSql), textPiiRedact),
     GraftQuery("text_fingerprint", Some(textFingerprintSql), textFingerprint))
 
   /** DuckDB twin of Fnv1a64.hash over a string-typed SQL expression:

@@ -206,6 +206,52 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where the pii kernel diverges from the regexes")
   }
 
+  test("graft_pii_redact equals the chained regexp_replace (corpus + backtracking edges)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val edge = Seq(
+      "", "a@b.cd", "a@b.c", "a@b.cd.ef", "a@b@c.de", "@b.cd", "a@.cd", "a@b.",
+      "user+tag%x.y-z@mail-svr.example.co.uk", "....@....", "a@b.cd5", "a@b.CD",
+      "two a@b.cd and c@d.ef emails", "httpX@a.bc://path",
+      "http://x", "https://", "xhttps://ok?a=1#f", "http://http://",
+      "see https://a.b/c_d%e#f?g=h& end", "https://@a.bc",
+      "123-456-7890", "123.456.7890", "1234567890", "123-4567-890",
+      "000-000-0000000-000-0000", "call 555.123.4567 or 555-123-4567 now",
+      "email a@b.cd http://u 123-456-7890 combo")
+      .toDF("text")
+    val all = Tables.documents(spark, dir).select(col("text")).unionByName(edge)
+    def chain(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit("[EMAIL]")),
+        lit("https?://[A-Za-z0-9./_%#?&=-]+"), lit("[URL]")),
+        lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"), lit("[PHONE]"))
+    val bad = all.filter(expr("graft_pii_redact(text)") =!= chain(col("text")))
+      .select(col("text")).collect()
+    assert(bad.isEmpty,
+      s"redaction diverges from the regex chain on: ${bad.take(3).map(_.getString(0)).mkString(" | ")}")
+  }
+
+  test("pii redact fuzz: random pattern-dense strings match the Java regexp_replace chain") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val alpha = "a1.-@+ http:/s%2"
+    val rnd = new scala.util.Random(271828)
+    val strs = (1 to 4000).map { _ =>
+      val len = 1 + rnd.nextInt(40)
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    def chain(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit("[EMAIL]")),
+        lit("https?://[A-Za-z0-9./_%#?&=-]+"), lit("[URL]")),
+        lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"), lit("[PHONE]"))
+    val bad = strs.toDF("text")
+      .filter(expr("graft_pii_redact(text)") =!= chain(col("text")))
+      .select(col("text")).collect()
+    assert(bad.isEmpty,
+      s"diverging inputs: ${bad.take(5).map(_.getString(0)).mkString(" | ")}")
+  }
+
   test("pii kernel fuzz: random strings over a pattern-dense alphabet match Java find counts") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
