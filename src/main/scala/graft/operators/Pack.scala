@@ -371,6 +371,47 @@ object Pack {
        |WINDOW w AS (PARTITION BY shard_ix ORDER BY h, doc_id)
        |ORDER BY shard_ix, shard_pos""".stripMargin
 
+  /** shard_shuffle with the TRUE model-token measure — the same
+    * layout core over the learned-BPE token count (persisted merges
+    * table + codegen kernel, the `pack_sequences_bpe` measure), so
+    * `token_offset` means MODEL tokens: what a shard writer feeding
+    * a tokenized pretraining run actually lays down. Every doc gets
+    * a placement (no >0 filter — layout is total, unlike packing,
+    * where empty docs have no span); wordless docs count 0 tokens.
+    * Identical plan shape to [[shardShuffle]]: one codegen'd
+    * projection feeding one shard_ix window exchange. */
+  def shardShuffleBpe(spark: SparkSession, dir: String): DataFrame = {
+    val codec = Bpe.codecOf(Bpe.mergesList(spark, dir))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      ColumnBridge.column(graft.functions.BpeTokenCountExpr(
+        ColumnBridge.expression(Bpe.cleanedCol(col("text"))), codec)).as("n_tokens"))
+    shardsOf(docs, DefaultShards).orderBy(col("shard_ix"), col("shard_pos"))
+  }
+
+  private lazy val shardShuffleBpeSql: String =
+    s"""WITH RECURSIVE ${Bpe.bpeTokenCtes}, dtok AS (
+       |  SELECT w.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+       |  FROM words w JOIN wtok t ON w.w = t.w GROUP BY w.doc_id
+       |), keyed AS (
+       |  SELECT d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS h,
+       |         CAST(COALESCE(k.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN dtok k ON d.doc_id = k.doc_id
+       |), s AS (
+       |  SELECT doc_id, h, n_tokens,
+       |    ('0x' || substring(h, 1, 8))::BIGINT % $DefaultShards AS shard_ix
+       |  FROM keyed
+       |)
+       |SELECT doc_id, shard_ix,
+       |  row_number() OVER w AS shard_pos,
+       |  n_tokens,
+       |  COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard_ix ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS token_offset
+       |FROM s
+       |WINDOW w AS (PARTITION BY shard_ix ORDER BY h, doc_id)
+       |ORDER BY shard_ix, shard_pos""".stripMargin
+
   /** Order-free per-shard accounting — the streaming router's oracle
     * (same keying + token measure as [[shardShuffleSql]], aggregated;
     * the within-shard permutation, meaningless to totals, drops out). */
@@ -395,6 +436,7 @@ object Pack {
     GraftQuery("docs_chunk", Some(docsChunkSql), docsChunk),
     GraftQuery("shard_shuffle", Some(shardShuffleSql),
       (s, dir) => shardShuffle(s, dir)),
+    GraftQuery("shard_shuffle_bpe", Some(shardShuffleBpeSql), shardShuffleBpe),
     // identical output (and oracle) to the full operator BY DESIGN —
     // what differs is the plan: persisted measures for old docs, the
     // kernel only over the pushed fresh-slice scan

@@ -157,6 +157,29 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("shard_shuffle_bpe: placement is measure-independent; measures equal the BPE entry") {
+    // shard assignment and within-shard order derive only from
+    // md5(doc_id) — swapping the token measure must not move a doc
+    val words = Pack.shardShuffle(spark, dir)
+      .select("doc_id", "shard_ix", "shard_pos").collect().map(_.toString).sorted
+    val bpe = Pack.shardShuffleBpe(spark, dir)
+      .select("doc_id", "shard_ix", "shard_pos").collect().map(_.toString).sorted
+    assert(bpe.nonEmpty)
+    assert(words.toSeq == bpe.toSeq)
+    // and the BPE layout's measure column is the text_tokens_bpe count
+    val fromLayout = Pack.shardShuffleBpe(spark, dir)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromEntry = operators.Bpe.textTokensBpe(spark, dir)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromEntry.foreach { case (id, n) =>
+      assert(fromLayout(id) == n, s"doc $id: layout measure ${fromLayout(id)} != entry $n")
+    }
+    // wordless docs (absent from the entry's word join) count 0
+    fromLayout.keySet.diff(fromEntry.keySet).foreach { id =>
+      assert(fromLayout(id) == 0L, s"wordless doc $id has nonzero measure")
+    }
+  }
+
   test("shard_shuffle_incremental equals the full recompute row-for-row") {
     // persisted measures for old docs + live kernel for the slice
     // must reproduce the full placement exactly (the measure staging
