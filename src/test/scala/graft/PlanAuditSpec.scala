@@ -529,6 +529,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
+  test("shard_shuffle_bpe: same two-exchange layout plan with the BPE kernel below the window") {
+    val plan = formatted(operators.Pack.shardShuffleBpe(spark, dir))
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"BPE layout must keep shard_shuffle's shape (window + presentation), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), "placement is scan -> window, no join")
+    assert("graft_bpe_token_count|BpeTokenCount".r.findAllIn(plan).size <= 1,
+      s"the BPE kernel must run once, below the window exchange:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"unpruned documents scan: $readSchema")
+  }
+
+  test("text_pii_redact: pure projection — boundary + presentation exchanges only, pruned scan") {
+    val plan = formatted(operators.TextOps.textPiiRedact(spark, dir))
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"redaction must only shuffle to present (boundary + sort), got $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "redaction is a pure projection")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned documents scan: $readSchema")
+  }
+
   test("docs_chunk: only presentation exchanges, one codegen span") {
     val plan = formatted(operators.Pack.docsChunk(spark, dir))
     // two exchanges since r13: the materialization boundary (hash)
