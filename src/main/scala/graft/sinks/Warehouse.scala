@@ -52,6 +52,29 @@ object Warehouse {
     else spark.emptyDataFrame
   }
 
+  /** Point lookup by primary key — the reference's headline query
+    * (indexed cid lookup: the SQLite pk + WITH_INDEX role,
+    * utils.py:181,334) at warehouse scale. The manifest's per-file
+    * [lowest_cid, highest_cid] spans ARE the index: a driver-side
+    * scan of the manifest (file-count-sized — the same bounded table
+    * the ingest skip-set reads) picks candidate source files, the
+    * isin predicate on the PARTITION column prunes the compounds
+    * scan to those directories statically, and the pushed pk filter
+    * plus parquet row-group stats finish inside them. At 100 TB the
+    * data touched is O(one partition), not O(corpus); plan-pinned
+    * (partition filters present, pk pushed). */
+  def lookup(spark: SparkSession, warehouseDir: String, cid: Long,
+             layout: LayoutSpec = LayoutSpec.default): DataFrame = {
+    val pk = layout.columns.find(_.primaryKey).map(_.name)
+      .getOrElse(layout.columns.head.name)
+    val files = manifest(spark, warehouseDir)
+      .filter(col("lowest_cid") <= cid && col("highest_cid") >= cid)
+      .select("filename").collect().map(_.getString(0)).toSeq
+    val compounds = spark.read.parquet(compoundsDir(warehouseDir))
+    if (files.isEmpty) compounds.filter(lit(false))
+    else compounds.filter(col("src_filename").isin(files: _*) && col(pk) === cid)
+  }
+
   /** Manifest rows above which the skip set is no longer collected
     * to the driver: beyond it, pending files come from a distributed
     * anti-join instead (only the PENDING names — bounded by the new

@@ -33,6 +33,31 @@ class SinksSpec extends AnyFunSuite {
       "cmps_06_07.sdf" -> ((46773L, 46774L, 2L))))
   }
 
+  test("warehouse point lookup: manifest-span prune, partition + pk filters, miss is empty") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_lookup_spec").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    // hit: exactly the reference row
+    val hit = Warehouse.lookup(spark, wh, 34517L).collect()
+    assert(hit.length == 1)
+    assert(hit(0).getAs[Long]("cid") == 34517L)
+    assert(hit(0).getAs[String]("src_filename") == "cmps_03_05.sdf")
+    // key inside no manifest span: empty without touching data
+    assert(Warehouse.lookup(spark, wh, 999999L).isEmpty)
+    // key inside a span but absent from the file: empty after the scan
+    assert(Warehouse.lookup(spark, wh, 34519L).isEmpty)
+    // the scale contract: the pruned scan reads only the spanning
+    // partition and pushes the pk filter
+    val plan = Warehouse.lookup(spark, wh, 34517L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("src_filename"),
+      s"no partition pruning in the lookup plan:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(cid")),
+      s"pk filter not pushed to the parquet scan:\n$plan")
+  }
+
   test("jdbc sink: Derby round-trip with post-load indexes") {
     val url = "jdbc:derby:memory:graftspec;create=true"
     val compounds = Sdf.compounds(spark, s"$sdfDir/*.sdf")
