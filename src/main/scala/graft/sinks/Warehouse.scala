@@ -75,6 +75,34 @@ object Warehouse {
     else compounds.filter(col("src_filename").isin(files: _*) && col(pk) === cid)
   }
 
+  /** Secondary-index lookup — the reference's OTHER headline query
+    * (WITH_INDEX columns like InChIKey, utils.py:334): no manifest
+    * span exists for a non-pk key, so the index is a BUCKETED
+    * published table ([[publishBucketed]] with `key` = the indexed
+    * column). An equality filter on the bucket column lets Spark's
+    * bucket pruning select ONE bucket's files statically
+    * (SelectedBucketsCount: 1 out of N in the scan), the pushed
+    * filter plus the per-bucket sortBy's row-group stats finish
+    * inside it — at 100 TB the read is corpus/N-buckets, sized by
+    * the bucket count chosen at publish time (thousands at
+    * warehouse scale). Plan-pinned in SinksSpec.
+    *
+    * Spark's autoBucketedScan heuristic only credits bucketing that
+    * AVOIDS A SHUFFLE, so it disables the bucketed scan under a pure
+    * filter — discarding exactly the bucket PRUNING this lookup is
+    * for. The plan is therefore forced (queryExecution.executedPlan
+    * is memoized) inside a scoped conf override; the session conf is
+    * restored before returning. */
+  def lookupIndexed(spark: SparkSession, table: String, key: String,
+                    value: String): DataFrame = {
+    val df = spark.table(table).filter(col(key) === value)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try { df.queryExecution.executedPlan; df }
+    finally spark.conf.set(conf, old)
+  }
+
   /** Manifest rows above which the skip set is no longer collected
     * to the driver: beyond it, pending files come from a distributed
     * anti-join instead (only the PENDING names — bounded by the new

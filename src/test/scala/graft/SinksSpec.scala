@@ -58,6 +58,26 @@ class SinksSpec extends AnyFunSuite {
       s"pk filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("secondary-index lookup: bucket pruning selects one bucket, hit and miss correct") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_ik_spec").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    Warehouse.publishBucketed(spark, wh, "graft_ik_spec_table", buckets = 4, key = "InChIKey")
+    val key = "WATMWPCOBBVOBS-UHFFFAOYSA-N"
+    val hit = Warehouse.lookupIndexed(spark, "graft_ik_spec_table", "InChIKey", key)
+    val rows = hit.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("cid") == 34517L)
+    assert(Warehouse.lookupIndexed(spark, "graft_ik_spec_table", "InChIKey",
+      "NOSUCHKEYAAAAA-UHFFFAOYSA-N").isEmpty)
+    // the scale contract: the scan is bucketed and pruned to ONE of
+    // the 4 buckets — corpus/N read, not a corpus scan
+    val plan = hit.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"bucket pruning did not select one bucket:\n$plan")
+  }
+
   test("jdbc sink: Derby round-trip with post-load indexes") {
     val url = "jdbc:derby:memory:graftspec;create=true"
     val compounds = Sdf.compounds(spark, s"$sdfDir/*.sdf")
