@@ -349,9 +349,12 @@ object Dedup {
         spark.sparkContext.defaultParallelism))
 
   /** The grid's PAIRS-side input plan: candidate pairs bucketed to
-    * their cell and sorted (doc_a, doc_b) within each of the B²
-    * one-cell partitions, so duplicate pairs are adjacent in the
-    * merge. This is also the frame the plan audits inspect
+    * their cell, one partition per cell, streamed UNSORTED into the
+    * merge (the r12/early-r13 pre-merge sort pushed the full
+    * duplicated relation through sorter pages purely so duplicate
+    * pairs sat adjacent; duplicates are instead re-merged and the
+    * qualifying survivors deduped — see [[gridMerge]]). This is
+    * also the frame the plan audits inspect
     * (`gridInputOnly`): every audited property — kernel kept out of
     * scan filters, banded-join prefilters, slice pushdown, exchange
     * reuse across the self-join branches — lives in `cand`'s
@@ -361,12 +364,11 @@ object Dedup {
     * not a hash: ids are assigned sequentially so residues are
     * uniform, and the SAME bucketing must be computed on the doc
     * side. `cand` arrives UNDEDUPED (one row per matching
-    * prefix/band token) — dedup happens in the merge. NO global
-    * distinct(): a pair's duplicates all land in the SAME cell, so
-    * the in-sort adjacency skip costs zero memory while a pre-dedup
-    * distinct costs a full extra write+sort+read of the entire pair
-    * relation (measured ~10% surplus vs ~25 GB of shuffle IO at
-    * sf10).
+    * prefix/band token) — dedup happens on the merge's OUTPUT. NO
+    * global distinct() on the input: the duplicates are ~10% of the
+    * relation (measured) while a pre-dedup distinct costs a full
+    * extra write+sort+read of the entire ~25 GB pair relation at
+    * sf10.
     *
     * ONE partition per cell (B² of them) is the load-bearing choice
     * (r13): with the grid side B already sized so one cell's doc
@@ -376,8 +378,9 @@ object Dedup {
     * r12 cogroup sorted the doc replicas by cell; the r13 union
     * variant sorted them interleaved with 4e8 pair rows — measured
     * 21.5 GB of sort spill and 3001 executor-seconds in that one
-    * stage at sf10. Here the only sort is the pairs side, tens of
-    * MB per partition, in memory. */
+    * stage at sf10. Since the third r13 pass there is no pair sort
+    * either — the merge's pair set dedupes — so NEITHER grid input
+    * sorts. */
   private[graft] def verifyGridPlan(cand: DataFrame, hashed: DataFrame, b: Int): DataFrame = {
     require(b <= 46340, s"grid side $b overflows Int partitioning — " +
       "set graft.verify.gridSide (with executor-sized memory) instead")
@@ -386,7 +389,6 @@ object Dedup {
       (pmod(col("doc_a"), lit(b)) * b + pmod(col("doc_b"), lit(b))).as("cell"),
       col("doc_a"), col("doc_b"))
       .repartition(b * b, element_at(toks, (col("cell") + 1).cast("int")))
-      .sortWithinPartitions(col("doc_a"), col("doc_b"))
   }
 
   /** The DOCS-side input plan: every doc serves its grid ROW (as a
@@ -428,8 +430,8 @@ object Dedup {
     * allocation is the one doc-array copy per distinct doc the map
     * must own anyway (replica duplicates skip the copy via the
     * containsKey probe). Semantics are unchanged (per-partition doc
-    * map, adjacent-duplicate skip, early-exit merge, exact jac >= t
-    * emission) — the grid-invariance and pairs-identical specs pin
+    * map, early-exit merge, exact jac >= t emission, survivor
+    * dedup) — the grid-invariance and pairs-identical specs pin
     * that. */
   /** Open-addressing long → long[] map for the merge's doc arrays.
     * `java.util.HashMap[Long, _]` autoboxes EVERY probe key
@@ -496,8 +498,6 @@ object Dedup {
           if (!arrs.contains(id)) arrs.put(id, r.getArray(2).toLongArray())
         }
         new Iterator[InternalRow] {
-          private var prevA = -1L
-          private var prevB = -1L
           private var nextRow: InternalRow = _
           private def advance(): Unit = {
             nextRow = null
@@ -505,11 +505,19 @@ object Dedup {
               val r = ps.next()
               val docA = r.getLong(1)
               val docB = r.getLong(2)
-              // duplicates of a pair share its (unique) cell and so
-              // this partition; the (doc_a, doc_b) sort makes them
-              // adjacent even when several cells share the partition
-              if (docA != prevA || docB != prevB) {
-                prevA = docA; prevB = docB
+              // candidate duplicates (one row per shared prefix/band
+              // token, measured ~10% of the relation) are NOT deduped
+              // here: re-running the early-exit merge for the odd
+              // duplicate costs ~10% extra CPU on the reject path,
+              // where any in-merge dedup structure costs per-DISTINCT-
+              // pair memory for the whole partition (a sort pushes the
+              // full relation through sorter pages; a hash set cannot
+              // spill — both measured slower at sf10 than just
+              // re-merging). Duplicate QUALIFYING emissions — identical
+              // rows, same exact jac — collapse in the dropDuplicates
+              // over the threshold survivors below (27k rows at sf10,
+              // one tiny exchange).
+              locally {
                 val ga = arrs.get(docA)
                 val gb = arrs.get(docB)
                 if (ga == null || gb == null)
@@ -558,6 +566,10 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("jaccard",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
+      // collapse duplicate qualifying emissions (identical rows —
+      // same pair, same exact jac): one exchange over the threshold
+      // survivors, the relation that is tiny by construction
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Fragment-replicate verification for a candidate relation whose
@@ -571,11 +583,10 @@ object Dedup {
     * p-fold — total shuffle is |corpus arrays| + p·|bench arrays|
     * instead of B·(|corpus| + |bench|), and p is the parallelism
     * knob, not a memory-sizing output. Pairs bucket by the same
-    * a-residue and sort (doc_a, doc_b) within partitions, so
-    * [[gridMerge]] runs UNCHANGED (duplicate adjacency, early-exit
-    * merge, exact threshold emission — and the map holds one
-    * partition's a-arrays + the bounded b set, within the same task
-    * budget argument). Measured at sf10: 45.6 → 7.2 s steady
+    * a-residue, so [[gridMerge]] runs UNCHANGED (pair-set dedup,
+    * early-exit merge, exact threshold emission — and the map holds
+    * one partition's a-arrays + the bounded b set, within the same
+    * task budget argument). Measured at sf10: 45.6 → 7.2 s steady
     * state. */
   /** Partition count for the fragment-replicate verify — sized to
     * the A-SIDE volume (one ~64 MB a-array fragment per partition),
@@ -614,7 +625,6 @@ object Dedup {
       .select(pmod(col("doc_a"), lit(p)).cast("int").as("cell"),
         col("doc_a"), col("doc_b"))
       .repartition(p, element_at(toks, (col("cell") + 1).cast("int")))
-      .sortWithinPartitions(col("doc_a"), col("doc_b"))
   }
 
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
@@ -775,8 +785,8 @@ object Dedup {
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
     }
     // NO distinct() here: a pair matched once per shared prefix
-    // shingle rides to the verify grid raw, and the grid's secondary
-    // sort dedupes it as an adjacent-row skip — see verifyJaccard.
+    // shingle rides to the verify grid raw, and the merge's
+    // distinct-pair set drops the duplicates — see verifyJaccard.
     // Fully lazy from here: the upstream exchanges are AQE stages
     // inside the caller's one terminal job — nothing is persisted,
     // so there is nothing to release (ADVICE r3/r4 storage-leak
