@@ -867,8 +867,67 @@ object Curation {
        |  FROM kept) t
        |WHERE rn <= $SampleQuota ORDER BY lang NULLS LAST, sample_rank""".stripMargin
 
+  /** Leakage-free train/validation split — the dedup-aware split a
+    * pretraining pipeline must make: a plain per-document random
+    * split leaks every near-duplicate pair that straddles it (a val
+    * doc whose near-dup sits in train inflates eval — the
+    * contamination channel Lee et al. 2022 measure), so the side is
+    * assigned per CLUSTER: each doc resolves to its near-dup
+    * component root (singletons to themselves) and the md5
+    * permutation of the ROOT — the library's one engine-reproducible
+    * randomness convention — picks train (9/10) or val (1/10). By
+    * construction no cluster, hence no near-dup pair, spans sides;
+    * CurationSpec pins both properties on the output plus the ratio.
+    *
+    * Plan shape: component labels come from the staged pair list
+    * (pair-graph-sized — the duplicated subset of the corpus, not
+    * the corpus), left-joined onto the doc_id-only documents scan
+    * (pruned: no text column) — one hash join keyed on doc_id, no
+    * skew (roots fan out, they don't concentrate). The md5
+    * arithmetic matches the shard/sampler convention, so a re-run
+    * or a second engine reproduces the split bit-for-bit. */
+  def splitLeakageFree(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.ngramPairsStaged(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("v").as("doc_id"), col("lab").as("root"))
+    val withRoot = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_root"))
+    val prefix = conv(substring(md5(col("cluster_root").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    withRoot
+      .select(col("doc_id"), col("cluster_root"),
+        when(prefix % 10 < 9, "train").otherwise("val").as("side"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val splitLeakageFreeSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |), sym AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), cc(v, lab) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT sym.a, cc.lab FROM cc JOIN sym ON sym.b = cc.v
+       |), roots AS (
+       |  SELECT v AS doc_id, MIN(lab) AS root FROM cc GROUP BY v
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(r.root, d.doc_id) AS cluster_root,
+       |  CASE WHEN ('0x' || substring(
+       |      md5(CAST(COALESCE(r.root, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 10 < 9
+       |    THEN 'train' ELSE 'val' END AS side
+       |FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("curate_pipeline", Some(curatePipelineSql), curatePipeline),
+    GraftQuery("split_leakage_free", Some(splitLeakageFreeSql), splitLeakageFree),
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("dedup_clusters_incremental",
       Some(dedupClustersIncrementalSql), dedupClustersIncremental),

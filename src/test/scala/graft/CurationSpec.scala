@@ -70,6 +70,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size <= full.size)
   }
 
+  test("split_leakage_free: no near-dup pair straddles the split, sides are md5(root), ratio sane") {
+    import org.apache.spark.sql.functions._
+    val split = operators.Curation.splitLeakageFree(spark, dir)
+    val rows = split.collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs, "every document must get a side")
+    // the leakage property, checked on the PAIRS (not just clusters):
+    // both endpoints of every near-dup pair share a side
+    val side = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = operators.Dedup.ngramPairsStaged(spark, dir)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(side(a) == side(b), s"near-dup pair ($a, $b) straddles the split")
+    }
+    // side derives from the cluster root by the shared md5 convention
+    rows.foreach { r =>
+      val root = r.getLong(1)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(root.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val expect = if (java.lang.Long.parseLong(hex, 16) % 10 < 9) "train" else "val"
+      assert(r.getString(2) == expect, s"doc ${r.getLong(0)}: side != md5(root) rule")
+    }
+    // ~90/10: loose band, the point is both sides are populated sanely
+    val nVal = rows.count(_.getString(2) == "val")
+    assert(nVal > nDocs / 50 && nVal < nDocs / 4, s"val fraction off: $nVal of $nDocs")
+  }
+
   test("importance resampling: entry shape, and target near-dups outrank the pool median") {
     val top = Curation.sampleImportance(spark, dir).collect()
     assert(top.length == Curation.ImportanceTarget)
