@@ -976,6 +976,30 @@ object Dedup {
   val MinhashSketchPath: String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "minhash_sketch.parquet"
 
+  /** Where the corpus EXACT-HASH set — distinct md5(text) of every
+    * OLD-corpus document (below the incremental split) — is
+    * persisted, fingerprint-keyed like the sketch table. The exact-
+    * duplication twin of the minhash gate's state: the ingest-time
+    * exact gate is one stream-static anti join against it, ~32 B
+    * per distinct text at warehouse scale. */
+  val CorpusHashPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "corpus_hashes.parquet"
+
+  private val stagedCorpusHashes = new graft.StagedVersion[(String, String)]
+
+  /** Read (building once per corpus version) the persisted old-corpus
+    * exact-hash set for `dir`. */
+  def corpusHashTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedCorpusHashes((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      val docs = Tables.documents(spark, dir)
+      val split = incrementalSplit(docs).getOrElse(Long.MaxValue)
+      docs.filter(col("doc_id") < lit(split))
+        .select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(CorpusHashPath)
+    }
+    spark.read.parquet(CorpusHashPath)
+  }
+
   /** The corpus shingle-rarity count-min sketch, persisted next to
     * the sketch table by the same staging (one corpus pass writes
     * both): the incremental ngram entry reads it instead of paying

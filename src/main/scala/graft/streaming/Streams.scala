@@ -485,11 +485,16 @@ object Streams {
 
   private val stagedStreamDocPairs = new graft.StagedVersion[String]
 
-  def streamDedupDocsStaged(spark: SparkSession, dir: String): DataFrame = {
+  /** Ensure `dir`'s stream-gate pair list is staged (the oracle
+    * convention shared by the pair gate and the curation gate). */
+  private def ensureStreamDocPairsStaged(spark: SparkSession, dir: String): Unit =
     stagedStreamDocPairs(dir) {
       streamDedupDocs(spark, dir)
         .write.mode("overwrite").parquet(StreamDocPairStagePath)
     }
+
+  def streamDedupDocsStaged(spark: SparkSession, dir: String): DataFrame = {
+    ensureStreamDocPairsStaged(spark, dir)
     streamDedupDocs(spark, dir)
   }
 
@@ -501,6 +506,92 @@ object Streams {
   private val streamDedupDocsSql: String =
     graft.operators.Dedup.minhashLshSqlOver(StreamDocPairStagePath,
       "\n  WHERE doc_b >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)")
+
+  // ---- streaming curation gate (curate_pipeline at ingest) ----
+
+  /** The composed INGEST gate — `curate_pipeline`'s admission stages
+    * run continuously on the arriving crawl, as one streaming query:
+    *
+    *  1. quality gates (the fused stats kernel; the defining regexes
+    *     stay the oracle's form) — stateless filter;
+    *  2. exact-duplication gate: stream-static LEFT ANTI join
+    *     against the persisted corpus hash set
+    *     ([[graft.operators.Dedup.corpusHashTable]] — the exact twin
+    *     of the minhash gate's sketch state);
+    *  3. near-duplication gate: the shared scored-pair pipeline
+    *     ([[gateScoredPairs]], corpus side static) flags fresh docs
+    *     with any verified pair. Filtering the fresh side upstream
+    *     cannot change a surviving doc's flags — candidates are
+    *     corpus x fresh only, never fresh x fresh — so stage order
+    *     is sound.
+    *
+    * Emitting "survivors" needs fresh MINUS flagged, which is not a
+    * streamable anti join — instead both branches of the one source
+    * emit per-doc TOKENS (survivor rows flag 0, flagged doc_b rows
+    * flag 1) and a Complete-mode aggregate keeps max(flag) = 0.
+    * State is slice-doc-sized, the substring profile's documented
+    * trade; a continuous deployment watermarks on crawl ingest time.
+    * The nightly batch job (`curate_pipeline`) still owns fresh x
+    * fresh duplication and sampling — the gate is the door, not the
+    * warehouse. Oracle: the batch composition in SQL — quality
+    * regexes, NOT EXISTS against old-corpus hashes, and the staged
+    * pair list RE-SCORED from raw text (the gate-oracle
+    * convention). */
+  def streamCurateGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    graft.functions.GraftFunctions.register(spark)
+    ensureStreamDocPairsStaged(spark, dir)
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val schema = docsBatch.schema
+    val freshAll = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val fresh = Dedup.incrementalSplit(docsBatch)
+      .map(split => freshAll.filter(col("doc_id") >= lit(split)))
+      .getOrElse(freshAll.filter(lit(false)))
+    val st = expr("graft_text_stats(text)")
+    val nChars = length(col("text")).cast("long")
+    val q = fresh.filter(
+      nChars >= lit(Curation.CurateMinChars) && nChars <= lit(Curation.CurateMaxChars) &&
+        element_at(st, 3) / nChars < lit(Curation.CurateMaxPunctRatio) &&
+        element_at(st, 5) / element_at(st, 1) < lit(Curation.CurateMaxMeanWordLen))
+    val afterExact = q.join(Dedup.corpusHashTable(spark, dir),
+      md5(col("text")) === col("h"), "left_anti")
+    val passTok = afterExact.select(col("doc_id"), col("lang"), lit(0).as("flag"))
+    val dupTok = gateScoredPairs(spark, dir, afterExact, carry = Nil)
+      .select(col("doc_b").as("doc_id"),
+        lit(null).cast("string").as("lang"), lit(1).as("flag"))
+    val verdict = passTok.unionByName(dupTok)
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), max(col("flag")).as("dup"))
+    runToMemory(spark, verdict, "graft_stream_curate_gate", OutputMode.Complete())
+      .filter(col("dup") === 0)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val streamCurateGateSql: String = {
+    import graft.operators.{Curation, Dedup}
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents)
+       |    AND length(text) >= ${Curation.CurateMinChars} AND length(text) <= ${Curation.CurateMaxChars}
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) < ${Curation.CurateMaxPunctRatio}
+       |    AND length(regexp_replace(text, '\\s', '', 'g')) / len(regexp_extract_all(text, '\\S+')) < ${Curation.CurateMaxMeanWordLen}
+       |), e AS (
+       |  SELECT doc_id, lang FROM q
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM documents o
+       |    WHERE o.doc_id < (SELECT MAX(doc_id) * 9 // 10 FROM documents)
+       |      AND md5(o.text) = md5(q.text))
+       |), flagged AS (
+       |  SELECT DISTINCT doc_b FROM (
+       |${Dedup.minhashLshSqlOver(StreamDocPairStagePath, "")}
+       |  ) p
+       |)
+       |SELECT lang, doc_id FROM e
+       |WHERE doc_id NOT IN (SELECT doc_b FROM flagged)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- streaming shard router (shard_shuffle's ingest-time twin) ----
 
@@ -696,6 +787,7 @@ object Streams {
     GraftQuery("stream_dedup_docs", Some(streamDedupDocsSql), streamDedupDocsStaged),
     GraftQuery("stream_substring_profile",
       Some(graft.operators.Dedup.dedupSubstringIncrementalSql), streamSubstringProfile),
+    GraftQuery("stream_curate_gate", Some(streamCurateGateSql), streamCurateGate),
     GraftQuery("stream_shard_assign",
       Some(graft.operators.Pack.shardAssignTotalsSql), streamShardAssign),
     GraftQuery("stream_sessionize", Some(streamSessionizeSql), streamSessionize))

@@ -122,6 +122,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming curation gate equals the batch composition over the fresh slice") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, Dedup}
+    graft.functions.GraftFunctions.register(spark)
+    val stream = Streams.streamCurateGate(spark, dir).collect().map(_.toString).toSeq
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).get
+    val st = expr("graft_text_stats(text)")
+    val nChars = length(col("text")).cast("long")
+    val q = docs.filter(col("doc_id") >= lit(split)).filter(
+      nChars >= lit(Curation.CurateMinChars) && nChars <= lit(Curation.CurateMaxChars) &&
+        element_at(st, 3) / nChars < lit(Curation.CurateMaxPunctRatio) &&
+        element_at(st, 5) / element_at(st, 1) < lit(Curation.CurateMaxMeanWordLen))
+    val e = q.join(Dedup.corpusHashTable(spark, dir),
+      md5(col("text")) === col("h"), "left_anti")
+    val flagged = Dedup.dedupMinhashLshIncremental(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val batch = e.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming shard router totals equal the batch shard layout aggregated") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
