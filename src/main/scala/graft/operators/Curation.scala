@@ -925,9 +925,129 @@ object Curation {
        |FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Where the OLD corpus's split sides — (doc_id, side) under
+    * [[splitLeakageFree]]'s rule restricted to old-old pairs — are
+    * persisted, fingerprint-keyed. This is the carried state a
+    * release pipeline must respect: a doc that shipped in val must
+    * not silently move to train next release (the trained model's
+    * eval would quietly become contaminated-by-history). */
+  val SplitSidesPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "split_sides.parquet"
+
+  private val stagedSplitSides = new graft.StagedVersion[(String, String)]
+
+  /** Read (staging once per corpus version) the persisted old-corpus
+    * split sides: component roots over the OLD-OLD pair subgraph
+    * (doc_b below the incremental split implies both endpoints are),
+    * md5(root) side rule, singletons to themselves. */
+  def splitSidesTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedSplitSides((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      val docs = Tables.documents(spark, dir)
+      val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+      val oldLabels = connectedComponents(
+        Dedup.ngramPairsStaged(spark, dir).filter(col("doc_b") < lit(split))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("v").as("doc_id"), col("lab").as("root"))
+      val withRoot = docs.filter(col("doc_id") < lit(split)).select(col("doc_id"))
+        .join(oldLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("r"))
+      val prefix = conv(substring(md5(col("r").cast("string")), 1, 8), 16, 10).cast("long")
+      withRoot
+        .select(col("doc_id"), when(prefix % 10 < 9, "train").otherwise("val").as("side"))
+        .write.mode("overwrite").parquet(SplitSidesPath)
+    }
+    spark.read.parquet(SplitSidesPath)
+  }
+
+  /** STICKY split maintenance for a grown corpus — the release-time
+    * twin of [[splitLeakageFree]]: recomputing md5 sides from
+    * scratch would migrate any old doc whose cluster ROOT moved
+    * (fresh pairs extend clusters downward in min-id), silently
+    * contaminating a model already evaluated on yesterday's val
+    * set. Instead the side is INHERITED: each cluster takes the
+    * persisted side of its minimum OLD member; clusters with no old
+    * member (all-fresh) get the md5(root) rule. Old docs therefore
+    * keep their shipped side with one exception a real pipeline
+    * must surface rather than hide: fresh pairs can MERGE two old
+    * clusters that sat on different sides — the merged cluster
+    * takes the min-old-member's side and the minority members are
+    * emitted with `flipped` = true, the quarantine signal (drop
+    * them from eval, or re-ship: either way it is a human decision,
+    * not a silent migration). Spec pins stickiness, the md5 rule on
+    * all-fresh clusters, the pair property, and a constructed
+    * cross-side merge raising the flag. */
+  def splitLeakageFreeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val old = splitSidesTable(spark, dir)
+    val labels = connectedComponents(
+      Dedup.ngramPairsStaged(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("v").as("doc_id"), col("lab").as("root"))
+    val withRoot = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_root"))
+    stickySides(withRoot, old).orderBy(col("doc_id"))
+  }
+
+  /** The sticky-side core over any (doc_id, cluster_root) frame and
+    * persisted (doc_id, side) table — exposed for the spec's
+    * constructed cross-side-merge case. */
+  private[graft] def stickySides(withRoot: DataFrame, old: DataFrame): DataFrame = {
+    val reps = withRoot.join(old, Seq("doc_id"))
+      .groupBy(col("cluster_root"))
+      .agg(min_by(col("side"), col("doc_id")).as("old_side"))
+    val prefix = conv(substring(md5(col("cluster_root").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    withRoot
+      .join(reps, Seq("cluster_root"), "left")
+      .join(old.withColumnRenamed("side", "prev_side"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_root"),
+        coalesce(col("old_side"),
+          when(prefix % 10 < 9, "train").otherwise("val")).as("side"),
+        col("prev_side"))
+      .select(col("doc_id"), col("cluster_root"), col("side"),
+        (col("prev_side").isNotNull && col("prev_side") =!= col("side")).as("flipped"))
+  }
+
+  private lazy val splitLeakageFreeIncrementalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |), sym AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), cc(v, lab) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT sym.a, cc.lab FROM cc JOIN sym ON sym.b = cc.v
+       |), roots AS (
+       |  SELECT v AS doc_id, MIN(lab) AS root FROM cc GROUP BY v
+       |), wr AS (
+       |  SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS cluster_root
+       |  FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id
+       |), old AS (
+       |  SELECT doc_id, side FROM read_parquet('$SplitSidesPath/*.parquet')
+       |), reps AS (
+       |  SELECT w.cluster_root, min_by(o.side, o.doc_id) AS old_side
+       |  FROM wr w JOIN old o ON w.doc_id = o.doc_id
+       |  GROUP BY w.cluster_root
+       |), sided AS (
+       |  SELECT w.doc_id, w.cluster_root,
+       |    COALESCE(rp.old_side,
+       |      CASE WHEN ('0x' || substring(
+       |          md5(CAST(w.cluster_root AS VARCHAR)), 1, 8))::BIGINT % 10 < 9
+       |        THEN 'train' ELSE 'val' END) AS side
+       |  FROM wr w LEFT JOIN reps rp ON w.cluster_root = rp.cluster_root
+       |)
+       |SELECT s.doc_id, s.cluster_root, s.side,
+       |  (o.side IS NOT NULL AND o.side <> s.side) AS flipped
+       |FROM sided s LEFT JOIN old o ON s.doc_id = o.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("curate_pipeline", Some(curatePipelineSql), curatePipeline),
     GraftQuery("split_leakage_free", Some(splitLeakageFreeSql), splitLeakageFree),
+    GraftQuery("split_leakage_free_incremental",
+      Some(splitLeakageFreeIncrementalSql), splitLeakageFreeIncremental),
     GraftQuery("dedup_clusters", Some(dedupClustersSql), dedupClusters),
     GraftQuery("dedup_clusters_incremental",
       Some(dedupClustersIncrementalSql), dedupClustersIncremental),

@@ -100,6 +100,46 @@ class CurationSpec extends AnyFunSuite {
     assert(nVal > nDocs / 50 && nVal < nDocs / 4, s"val fraction off: $nVal of $nDocs")
   }
 
+  test("sticky split: old sides kept, fresh clusters md5-ruled, cross-side merge flags flipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // entry over the real corpus: no near-dup pair straddles, and
+    // every unflipped old doc keeps its persisted side
+    val inc = operators.Curation.splitLeakageFreeIncremental(spark, dir).collect()
+    val side = inc.map(r => r.getLong(0) -> r.getString(2)).toMap
+    operators.Dedup.ngramPairsStaged(spark, dir).select("doc_a", "doc_b").collect()
+      .foreach { p =>
+        assert(side(p.getLong(0)) == side(p.getLong(1)),
+          s"near-dup pair (${p.getLong(0)}, ${p.getLong(1)}) straddles the sticky split")
+      }
+    val prev = operators.Curation.splitSidesTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    inc.filter(r => prev.contains(r.getLong(0))).foreach { r =>
+      if (!r.getBoolean(3))
+        assert(side(r.getLong(0)) == prev(r.getLong(0)),
+          s"unflipped old doc ${r.getLong(0)} changed side")
+      else assert(side(r.getLong(0)) != prev(r.getLong(0)))
+    }
+    // constructed cross-side merge: clusters {1,2} (train) and
+    // {3,4} (val) merged by a fresh doc 10 into one cluster rooted
+    // at 1 — the cluster takes doc 1's side (min old member) and
+    // docs 3,4 flip; the all-fresh cluster {20} follows md5(20)
+    val withRoot = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 1L), (20L, 20L))
+      .toDF("doc_id", "cluster_root")
+    val old = Seq((1L, "train"), (2L, "train"), (3L, "val"), (4L, "val"))
+      .toDF("doc_id", "side")
+    val out = operators.Curation.stickySides(withRoot, old).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ("train", false) && out(2L) == ("train", false))
+    assert(out(3L) == ("train", true) && out(4L) == ("train", true),
+      s"cross-side merge must flip the minority members: $out")
+    assert(out(10L) == ("train", false), "fresh doc joins the merged cluster's side")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("20".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+    val expect20 = if (java.lang.Long.parseLong(hex, 16) % 10 < 9) "train" else "val"
+    assert(out(20L) == (expect20, false), "all-fresh cluster must follow the md5 rule")
+  }
+
   test("importance resampling: entry shape, and target near-dups outrank the pool median") {
     val top = Curation.sampleImportance(spark, dir).collect()
     assert(top.length == Curation.ImportanceTarget)
