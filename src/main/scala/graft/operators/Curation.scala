@@ -498,6 +498,13 @@ object Curation {
     // which cost more than the reuse saves (the barrier writes the
     // full term-level relation; reuse just re-reads shuffle output)
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tfidfFrom(tf, docs)
+  }
+
+  /** The scoring core over any (doc_id, term, tf) relation — shared
+    * by the full and incremental entries so their outputs are
+    * identical by construction. */
+  private def tfidfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -508,6 +515,48 @@ object Curation {
       .filter(col("term_rank") <= TfidfTopK)
       .select(col("doc_id"), col("term"), col("score"), col("term_rank"))
       .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  /** Where the OLD corpus's per-doc term counts — (doc_id, term, tf)
+    * — are persisted, fingerprint-keyed. Term counts over DISJOINT
+    * doc sets are ADDITIVE, which is what makes tf/idf exactly
+    * incrementalizable: the fresh slice's counts union with the
+    * persisted table and every downstream number (df, n_docs,
+    * scores, ranks) is identical to the full recompute. */
+  val TfidfStatePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "tfidf_tf.parquet"
+
+  private val stagedTfidf = new graft.StagedVersion[(String, String)]
+
+  /** Read (staging once per corpus version) the persisted old-corpus
+    * (doc_id, term, tf) table. */
+  def tfidfStateTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedTfidf((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      val docs = Tables.documents(spark, dir)
+      val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+      TextOps.whitespaceTokens(docs.filter(col("doc_id") < lit(split)))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(TfidfStatePath)
+    }
+    spark.read.parquet(TfidfStatePath)
+  }
+
+  /** Steady-state tf-idf for a grown corpus: the expensive half —
+    * tokenizing text — runs only on the fresh slice behind a pushed
+    * scan predicate; old docs contribute their persisted (doc_id,
+    * term, tf) rows (metadata-sized, no text). Document frequency
+    * and n_docs recompute over the merged COUNT relation (term-level
+    * rows, not text), so every score and rank equals the full
+    * entry's — same oracle SQL, spec-pinned row-for-row. The
+    * pattern is the shard-measure one: counts over disjoint doc
+    * sets are additive, so incrementality is exact, not
+    * approximate. */
+  def tfidfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val freshTf = TextOps.whitespaceTokens(docs.filter(col("doc_id") >= lit(split)))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tfidfFrom(tfidfStateTable(spark, dir).unionByName(freshTf), docs)
   }
 
   private val tfidfTopTermsSql: String =
@@ -1055,5 +1104,9 @@ object Curation {
     GraftQuery("sample_mixture", Some(sampleMixtureSql), sampleMixture),
     GraftQuery("sample_importance", Some(sampleImportanceSql), sampleImportance),
     GraftQuery("tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
+    // identical output (and oracle) to the full operator BY DESIGN —
+    // what differs is the plan: persisted term counts for old docs,
+    // tokenization only over the pushed fresh-slice scan
+    GraftQuery("tfidf_incremental", Some(tfidfTopTermsSql), tfidfIncremental),
     GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
 }

@@ -247,6 +247,15 @@ class CurationSpec extends AnyFunSuite {
     assert(perLang.values.forall(_ == Curation.SampleQuota), perLang.toString)
   }
 
+  test("tfidf_incremental equals the full recompute row-for-row") {
+    val full = operators.Curation.tfidfTopTerms(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inc = operators.Curation.tfidfIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == full)
+  }
+
   test("tfidf: ubiquitous terms never outrank document-specific ones") {
     import spark.implicits._
     val docs = Seq(

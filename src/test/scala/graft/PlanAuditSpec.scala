@@ -529,6 +529,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
+  test("tfidf_incremental: tokenization only over the pushed fresh slice, counts from parquet") {
+    val plan = formatted(operators.Curation.tfidfIncremental(spark, dir))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"slice restriction not pushed to the documents scan:\n$plan")
+    assert(plan.contains("tfidf_tf"),
+      s"old-doc counts must come from the persisted table:\n$plan")
+    // EVERY text-reading documents scan carries the pushed slice
+    // predicate — tokenization never touches old docs' text. (The
+    // tf subtree prints twice in the static plan — df agg + score
+    // join — and collapses to one execution via AQE exchange reuse,
+    // same as the full entry; so pin the predicate on each scan
+    // rather than the scan count.)
+    val scanBlocks = plan.split("\\(\\d+\\) Scan parquet ").toSeq.tail
+    val textScans = scanBlocks.filter(b =>
+      b.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")))
+    assert(textScans.nonEmpty)
+    textScans.foreach { b =>
+      assert(b.contains("GreaterThanOrEqual(doc_id"),
+        s"a text scan without the slice predicate (old text being tokenized?):\n$b")
+    }
+  }
+
   test("shard_shuffle_bpe: same two-exchange layout plan with the BPE kernel below the window") {
     val plan = formatted(operators.Pack.shardShuffleBpe(spark, dir))
     val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
