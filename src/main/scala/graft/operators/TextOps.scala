@@ -405,7 +405,6 @@ object TextOps {
     * skew-join split covers the residual head terms at cluster
     * scale. */
   def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val docs = Tables.documents(spark, dir)
     val p = docs.sparkSession.sparkContext.defaultParallelism
     // tf is the FIRST share point: the vocabulary aggregate and the
@@ -419,6 +418,33 @@ object TextOps {
     val tf = whitespaceTokens(docs)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .repartition(p)
+    unigramLmFrom(tf)
+  }
+
+  /** Steady-state corpus-LM scoring for a grown corpus: the SAME
+    * persisted (doc_id, term, tf) state table the incremental tf-idf
+    * reads ([[Curation.tfidfStateTable]] — one count table serves
+    * every term-statistics consumer), unioned with the fresh slice's
+    * counts (tokenize behind the pushed predicate), through the
+    * identical scoring core. Counts over disjoint doc sets are
+    * additive, so cf/df/moments — and every emitted number — equal
+    * the full recompute (same oracle; spec-pinned row-for-row). */
+  def textUnigramLmIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val split = graft.operators.Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val freshTf = whitespaceTokens(docs.filter(col("doc_id") >= lit(split)))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = graft.operators.Curation.tfidfStateTable(spark, dir)
+      .unionByName(freshTf)
+      .repartition(p)
+    unigramLmFrom(tf)
+  }
+
+  /** The scoring core over any (doc_id, term, tf) relation — shared
+    * by the full and incremental entries. */
+  private def unigramLmFrom(tf: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val cf = tf.groupBy(col("term"))
       .agg(sum(col("tf")).as("cf"), count(col("doc_id")).as("df"))
     val perDoc = tf.join(cf, "term")
@@ -433,7 +459,7 @@ object TextOps {
       // upstream hash(doc_id) partitioning, so a by-col repartition
       // here is elided as redundant and the share point vanishes
       // (the sharedShingleArrays trap)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(tf.sparkSession.sparkContext.defaultParallelism)
     // This aggregate references EVERY per-doc column (n_docs counts
     // doc_id; the two df moments use sum_df) ON PURPOSE: exchange
     // reuse compares canonicalized subtrees, and a moments branch
@@ -494,6 +520,10 @@ object TextOps {
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("text_unigram_lm", Some(textUnigramLmSql), textUnigramLm),
+    // identical output (and oracle) to the full operator BY DESIGN —
+    // old docs' counts come from the shared persisted term-count
+    // table; only the fresh slice tokenizes
+    GraftQuery("unigram_lm_incremental", Some(textUnigramLmSql), textUnigramLmIncremental),
     GraftQuery("text_repetition", Some(textRepetitionSql), textRepetition),
     GraftQuery("text_ngram_freq", Some(textNgramFreqSql), textNgramFreq),
     GraftQuery("text_tokens", Some(textTokensSql), textTokens),

@@ -206,6 +206,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where the pii kernel diverges from the regexes")
   }
 
+  test("unigram_lm_incremental equals the full recompute row-for-row") {
+    val full = operators.TextOps.textUnigramLm(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inc = operators.TextOps.textUnigramLmIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == full)
+  }
+
   test("graft_pii_redact equals the chained regexp_replace (corpus + backtracking edges)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
