@@ -261,6 +261,35 @@ class TextOpsSpec extends AnyFunSuite {
       s"diverging inputs: ${bad.take(5).map(_.getString(0)).mkString(" | ")}")
   }
 
+  test("pii redact unicode fuzz: astral code points interleaved with pattern fragments") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // non-ASCII (incl. astral, i.e. surrogate-pair) code points can
+    // only break matches, never form them — but they sit BETWEEN
+    // fragments, so off-by-one in UTF-16 indexing would misalign the
+    // anchored matchers against java.util.regex
+    val frags = Array("a@b.cd", "http://x", "123-456-7890", "@", ".", "-",
+      "http", "://", "cd", "9", " ")
+    val exotic = Array("é", "中", "😀", "𝒜", "́")
+    val rnd = new scala.util.Random(9001)
+    val strs = (1 to 2000).map { _ =>
+      (1 to (1 + rnd.nextInt(12))).map { _ =>
+        if (rnd.nextBoolean()) frags(rnd.nextInt(frags.length))
+        else exotic(rnd.nextInt(exotic.length))
+      }.mkString
+    }
+    def chain(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"), lit("[EMAIL]")),
+        lit("https?://[A-Za-z0-9./_%#?&=-]+"), lit("[URL]")),
+        lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"), lit("[PHONE]"))
+    val bad = strs.toDF("text")
+      .filter(expr("graft_pii_redact(text)") =!= chain(col("text")))
+      .select(col("text")).collect()
+    assert(bad.isEmpty,
+      s"unicode divergence: ${bad.take(5).map(_.getString(0)).mkString(" | ")}")
+  }
+
   test("pii kernel fuzz: random strings over a pattern-dense alphabet match Java find counts") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
