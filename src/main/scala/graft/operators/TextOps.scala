@@ -289,6 +289,53 @@ object TextOps {
       .limit(20)
   }
 
+  /** Where the OLD corpus's bigram counts — (bigram, freq) — are
+    * persisted, fingerprint-keyed. Bigrams are intra-document
+    * (graft_word_bigrams never crosses doc boundaries), so counts
+    * over disjoint doc sets are additive — the tfidf/unigram-LM
+    * incrementality argument applied to the n-gram census. */
+  val NgramFreqStatePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "ngram_freq.parquet"
+
+  private val stagedNgramFreq = new graft.StagedVersion[(String, String)]
+
+  /** Read (staging once per corpus version) the persisted old-corpus
+    * bigram counts. */
+  def ngramFreqStateTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedNgramFreq((dir, graft.Tables.fingerprint(spark, dir, "documents"))) {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.documents(spark, dir)
+      val split = graft.operators.Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+      docs.filter(col("doc_id") < lit(split))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(expr("graft_word_bigrams(text)")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+        .write.mode("overwrite").parquet(NgramFreqStatePath)
+    }
+    spark.read.parquet(NgramFreqStatePath)
+  }
+
+  /** Steady-state n-gram census for a grown corpus: old docs'
+    * bigram counts come from the persisted table (metadata-sized —
+    * the distinct-bigram relation, no text), only the fresh slice
+    * runs the kernel behind a pushed scan predicate, and the two
+    * count sets SUM by key before the top-k. Additive counts make
+    * the incrementality exact — identical output, same oracle,
+    * spec-pinned. */
+  def textNgramFreqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val split = graft.operators.Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val fresh = docs.filter(col("doc_id") >= lit(split))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(expr("graft_word_bigrams(text)")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+    ngramFreqStateTable(spark, dir).unionByName(fresh)
+      .groupBy(col("bigram")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+  }
+
   private lazy val textNgramFreqSql: String =
     """WITH w AS (
       |  SELECT string_split(text, ' ') AS ws FROM documents
@@ -526,6 +573,9 @@ object TextOps {
     GraftQuery("unigram_lm_incremental", Some(textUnigramLmSql), textUnigramLmIncremental),
     GraftQuery("text_repetition", Some(textRepetitionSql), textRepetition),
     GraftQuery("text_ngram_freq", Some(textNgramFreqSql), textNgramFreq),
+    // identical output (and oracle) to the full operator BY DESIGN —
+    // persisted bigram counts for old docs, kernel only on the fresh slice
+    GraftQuery("ngram_freq_incremental", Some(textNgramFreqSql), textNgramFreqIncremental),
     GraftQuery("text_tokens", Some(textTokensSql), textTokens),
     GraftQuery("text_quality", Some(textQualitySql), textQuality),
     GraftQuery("text_langid", Some(textLangidSql), textLangid),

@@ -206,6 +206,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows where the pii kernel diverges from the regexes")
   }
 
+  test("ngram_freq_incremental equals the full recompute row-for-row") {
+    val full = operators.TextOps.textNgramFreq(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inc = operators.TextOps.textNgramFreqIncremental(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == full)
+  }
+
   test("unigram_lm_incremental equals the full recompute row-for-row") {
     val full = operators.TextOps.textUnigramLm(spark, dir)
       .collect().map(_.toString).toSeq
