@@ -529,6 +529,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
+  test("split_leakage_free: doc side reads doc_id only — labels carry the text cost") {
+    val plan = formatted(operators.Curation.splitLeakageFree(spark, dir))
+    // the documents scan must prune to doc_id: cluster labels come
+    // from the staged pair list, never from re-reading text here
+    val scanBlocks = plan.split("\\(\\d+\\) Scan parquet ").toSeq.tail
+    val docScans = scanBlocks.filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    docScans.foreach { b =>
+      val rs = b.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(rs.contains("doc_id") && !rs.contains("text"),
+        s"split's documents scan is not pruned to doc_id: $rs")
+    }
+  }
+
   test("tfidf_incremental: tokenization only over the pushed fresh slice, counts from parquet") {
     val plan = formatted(operators.Curation.tfidfIncremental(spark, dir))
     assert(plan.linesIterator.exists(l =>
