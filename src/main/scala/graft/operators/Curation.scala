@@ -541,6 +541,63 @@ object Curation {
     spark.read.parquet(TfidfStatePath)
   }
 
+  /** Corpus DRIFT monitor — the release-gating signal a pipeline
+    * checks before shipping a grown corpus: which terms' rates moved
+    * most between the old corpus and the fresh slice (a crawl that
+    * suddenly over-represents a term usually means a scraper broke,
+    * a spam campaign landed, or a source flipped language). Old
+    * totals come from the persisted term-count table (the fourth
+    * consumer of the ONE shared state — tfidf, unigram-LM, and the
+    * census read it too); the fresh slice tokenizes behind the
+    * pushed predicate. Rates are long/long IEEE divisions and one
+    * subtraction — deterministic in both engines — rounded at
+    * presentation; top-k by |drift| with a term tie-break. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val old = tfidfStateTable(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("old_n"))
+    val fresh = TextOps.whitespaceTokens(docs.filter(col("doc_id") >= lit(split)))
+      .groupBy(col("term")).agg(count(lit(1)).as("fresh_n"))
+    val joined = old.join(fresh, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("fresh_n"), lit(0L)).as("fresh_n"))
+    val tot = joined.agg(sum(col("old_n")).as("t_old"), sum(col("fresh_n")).as("t_fresh"))
+    val drift = round(
+      col("fresh_n").cast("double") / col("t_fresh").cast("double") -
+        col("old_n").cast("double") / col("t_old").cast("double"), 9)
+    joined.crossJoin(broadcast(tot))
+      .select(col("term"), col("old_n"), col("fresh_n"), drift.as("drift"))
+      .orderBy(abs(col("drift")).desc, col("term"))
+      .limit(20)
+  }
+
+  private lazy val corpusDriftSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents
+       |), o AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS old_n FROM words
+       |  WHERE doc_id < (SELECT MAX(doc_id) * 9 // 10 FROM documents) GROUP BY term
+       |), f AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS fresh_n FROM words
+       |  WHERE doc_id >= (SELECT MAX(doc_id) * 9 // 10 FROM documents) GROUP BY term
+       |), j AS (
+       |  SELECT COALESCE(o.term, f.term) AS term,
+       |    COALESCE(o.old_n, 0) AS old_n, COALESCE(f.fresh_n, 0) AS fresh_n
+       |  FROM o FULL OUTER JOIN f ON o.term = f.term
+       |), t AS (
+       |  SELECT CAST(SUM(old_n) AS BIGINT) AS t_old,
+       |         CAST(SUM(fresh_n) AS BIGINT) AS t_fresh FROM j
+       |)
+       |SELECT term, old_n, fresh_n,
+       |  round(CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE)
+       |      - CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE), 9) AS drift
+       |FROM j, t
+       |ORDER BY abs(round(CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE)
+       |      - CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE), 9)) DESC, term
+       |LIMIT 20""".stripMargin
+
   /** Steady-state tf-idf for a grown corpus: the expensive half —
     * tokenizing text — runs only on the fresh slice behind a pushed
     * scan predicate; old docs contribute their persisted (doc_id,
@@ -1108,5 +1165,6 @@ object Curation {
     // what differs is the plan: persisted term counts for old docs,
     // tokenization only over the pushed fresh-slice scan
     GraftQuery("tfidf_incremental", Some(tfidfTopTermsSql), tfidfIncremental),
+    GraftQuery("corpus_drift", Some(corpusDriftSql), corpusDrift),
     GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
 }

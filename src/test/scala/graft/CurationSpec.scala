@@ -247,6 +247,27 @@ class CurationSpec extends AnyFunSuite {
     assert(perLang.values.forall(_ == Curation.SampleQuota), perLang.toString)
   }
 
+  test("corpus_drift: rates sum consistently and a planted skew term tops the ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // entry over the real corpus: sane shape
+    val rows = operators.Curation.corpusDrift(spark, dir).collect()
+    assert(rows.length == 20)
+    val drifts = rows.map(_.getDouble(3))
+    assert(drifts.map(math.abs).sliding(2).forall(p => p.head >= p.last),
+      "not ordered by |drift| desc")
+    // constructed corpus: fresh slice floods one term — it must rank first
+    val docs = ((0L to 8L).map(i => (i, "alpha beta gamma")) :+
+      (10000L, "zzzflood zzzflood zzzflood zzzflood alpha")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.Curation.corpusDrift(spark, tmp).collect()
+    assert(out.head.getString(0) == "zzzflood",
+      s"planted flood term not ranked first: ${out.take(3).mkString(", ")}")
+    assert(out.head.getLong(1) == 0L && out.head.getLong(2) == 4L)
+    assert(out.head.getDouble(3) == 0.8, s"flood drift: ${out.head.getDouble(3)}")
+  }
+
   test("tfidf_incremental equals the full recompute row-for-row") {
     val full = operators.Curation.tfidfTopTerms(spark, dir)
       .collect().map(_.toString).toSeq
