@@ -593,6 +593,49 @@ object Streams {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** BOUNDED-STATE continuous-deployment form of [[streamCurateGate]]
+    * (completing the gate-family symmetry: the pair gate and the
+    * profile gate each have their watermarked variant; this is the
+    * composed gate's). `fresh` carries `ingest_ts`; the watermark
+    * bounds BOTH stateful stages:
+    *
+    *  1. `dropDuplicatesWithinWatermark(doc_id)` collapses in-window
+    *     duplicate arrivals of a doc before any scoring work;
+    *  2. the flag-token aggregate groups on a 1-minute
+    *     `window(ingest_ts)` bucket alongside doc_id — the supported
+    *     dedup→windowed-agg chain — so Append mode emits each doc's
+    *     verdict once its bucket falls behind the watermark, then
+    *     evicts the group.
+    *
+    * The quality/exact stages are stateless and the near-dup branch
+    * is stream-static, so state is exactly the two bounded stores.
+    * Emits ADMITTED docs only (dup flag 0), the gate's decision.
+    * Post-eviction on-time re-arrival re-admits (the documented
+    * re-emit trade); behind-watermark re-arrival drops. */
+  def streamCurateGateBounded(spark: SparkSession, dir: String,
+                              fresh: DataFrame, delay: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    graft.functions.GraftFunctions.register(spark)
+    val marked = fresh.withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("doc_id")
+    val st = expr("graft_text_stats(text)")
+    val nChars = length(col("text")).cast("long")
+    val q = marked.filter(
+      nChars >= lit(Curation.CurateMinChars) && nChars <= lit(Curation.CurateMaxChars) &&
+        element_at(st, 3) / nChars < lit(Curation.CurateMaxPunctRatio) &&
+        element_at(st, 5) / element_at(st, 1) < lit(Curation.CurateMaxMeanWordLen))
+    val afterExact = q.join(Dedup.corpusHashTable(spark, dir),
+      md5(col("text")) === col("h"), "left_anti")
+    val passTok = afterExact.select(col("doc_id"), col("ingest_ts"), lit(0).as("flag"))
+    val dupTok = gateScoredPairs(spark, dir, afterExact, carry = Seq("ingest_ts"))
+      .select(col("doc_b").as("doc_id"), col("ingest_ts"), lit(1).as("flag"))
+    passTok.unionByName(dupTok)
+      .groupBy(col("doc_id"), window(col("ingest_ts"), "1 minute"))
+      .agg(max(col("flag")).as("dup"))
+      .filter(col("dup") === 0)
+      .select(col("doc_id"))
+  }
+
   // ---- streaming shard router (shard_shuffle's ingest-time twin) ----
 
   /** Continuous shard placement for arriving documents — the

@@ -146,6 +146,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("bounded curate gate: admit/deny verdicts, in-window collapse, eviction re-admit, late drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // a corpus near-duplicate (must be DENIED) and a unique
+    // quality-passing doc (must be ADMITTED)
+    val dupText = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    val okText = (1 to 40).map(i => s"unique$i word").mkString(" ")
+    val okId = 30_000_000L
+    val dupId = 30_000_001L
+    val shortId = 30_000_002L
+    val base = 1700000000L * 1000000
+    val min = 60L * 1000000
+    val ms = MemoryStream[(Long, String, Long)]
+    val fresh = ms.toDS().toDF("doc_id", "text", "iUs")
+      .withColumn("ingest_ts", timestamp_micros(col("iUs")))
+      .select(col("doc_id"), col("text"), col("ingest_ts"))
+    val gate = Streams.streamCurateGateBounded(spark, dir, fresh, "10 minutes")
+    val q = gate.writeStream.format("memory").queryName("graft_curate_bounded_test")
+      .outputMode(OutputMode.Append()).start()
+    def admitted(id: Long): Int = spark.table("graft_curate_bounded_test")
+      .filter(col("doc_id") === id).count().toInt
+    try {
+      // ok doc arrives twice IN-window; dup-of-corpus and a
+      // quality-failing short doc arrive once each
+      ms.addData((okId, okText, base)); q.processAllAvailable()
+      ms.addData((okId, okText, base + min)); q.processAllAvailable()
+      ms.addData((dupId, dupText, base), (shortId, "tiny", base)); q.processAllAvailable()
+      // advance the watermark far past base + delay to flush buckets
+      ms.addData((okId + 5, "x".repeat(150), base + 120 * min)); q.processAllAvailable()
+      assert(admitted(okId) == 1,
+        s"unique quality doc must be admitted exactly once, got ${admitted(okId)}")
+      assert(admitted(dupId) == 0, "corpus near-duplicate leaked through the gate")
+      assert(admitted(shortId) == 0, "quality-failing doc leaked through the gate")
+      // post-eviction on-time re-arrival → re-admitted (state left)
+      ms.addData((okId, okText, base + 121 * min)); q.processAllAvailable()
+      ms.addData((okId + 6, "y".repeat(150), base + 240 * min)); q.processAllAvailable()
+      assert(admitted(okId) == 2,
+        s"post-eviction re-arrival not re-admitted: ${admitted(okId)}")
+      // behind-watermark late re-arrival → dropped
+      ms.addData((okId, okText, base + min)); q.processAllAvailable()
+      ms.addData((okId + 7, "z".repeat(150), base + 360 * min)); q.processAllAvailable()
+      assert(admitted(okId) == 2, "behind-watermark row leaked through")
+    } finally q.stop()
+  }
+
   test("streaming shard router totals equal the batch shard layout aggregated") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
