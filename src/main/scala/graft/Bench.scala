@@ -77,7 +77,11 @@ object Bench {
     // (`parsed: null` — the suite total and 11 entries were lost).
     // 3 decimals is far below run-to-run noise and keeps the whole
     // line ~2.5 KB, inside any log-tail window.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator formats with the JVM default
+    // locale, and a comma-decimal locale (de_DE) would emit invalid
+    // JSON ("value":1,234) — ADVICE r13.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -99,12 +103,20 @@ object Bench {
     // Belt-and-braces against tail truncation (BENCH_r12 lesson): the
     // same JSON also lands in a file no log window can clip. The path
     // goes to stderr so stdout's last line stays the metrics line.
-    try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] json also written to $out")
-    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // Two copies: the env-pointed scratch file, plus a repo-side
+    // BENCH_full_latest.json (cwd is the repo root under sbt/driver
+    // runs) — the driver's BENCH_r{N}.json capture truncates the
+    // tail at ~2000 chars, hiding the alphabetically-first entries
+    // (VERDICT r13 item 8); the repo copy survives for review.
+    for (out <- Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      "BENCH_full_latest.json")) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] json also written to $out")
+      } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($out): ${e.getMessage}") }
+    }
     println(line)
     System.out.flush()
   }

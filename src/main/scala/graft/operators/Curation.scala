@@ -564,9 +564,13 @@ object Curation {
         coalesce(col("old_n"), lit(0L)).as("old_n"),
         coalesce(col("fresh_n"), lit(0L)).as("fresh_n"))
     val tot = joined.agg(sum(col("old_n")).as("t_old"), sum(col("fresh_n")).as("t_fresh"))
-    val drift = round(
-      col("fresh_n").cast("double") / col("t_fresh").cast("double") -
-        col("old_n").cast("double") / col("t_old").cast("double"), 9)
+    // A degenerate corpus (no docs below the split, or no fresh
+    // slice) makes one total 0 — guard each rate term so drift stays
+    // a number with a pinned ordering instead of NaN (ADVICE r13);
+    // the oracle mirrors the CASE.
+    def rate(n: String, t: String) = when(col(t) > 0,
+      col(n).cast("double") / col(t).cast("double")).otherwise(lit(0.0))
+    val drift = round(rate("fresh_n", "t_fresh") - rate("old_n", "t_old"), 9)
     joined.crossJoin(broadcast(tot))
       .select(col("term"), col("old_n"), col("fresh_n"), drift.as("drift"))
       .orderBy(abs(col("drift")).desc, col("term"))
@@ -591,11 +595,11 @@ object Curation {
        |         CAST(SUM(fresh_n) AS BIGINT) AS t_fresh FROM j
        |)
        |SELECT term, old_n, fresh_n,
-       |  round(CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE)
-       |      - CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE), 9) AS drift
+       |  round(CASE WHEN t_fresh > 0 THEN CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE) ELSE 0 END
+       |      - CASE WHEN t_old > 0 THEN CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE) ELSE 0 END, 9) AS drift
        |FROM j, t
-       |ORDER BY abs(round(CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE)
-       |      - CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE), 9)) DESC, term
+       |ORDER BY abs(round(CASE WHEN t_fresh > 0 THEN CAST(fresh_n AS DOUBLE) / CAST(t_fresh AS DOUBLE) ELSE 0 END
+       |      - CASE WHEN t_old > 0 THEN CAST(old_n AS DOUBLE) / CAST(t_old AS DOUBLE) ELSE 0 END, 9)) DESC, term
        |LIMIT 20""".stripMargin
 
   /** Steady-state tf-idf for a grown corpus: the expensive half —

@@ -276,9 +276,9 @@ object Dedup {
     * the smallest non-negative int whose Spark HashPartitioning
     * bucket over b² partitions is exactly c. Both grid inputs route
     * rows through `element_at(tokens, cell + 1)` so partition index
-    * == cell — EXACTLY one cell map per task (the /3 memory budget
-    * in [[gridSideFor]] is sized to that; hash-colliding cells would
-    * stack maps). Driver-side cost is ~b² ln b² murmur evaluations
+    * == cell — EXACTLY one cell map per task (the per-task memory
+    * budget in [[gridSideFor]] is sized to that; hash-colliding
+    * cells would stack maps). Driver-side cost is ~b² ln b² murmur evaluations
     * (the coupon-collector walk), microseconds at any sane B. The
     * seed-42 murmur3-of-int contract is pinned by a spec against
     * Spark's own hash(). */
@@ -487,8 +487,32 @@ object Dedup {
 
   private def gridMerge(pairsPlan: DataFrame, docsPlan: DataFrame): DataFrame = {
     val spark = pairsPlan.sparkSession
-    val out = pairsPlan.queryExecution.toRdd
-      .zipPartitions(docsPlan.queryExecution.toRdd) { (ps, ds) =>
+    val pRdd = pairsPlan.queryExecution.toRdd
+    val dRdd = docsPlan.queryExecution.toRdd
+    // AQE's empty-relation propagation can collapse a runtime-empty
+    // input through its RepartitionByExpression into a 0/1-partition
+    // local scan, breaking zipPartitions' equal-partition-count
+    // contract (ADVICE r13). An empty CANDIDATE set is a normal
+    // case — decontaminate_fuzzy over a clean corpus, any dedup
+    // entry over a duplicate-free one — and an empty pairs side
+    // means an empty result by definition, so short-circuit. A
+    // count mismatch with a NON-empty pairs side would be a real
+    // plan invariant violation; fail loudly. (Spec-pinned on a
+    // shared-shingle-free corpus in DedupSpec. On 4.1.2 the collapse
+    // did NOT reproduce — the explicit-count RepartitionByExpression
+    // held its b² partitions on runtime-empty and even plan-empty
+    // children — so this is a defensive contract check, free on the
+    // normal path: two partition-count reads, isEmpty only on
+    // mismatch.)
+    if (pRdd.getNumPartitions != dRdd.getNumPartitions) {
+      if (!pRdd.isEmpty())
+        throw new IllegalStateException(
+          s"verify grid: pairs/docs partition counts diverged " +
+            s"(${pRdd.getNumPartitions} vs ${dRdd.getNumPartitions}) on a non-empty candidate set")
+      return emptyPairsResult(spark)
+    }
+    val out = pRdd
+      .zipPartitions(dRdd) { (ps, ds) =>
         val arrs = new LongToArrayMap(1 << 12)
         while (ds.hasNext) {
           val r = ds.next()
@@ -559,18 +583,24 @@ object Dedup {
         }
       }
     org.apache.spark.sql.graftbridge.DatasetBridge.internalCreateDataFrame(
-      spark, out, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_a",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("doc_b",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("jaccard",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      spark, out, mergedPairsSchema)
       // collapse duplicate qualifying emissions (identical rows —
       // same pair, same exact jac): one exchange over the threshold
       // survivors, the relation that is tiny by construction
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  private val mergedPairsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_b",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jaccard",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def emptyPairsResult(spark: SparkSession): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge.internalCreateDataFrame(
+      spark, spark.sparkContext.emptyRDD[InternalRow], mergedPairsSchema)
 
   /** Fragment-replicate verification for a candidate relation whose
     * b side is BOUNDED (decontaminate_fuzzy: eval suites are MBs).

@@ -63,15 +63,29 @@ object Warehouse {
     * plus parquet row-group stats finish inside them. At 100 TB the
     * data touched is O(one partition), not O(corpus); plan-pinned
     * (partition filters present, pk pushed). */
+  /** Span-matching files above which the lookup stops inlining the
+    * prune set as an `isin` literal: on a healthy warehouse the
+    * per-file [lowest, highest] spans barely overlap and a pk
+    * matches O(1) files, but a pathologically interleaved ingest
+    * history could match the whole manifest — collecting millions of
+    * names to build a million-term predicate would hurt both driver
+    * memory and planning. Past the cap the lookup falls back to the
+    * pushed pk filter alone (row-group stats still skip most of the
+    * corpus); the static partition prune is an optimization, never a
+    * correctness dependency. */
+  val MaxLookupPruneFiles = 10000
+
   def lookup(spark: SparkSession, warehouseDir: String, cid: Long,
              layout: LayoutSpec = LayoutSpec.default): DataFrame = {
     val pk = layout.columns.find(_.primaryKey).map(_.name)
       .getOrElse(layout.columns.head.name)
     val files = manifest(spark, warehouseDir)
       .filter(col("lowest_cid") <= cid && col("highest_cid") >= cid)
-      .select("filename").collect().map(_.getString(0)).toSeq
+      .select("filename").limit(MaxLookupPruneFiles + 1)
+      .collect().map(_.getString(0)).toSeq
     val compounds = spark.read.parquet(compoundsDir(warehouseDir))
     if (files.isEmpty) compounds.filter(lit(false))
+    else if (files.length > MaxLookupPruneFiles) compounds.filter(col(pk) === cid)
     else compounds.filter(col("src_filename").isin(files: _*) && col(pk) === cid)
   }
 
@@ -91,16 +105,21 @@ object Warehouse {
     * AVOIDS A SHUFFLE, so it disables the bucketed scan under a pure
     * filter — discarding exactly the bucket PRUNING this lookup is
     * for. The plan is therefore forced (queryExecution.executedPlan
-    * is memoized) inside a scoped conf override; the session conf is
-    * restored before returning. */
+    * is memoized) under a THREAD-LOCAL conf override
+    * ([[org.apache.spark.sql.graftbridge.ConfBridge]]): planner
+    * rules read `SQLConf.get`, which consults the thread-local
+    * first, so concurrent planning on the same session never
+    * observes the flipped value (ADVICE r13 — the previous
+    * set/restore on the shared session conf was racy and re-wrote
+    * an explicit value even when the conf had been unset). */
   def lookupIndexed(spark: SparkSession, table: String, key: String,
                     value: String): DataFrame = {
     val df = spark.table(table).filter(col(key) === value)
-    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = spark.conf.get(conf)
-    spark.conf.set(conf, "false")
-    try { df.queryExecution.executedPlan; df }
-    finally spark.conf.set(conf, old)
+    org.apache.spark.sql.graftbridge.ConfBridge.withConfOverrides(spark,
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      df.queryExecution.executedPlan
+    }
+    df
   }
 
   /** Manifest rows above which the skip set is no longer collected

@@ -389,4 +389,37 @@ class DedupSpec extends AnyFunSuite {
     val expect1 = s"other $span tail".patch(5, "", sharedLen)
     assert(out(1L) == ((expect1.length.toLong, sharedLen.toLong, 1L, md5hex(expect1))))
   }
+
+  test("zero candidate pairs: verify grid returns empty, not an AQE partition-count crash") {
+    // A duplicate-free corpus is the NORMAL case for
+    // decontaminate_fuzzy (clean corpus, no leakage) and possible
+    // for every dedup entry — and with AQE's empty-relation
+    // propagation a runtime-empty candidate relation can collapse
+    // through the grid's RepartitionByExpression into a 0/1-partition
+    // local scan, breaking zipPartitions' equal-count contract
+    // (ADVICE r13). Docs with fully disjoint character sets share no
+    // shingle, so the PPJoin candidate join is empty by construction.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a" * 80),
+      (1L, "b" * 80),
+      (2L, "c" * 80),
+      (3L, "d" * 80)
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("nocand").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.dedupNgramJaccard(spark, tmp).collect().isEmpty)
+    assert(Dedup.dedupMinhashLsh(spark, tmp).collect().isEmpty)
+    // degenerate twin: every doc SHORTER than ShingleN — the shingle
+    // relation itself is empty, so emptiness is visible a stage
+    // earlier in the plan
+    val shorts = Seq((0L, "aa"), (1L, "bb"), (2L, "cc"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("nocand2").toString
+    shorts.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    assert(Dedup.dedupNgramJaccard(spark, tmp2).collect().isEmpty)
+    assert(Dedup.dedupMinhashLsh(spark, tmp2).collect().isEmpty)
+  }
 }
