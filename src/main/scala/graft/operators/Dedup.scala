@@ -343,10 +343,29 @@ object Dedup {
     }
   }
 
+  /** Small-volume fast path (VERDICT r13 item 3): below this corpus
+    * shingle volume the whole doc-array set fits ONE merge task's
+    * memory with room to spare (2x64 MB against any sane heap/4),
+    * and the B×B layout — sqrt(2p)-cell replication, B² one-cell
+    * partitions, their scheduling floor — costs more wall than the
+    * single-threaded merge it parallelizes: at sf0.1 the grid
+    * re-plumb took the five grid-family entries from ~1.2-2.1 s to
+    * ~1.9-3.2 s while the merge itself is milliseconds. B=1 routes
+    * the SAME plan shape (one cell, no replication, one task), so
+    * grid-invariance still pins equality; above the floor the
+    * memory-adaptive sizing is unchanged. Override:
+    * `graft.verify.smallVolumeBytes` (0 disables). */
+  private[graft] val SmallGridVolumeBytes = 64L << 20
+
   private[graft] def gridB(spark: SparkSession, volumeBytes: Long): Int =
     spark.conf.getOption("graft.verify.gridSide").map(_.toInt)
-      .getOrElse(gridSideFor(volumeBytes, taskHeapBytes(spark),
-        spark.sparkContext.defaultParallelism))
+      .getOrElse {
+        val small = spark.conf.getOption("graft.verify.smallVolumeBytes")
+          .map(_.toLong).getOrElse(SmallGridVolumeBytes)
+        if (volumeBytes <= small) 1
+        else gridSideFor(volumeBytes, taskHeapBytes(spark),
+          spark.sparkContext.defaultParallelism)
+      }
 
   /** The grid's PAIRS-side input plan: candidate pairs bucketed to
     * their cell, one partition per cell, streamed UNSORTED into the
@@ -547,28 +566,7 @@ object Dedup {
                 if (ga == null || gb == null)
                   throw new IllegalStateException(
                     s"verify grid: candidate pair ($docA, $docB) references a doc absent from the shingle relation")
-                // early-exit merge (the PPJoin verification bound):
-                // once inter + min(remaining_a, remaining_b) can no
-                // longer reach the overlap a qualifying pair needs,
-                // stop — the overwhelmingly-false candidate stream
-                // (2.9k true in 3.8M at sf1) rejects after a
-                // fraction of the merge. `required` carries the same
-                // 1e-9 rounding slack as the candidate join (a
-                // slightly LOW bound only completes extra merges);
-                // the EMITTED decision stays the exact jac >= t
-                // comparison, bit-identical to the unbounded merge.
-                val required = math.ceil(
-                  JaccardThreshold / (1 + JaccardThreshold) * (ga.length + gb.length) - 1e-9).toInt
-                var i = 0
-                var j = 0
-                var inter = 0
-                while (i < ga.length && j < gb.length &&
-                       inter + math.min(ga.length - i, gb.length - j) >= required) {
-                  if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
-                  else if (ga(i) < gb(j)) i += 1
-                  else j += 1
-                }
-                val jac = inter.toDouble / (ga.length + gb.length - inter)
+                val jac = earlyExitJaccard(ga, gb)
                 if (jac >= JaccardThreshold)
                   nextRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                     Array[Any](docA, docB, jac))
@@ -587,6 +585,99 @@ object Dedup {
       // collapse duplicate qualifying emissions (identical rows —
       // same pair, same exact jac): one exchange over the threshold
       // survivors, the relation that is tiny by construction
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The exact-Jaccard early-exit merge (the PPJoin verification
+    * bound), shared by [[gridMerge]] and [[gridMergeSmall]]: once
+    * inter + min(remaining_a, remaining_b) can no longer reach the
+    * overlap a qualifying pair needs, stop — the overwhelmingly-false
+    * candidate stream (2.9k true in 3.8M at sf1) rejects after a
+    * fraction of the merge. `required` carries the same 1e-9 rounding
+    * slack as the candidate join (a slightly LOW bound only completes
+    * extra merges); the RETURNED value is the exact jac, so the
+    * caller's jac >= t decision is bit-identical to the unbounded
+    * merge. Inputs must be sorted distinct shingle-hash arrays. */
+  private def earlyExitJaccard(ga: Array[Long], gb: Array[Long]): Double = {
+    val required = math.ceil(
+      JaccardThreshold / (1 + JaccardThreshold) * (ga.length + gb.length) - 1e-9).toInt
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < ga.length && j < gb.length &&
+           inter + math.min(ga.length - i, gb.length - j) >= required) {
+      if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+      else if (ga(i) < gb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (ga.length + gb.length - inter)
+  }
+
+  /** Small-volume merge (VERDICT r13 item 3) — the single-partition
+    * form the B×B grid degenerates to below
+    * [[SmallGridVolumeBytes]]: at sf0.1 the grid re-plumb's costs
+    * (B² one-cell partitions' scheduling floor, (2B-1)-fold doc
+    * replication, and a SECOND shingle-kernel pass for the separate
+    * docs-side query) took the five grid-family entries from
+    * ~1.2-2.1 s to ~1.9-3.2 s while the merge itself is
+    * milliseconds. This path is ONE query: docs (tag 0) and
+    * candidate pairs (tag 1) union through the SAME plan, so the
+    * post-kernel exchange is shared (ReusedExchange — the kernel
+    * runs once, like r12's cogroup form), everything lands in a
+    * single partition, the tag sort puts every doc array before the
+    * first pair row (pushing the pair relation through sorter pages
+    * is exactly the cost the B×B path avoids — affordable by the
+    * volume floor's construction, catastrophic at sf10), and the
+    * merge streams pairs against the in-memory doc map with the
+    * same early-exit + survivor-dedup semantics as [[gridMerge]].
+    * Pairs-identical and grid-invariance specs pin equality with
+    * the grid path. */
+  private def gridMergeSmall(cand: DataFrame, hashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val spark = cand.sparkSession
+    val docsSide = hashed.select(lit(0).as("tag"), col("doc_id").as("doc_a"),
+      lit(0L).as("doc_b"), array_sort(col("ghs")).as("ghs"))
+    val pairsSide = cand.select(lit(1).as("tag"), col("doc_a"), col("doc_b"),
+      lit(null).cast(ArrayType(LongType, containsNull = false)).as("ghs"))
+    val one = docsSide.unionByName(pairsSide)
+      .repartition(1).sortWithinPartitions(col("tag"))
+    val out = one.queryExecution.toRdd.mapPartitions { it =>
+      val arrs = new LongToArrayMap(1 << 12)
+      new Iterator[InternalRow] {
+        private var nextRow: InternalRow = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && it.hasNext) {
+            val r = it.next()
+            if (r.getInt(0) == 0) {
+              // doc row — all of them precede the first pair row
+              // (tag sort); each doc appears exactly once here (no
+              // replication on the small path)
+              arrs.put(r.getLong(1), r.getArray(3).toLongArray())
+            } else {
+              val docA = r.getLong(1)
+              val docB = r.getLong(2)
+              val ga = arrs.get(docA)
+              val gb = arrs.get(docB)
+              if (ga == null || gb == null)
+                throw new IllegalStateException(
+                  s"verify grid (small): candidate pair ($docA, $docB) references a doc absent from the shingle relation")
+              val jac = earlyExitJaccard(ga, gb)
+              if (jac >= JaccardThreshold)
+                nextRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](docA, docB, jac))
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): InternalRow = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.DatasetBridge.internalCreateDataFrame(
+      spark, out, mergedPairsSchema)
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -670,7 +761,8 @@ object Dedup {
     // here, AQE materializes the merge once and the sort's sampling
     // reads the 27k-row shuffle output instead.
     val b = gridB(spark, volumeBytes)
-    gridMerge(verifyGridPlan(cand, hashed, b), gridDocsPlan(hashed, b))
+    (if (b == 1) gridMergeSmall(cand, hashed)
+     else gridMerge(verifyGridPlan(cand, hashed, b), gridDocsPlan(hashed, b)))
       .repartition(col("doc_a"))
   }
 
