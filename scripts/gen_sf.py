@@ -56,7 +56,7 @@ docs = pa.table({
     "source": pa.array(sources, pa.string()),
     "n_chars": pa.array([len(t) for t in texts], pa.int64()),
 })
-pq.write_table(docs, f"{out}/documents.parquet")
+pq.write_table(docs, f"{out}/documents.parquet", row_group_size=50_000)
 
 # embeddings: 10 gaussian clusters in 64-d
 centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(N_LABELS)]
@@ -67,7 +67,7 @@ emb = pa.table({
     "embedding": pa.array(vecs, pa.list_(pa.float32())),
     "label": pa.array(labels, pa.int32()),
 })
-pq.write_table(emb, f"{out}/embeddings.parquet")
+pq.write_table(emb, f"{out}/embeddings.parquet", row_group_size=100_000)
 
 # events: 30 days from 2024-01-01, ns timestamps
 T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
@@ -83,7 +83,7 @@ events = pa.table({
     "value": pa.array([round(rng.expovariate(1 / 50.0), 2) for _ in range(N_EVENTS)], pa.float64()),
     "props": pa.array([json.dumps({"k": rng.randrange(100)}) for _ in range(N_EVENTS)], pa.string()),
 })
-pq.write_table(events, f"{out}/events.parquet")
+pq.write_table(events, f"{out}/events.parquet", row_group_size=1_000_000)
 
 # --- TPC-H-ish relational tables (round 7: the join/window families
 # had no measured scale story). Same schema and measured shape as the

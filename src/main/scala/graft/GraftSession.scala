@@ -34,6 +34,18 @@ object GraftSession {
       // deployment sizing reducers for 100 TB should revisit
       // advisoryPartitionSizeInBytes per job, not flip this global.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan-split granularity: the default 128 MB packs a whole
+      // mid-size table into 1-2 map tasks (sf10 events = 194 MB ->
+      // 2 tasks on 32 cores; the scan was the measured floor under
+      // every events entry). 16 MB aligns with the ~27-33 MB row
+      // groups the testdata generators emit, filling the machine at
+      // the scale correctness runs at. The 100 TB story is
+      // unchanged: there a scan has millions of splits whatever the
+      // setting, and a cluster deployment re-derives this per job
+      // from executor memory (SURVEY §E) — what must NOT happen is
+      // a row group so large the file stops splitting at all
+      // (gen_sf.py caps row groups for the same reason).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate turns every explode(kernel(text))
       // into an inferred `size(kernel(text)) > 0` filter; predicate
