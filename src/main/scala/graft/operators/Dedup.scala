@@ -766,6 +766,104 @@ object Dedup {
       .repartition(col("doc_a"))
   }
 
+  /** Per-JVM staging root for the SPARSE verify path's candidate
+    * relation (a run-scoped scratch dir, not a fingerprint-keyed
+    * state table — candidates are an intermediate, not state). */
+  private lazy val candStageRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_cand_stage").toString
+  private val candStageN = new java.util.concurrent.atomic.AtomicInteger
+
+  /** SPARSE-candidate verification (round 14) — the scale fix for
+    * banded/sliced candidate relations, whose pairs touch a small
+    * FRACTION of the corpus by construction (LSH collisions at the
+    * near-dup rate; incremental sweeps' slice×corpus pairs). The
+    * symmetric grid replicates EVERY doc's array (2B-1)-fold whether
+    * or not any candidate references it, and sizes B to the WHOLE
+    * corpus volume — at sf100 (5M docs, ~12 GB of shingle hashes)
+    * that is B≈31 and a ~0.5 TB docs-side shuffle for a candidate
+    * set touching ~10% of docs. Here instead:
+    *
+    *  1. the candidate relation is STAGED to scratch parquet — small
+    *     by construction in this regime, and the write means
+    *     candidate generation runs exactly ONCE though three
+    *     consumers read it (sizing, docs prune, pairs side);
+    *  2. the docs side is PRUNED to candidate-touched ids with a
+    *     left-semi join (tiny build side → broadcast, map-side, no
+    *     corpus exchange) — untouched docs never enter the grid;
+    *  3. B is sized to the TOUCHED volume (same n_chars proxy as
+    *     [[shingleVolumeBytes]], summed over touched ids only), so
+    *     replication scales with the candidate footprint, not the
+    *     corpus.
+    *
+    * The merge itself is unchanged (same [[gridMerge]] /
+    * [[gridMergeSmall]], same exact-jac emission, same survivor
+    * dedup), so the pairs-identical and grid-invariance specs pin
+    * this path too. The DENSE regime (the full PPJoin sweep, whose
+    * candidates reference essentially every doc and number ~8 per
+    * corpus doc) keeps the classic unstaged grid: staging ~25 GB of
+    * candidate rows would cost more than the replication it saves.
+    */
+  /** Regime floor for the sparse path — the same 64 MB line as
+    * [[SmallGridVolumeBytes]]: below it the whole corpus fits one
+    * merge task and the classic one-query single-partition merge
+    * wins (staging jobs cost more than they save: sf0.1 sparse
+    * 1.9-2.9 s vs classic 1.4-1.9 s). Above it, for the families
+    * routed here (banded candidates — near-dup-rate sparse at every
+    * scale), the staged path wins decisively and increasingly with
+    * scale: at sf10 the candidate-touched volume collapses the
+    * grid to a tiny B (often the single-partition merge) and the
+    * measured wall is 4.8-12.5 s vs the classic grid's 40-46 s —
+    * the classic path replicates and shuffles 500k docs' arrays to
+    * verify ~300k candidate rows. At sf100 the classic docs-side
+    * shuffle is O(B×corpus) ≈ 0.5 TB while the sparse path stays
+    * O(touched). The DENSE ngram families are NOT routed here at
+    * any volume: their candidates reference essentially every doc,
+    * so pruning saves nothing and staging costs a full extra pass
+    * (measured 83 s vs classic at sf10). Override:
+    * `graft.verify.sparseVolumeBytes` (0 forces sparse — the
+    * equality spec does). */
+  private[graft] val SparseGridVolumeBytes = SmallGridVolumeBytes
+
+  private def sparseFloor(spark: SparkSession): Long =
+    spark.conf.getOption("graft.verify.sparseVolumeBytes")
+      .map(_.toLong).getOrElse(SparseGridVolumeBytes)
+
+  /** Dispatch between the classic one-query grid and the staged
+    * sparse path by corpus volume (see [[SparseGridVolumeBytes]]). */
+  private def verifyJaccardAuto(cand: DataFrame, hashed: DataFrame,
+                                docs: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    val vol = shingleVolumeBytes(docs)
+    if (vol > sparseFloor(spark)) verifyJaccardSparse(cand, hashed, docs)
+    else verifyJaccard(cand, hashed, vol)
+  }
+
+  private def verifyJaccardSparse(cand: DataFrame, hashed: DataFrame,
+                                  docs: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    val path = s"$candStageRoot/c${candStageN.getAndIncrement()}"
+    cand.write.mode("overwrite").parquet(path)
+    val staged = spark.read.parquet(path)
+    // BROADCAST the touched-id set into both semi joins: the build
+    // side is bounded by the candidate footprint (the regime's
+    // defining property), and a planner-chosen sort-merge semi join
+    // would push the ARRAY relation through sorter pages — the exact
+    // spill the grid design exists to avoid (measured: +80 s at sf10
+    // when SMJ was chosen).
+    val touched = broadcast(staged
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct())
+    val prunedVol = {
+      val row = docs.join(touched, Seq("doc_id"), "left_semi")
+        .agg(sum(greatest(col("n_chars") - lit(ShingleN - 1), lit(0L)))).head
+      if (row.isNullAt(0)) 0L else 8L * row.getLong(0)
+    }
+    val prunedDocs = hashed.join(touched, Seq("doc_id"), "left_semi")
+    val b = gridB(spark, prunedVol)
+    (if (b == 1) gridMergeSmall(staged, prunedDocs)
+     else gridMerge(verifyGridPlan(staged, prunedDocs, b), gridDocsPlan(prunedDocs, b)))
+      .repartition(col("doc_a"))
+  }
+
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----
   // A naive inverted-index join explodes on high-frequency shingles
   // (every pair sharing "the quic" becomes a candidate — O(n²) rows
@@ -920,6 +1018,11 @@ object Dedup {
     // upstream scans/joins; the audit inspects the grid's declarative
     // input plan instead (same subtree the merge executes).
     if (gridInputOnly) verifyGridPlan(cand, hashed, gridB(spark, vol))
+    // DENSE family — PPJoin candidates (full and sliced) reference
+    // essentially every doc, so the sparse staged path's prune saves
+    // nothing and its staging costs a full extra pass (measured 83 s
+    // vs the classic grid at sf10); both forms keep the one-query
+    // grid. See SparseGridVolumeBytes for the regime analysis.
     else verifyJaccard(cand, hashed, vol)
   }
 
@@ -1184,9 +1287,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") && lshLengthFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // raw (one row per colliding band) — the grid dedupes in-cell
-    val vol = shingleVolumeBytes(docs)
-    if (gridInputOnly) verifyGridPlan(cand, hashed, gridB(spark, vol))
-    else verifyJaccard(cand, hashed, vol).orderBy(col("doc_a"), col("doc_b"))
+    if (gridInputOnly) verifyGridPlan(cand, hashed, gridB(spark, shingleVolumeBytes(docs)))
+    // banded LSH candidates arrive at the near-dup rate — the sparse
+    // staged path applies at large volume (verifyJaccardAuto)
+    else verifyJaccardAuto(cand, hashed, docs).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Fresh-crawl form (round 9; persisted a-side round 11): near-dup
@@ -1227,9 +1331,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // raw (one row per colliding band) — the grid dedupes in-cell
     val hashedSk = sk.select(col("doc_id"), col("ghs"), col("n"))
-    val vol = shingleVolumeBytes(docs)
-    if (gridInputOnly) verifyGridPlan(cand, hashedSk, gridB(spark, vol))
-    else verifyJaccard(cand, hashedSk, vol).orderBy(col("doc_a"), col("doc_b"))
+    if (gridInputOnly) verifyGridPlan(cand, hashedSk, gridB(spark, shingleVolumeBytes(docs)))
+    // sliced banded candidates: sparse staged path at large volume
+    else verifyJaccardAuto(cand, hashedSk, docs).orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- decontaminate_fuzzy: near-dup train-vs-benchmark leakage ----

@@ -390,6 +390,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((expect1.length.toLong, sharedLen.toLong, 1L, md5hex(expect1))))
   }
 
+  test("sparse staged verify path emits exactly the classic grid's pairs") {
+    // the large-volume regime (candidates staged, docs side pruned
+    // to candidate-touched ids, B sized to the touched volume) is
+    // pure plumbing — force it via the floor override and pin
+    // equality on the minhash and sliced-ngram families
+    val classicLsh = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val classicInc = Dedup.dedupMinhashLshIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.conf.set("graft.verify.sparseVolumeBytes", "0")
+    try {
+      val sparseLsh = Dedup.dedupMinhashLsh(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val sparseInc = Dedup.dedupMinhashLshIncremental(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(classicLsh.nonEmpty && sparseLsh == classicLsh)
+      assert(classicInc.nonEmpty && sparseInc == classicInc)
+    } finally spark.conf.unset("graft.verify.sparseVolumeBytes")
+  }
+
   test("zero candidate pairs: verify grid returns empty, not an AQE partition-count crash") {
     // A duplicate-free corpus is the NORMAL case for
     // decontaminate_fuzzy (clean corpus, no leakage) and possible
