@@ -60,13 +60,14 @@ if "documents" in tables:
         offs = np.concatenate(([0], np.cumsum(lens)))
         dup = (rng.random(n) < DUP_RATE) & (np.arange(done, done + n) > 10)
         bases = (rng.random(n) * np.arange(done, done + n)).astype(np.int64)
-        chunk_texts = []
+        # append to the FULL history inside the loop: a dup's base may
+        # point at an earlier doc of this same chunk
         for i in range(n):
             if dup[i]:
-                chunk_texts.append(texts[bases[i]] + " dup")
+                texts.append(texts[bases[i]] + " dup")
             else:
-                chunk_texts.append(" ".join(words[offs[i]:offs[i + 1]]))
-        texts.extend(chunk_texts)
+                texts.append(" ".join(words[offs[i]:offs[i + 1]]))
+        chunk_texts = texts[done:done + n]
         langs = np.array(LANGS)[rng.integers(0, len(LANGS), n)]
         srcs = np.char.add("src", rng.integers(0, 20, n).astype(str))
         w.write_table(pa.table({

@@ -35,6 +35,23 @@ object Exact {
     * decimal→double cast is only single-rounded while the scaled
     * integer fits 2^53 — sum_charge crossed that at sf1 (≈4.5e16
     * at scale 6) and the engines drifted a final ulp apart. */
+  /** Measured honestly at sf100 (round 14) and kept as-is: the
+    * decimal(28,6) sum buffer exceeds Decimal's compact-long range,
+    * so every update pays a JavaBigDecimal add — +1.4 s over a plain
+    * double sum on 100M rows (44% of q_events_tumbling's wall). A
+    * 128-bit-unscaled DeclarativeAggregate (two long buffer words,
+    * carry arithmetic in plain long expressions) was built and
+    * benchmarked as the replacement and came out 1.7x SLOWER: a
+    * declarative aggregate's buffer-update expressions INLINE their
+    * child per reference, and the carry math references the
+    * unscaled value ~6 times — six double→decimal casts per row
+    * where the built-in pays one cast + one BigDecimal add
+    * (subexpression elimination does not rescue If-guarded
+    * aggregate updates). The imperative escape hatches
+    * (TypedImperativeAggregate) forfeit whole-stage codegen for the
+    * whole aggregate, which costs more than the decimal adds. The
+    * decimal sum is therefore the honest price of cross-engine
+    * exactness on this engine. */
   def dsum(c: Column): Column = viaString(round(sum(dec(c)), 6))
 
   /** Exact sum of an already-decimal expression, emitted as double. */

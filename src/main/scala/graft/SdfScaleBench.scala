@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness for VERDICT r13 item 5: decade evidence for the
+  * reference surface. The SDF path's correctness is pinned on the
+  * reference's own 8-compound files plus SdfScaleSpec's synthetic
+  * split-boundary corpus; this harness generates a LAYOUT-FAITHFUL
+  * multi-file corpus at GB scale (every default-layout tag present,
+  * NOT_NULL satisfiable, realistic record sizes), then times the
+  * full warehouse lifecycle:
+  *
+  *   ingest (manifest skip-set, per-file extract, partitioned write)
+  *   → pk lookup (manifest-span prune → partition prune → pushed pk)
+  *   → publishBucketed + secondary-index lookup (bucket pruning)
+  *   → compact → re-lookup (latency invariant under compaction)
+  *
+  * The claim being evidenced (SURVEY §2A): lookup cost is O(one
+  * partition), so it must stay flat as corpus size grows 10x —
+  * recorded in BASELINE.md as (corpus size, files, ingest s,
+  * lookup ms) rows.
+  *
+  * Usage: runMain graft.SdfScaleBench <nFiles> <molsPerFile> <root>
+  */
+object SdfScaleBench {
+  /** One synthetic molecule record, default-layout-faithful (tag set
+    * mirrors the reference's real PubChem dump fields used by
+    * default_db_layout.json; sizes ~0.9-1.5 KB like real records
+    * once the filler block is counted). */
+  private def record(cid: Long, rng: java.util.Random): String = {
+    val filler = {
+      val sb = new StringBuilder
+      val lines = 8 + rng.nextInt(12)
+      for (_ <- 0 until lines) {
+        sb.append("  ")
+        for (_ <- 0 until 60) sb.append(('A' + rng.nextInt(26)).toChar)
+        sb.append('\n')
+      }
+      sb.toString
+    }
+    val key1 = (0 until 14).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+    s"""mol-$cid
+       |  -GRAFT- synthetic
+       |
+       |$filler> <PUBCHEM_COMPOUND_CID>
+       |$cid
+       |
+       |> <PUBCHEM_IUPAC_INCHI>
+       |InChI=1S/C${cid % 40 + 1}H${cid % 60 + 2}/c$cid
+       |
+       |> <PUBCHEM_IUPAC_INCHIKEY>
+       |$key1-GRAFTKEY${cid % 10}-N
+       |
+       |> <PUBCHEM_OPENEYE_CAN_SMILES>
+       |C1CCCCC1N$cid
+       |
+       |> <PUBCHEM_OPENEYE_ISO_SMILES>
+       |C1CCCCC1[N+]$cid
+       |
+       |> <PUBCHEM_XLOGP3${if (cid % 3 == 0) "_AA" else ""}>
+       |${(cid % 80).toDouble / 10 - 3}
+       |
+       |> <PUBCHEM_EXACT_MASS>
+       |${100.0 + (cid % 9000).toDouble / 10}
+       |
+       |> <PUBCHEM_MOLECULAR_FORMULA>
+       |C${cid % 40 + 1}H${cid % 60 + 2}N${cid % 5}
+       |
+       |> <PUBCHEM_MOLECULAR_WEIGHT>
+       |${101.0 + (cid % 9000).toDouble / 10}
+       |
+       |$$$$$$$$""".stripMargin.replace("$$$$$$$$", "$$$$") + "\n"
+  }
+
+  def generate(root: String, nFiles: Int, molsPerFile: Int): String = {
+    val dir = java.nio.file.Paths.get(root, "sdf")
+    java.nio.file.Files.createDirectories(dir)
+    val rng = new java.util.Random(42)
+    var cid = 1L
+    for (f <- 0 until nFiles) {
+      val p = dir.resolve(f"Compound_$f%05d.sdf")
+      if (!java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.newBufferedWriter(p)
+        try for (_ <- 0 until molsPerFile) { w.write(record(cid, rng)); cid += 1 }
+        finally w.close()
+      } else cid += molsPerFile
+    }
+    s"$dir/*.sdf"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.length > 0) args(0).toInt else 20
+    val molsPerFile = if (args.length > 1) args(1).toInt else 50000
+    val root = if (args.length > 2) args(2) else "/tmp/graft_sdf_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = GraftSession.local(cpus)
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[sdfscale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    val glob = timed(s"generate ${nFiles}x$molsPerFile")(generate(root, nFiles, molsPerFile))
+    val wh = s"$root/wh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+
+    val res = timed("ingest")(sinks.Warehouse.ingest(spark, glob, wh))
+    println(s"[sdfscale] ingested files=${res.filesLoaded.length} rows=${res.rowsLoaded}")
+    timed("ingest_noop_rerun")(sinks.Warehouse.ingest(spark, glob, wh))
+
+    val total = nFiles.toLong * molsPerFile
+    // pk lookups: cold then repeated — the manifest-span prune +
+    // static partition prune + pushed pk must touch O(one partition)
+    for (i <- 1 to 3) {
+      val cid = total / 2 + i
+      timed(s"lookup_pk_$i")(assert(
+        sinks.Warehouse.lookup(spark, wh, cid).collect().length == 1))
+    }
+    timed("lookup_pk_miss")(assert(
+      sinks.Warehouse.lookup(spark, wh, total + 999999).collect().isEmpty))
+
+    timed("publish_bucketed")(
+      sinks.Warehouse.publishBucketed(spark, wh, "graft_scale_compounds",
+        buckets = 64, key = "InChIKey"))
+    // secondary lookups by a real key value from the corpus
+    val sampleKeys = spark.table("graft_scale_compounds")
+      .filter(col("cid").isin(total / 3, total / 2, 2 * total / 3))
+      .select("InChIKey").collect().map(_.getString(0))
+    sampleKeys.zipWithIndex.foreach { case (k, i) =>
+      timed(s"lookup_inchikey_$i")(assert(
+        sinks.Warehouse.lookupIndexed(spark, "graft_scale_compounds", "InChIKey", k)
+          .collect().nonEmpty))
+    }
+
+    timed("compact")(sinks.Warehouse.compact(spark, wh))
+    for (i <- 1 to 3) {
+      val cid = total / 3 + i
+      timed(s"lookup_pk_postcompact_$i")(assert(
+        sinks.Warehouse.lookup(spark, wh, cid).collect().length == 1))
+    }
+    val rows = spark.read.parquet(s"$wh/compounds").count()
+    println(s"[sdfscale] final_rows=$rows expected=$total")
+    assert(rows == total)
+    spark.stop()
+  }
+}

@@ -766,102 +766,83 @@ object Dedup {
       .repartition(col("doc_a"))
   }
 
-  /** Per-JVM staging root for the SPARSE verify path's candidate
-    * relation (a run-scoped scratch dir, not a fingerprint-keyed
-    * state table — candidates are an intermediate, not state). */
-  private lazy val candStageRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_cand_stage").toString
-  private val candStageN = new java.util.concurrent.atomic.AtomicInteger
+  /** SPARSE-candidate verification (round 14) — the scale path for
+    * banded candidate relations, whose pairs arrive at the near-dup
+    * rate by construction (LSH collisions under the length
+    * prefilter). The symmetric grid ships EVERY doc's array
+    * (2B-1)-fold whether or not any candidate references it — right
+    * when the candidate relation dwarfs the corpus (the dense
+    * PPJoin sweep at ~8 candidate rows per corpus doc), pure waste
+    * when it doesn't: at sf100 (5M docs, ~12 GB of shingle hashes)
+    * the grid's docs-side shuffle is 0.26-0.5 TB for a candidate
+    * set of a few million rows. Here verification is a PAIR JOIN
+    * instead: the arrays flow to the candidates through two hash
+    * joins (each array ships once per candidate touching it —
+    * O(|pairs| * array bytes), the optimal shape when |pairs| is
+    * within a small factor of |corpus|), and the exact Jaccard is
+    * computed IN-ROW with array_intersect — the same arithmetic
+    * (integer intersection size, one IEEE division) as the grid
+    * merge and the streaming gate's in-row scoring, so all three
+    * paths agree bit-for-bit (spec-pinned: sparse == classic pair
+    * set and scores; gate == incremental row-for-row). ONE query:
+    * candidate generation runs once, and both probes of the same
+    * (doc_id, ghs, n) relation canonicalize onto the shared
+    * post-kernel exchange. Candidate band-duplicates re-score
+    * (~10% extra in-row CPU on the reject path) and qualifying
+    * duplicates collapse in the survivor dedup — the grid's exact
+    * trade. A candidate referencing a doc absent from `hashed` is
+    * silently dropped by the inner join where the grid threw; both
+    * are "cannot happen by construction", and the join form is what
+    * a 100 TB run needs anyway — no partition-aligned zip to
+    * violate, no per-task doc map to size.
+    *
+    * Measured at sf10 vs the classic grid: dedup_minhash_lsh
+    * 40 s -> ~13 s, dedup_minhash_incremental 46 s -> ~4 s; at
+    * sf100 the grid DNFs on any single box's disk while this
+    * path's shuffle stays ~3x the candidate-touched array volume. */
+  private def verifyJaccardSparse(cand: DataFrame, hashed: DataFrame): DataFrame = {
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("ghs").as("ghs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("ghs").as("ghs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ghs_a"), col("ghs_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= lit(JaccardThreshold))
+      .dropDuplicates("doc_a", "doc_b")
+      .repartition(col("doc_a"))
+  }
 
-  /** SPARSE-candidate verification (round 14) — the scale fix for
-    * banded/sliced candidate relations, whose pairs touch a small
-    * FRACTION of the corpus by construction (LSH collisions at the
-    * near-dup rate; incremental sweeps' slice×corpus pairs). The
-    * symmetric grid replicates EVERY doc's array (2B-1)-fold whether
-    * or not any candidate references it, and sizes B to the WHOLE
-    * corpus volume — at sf100 (5M docs, ~12 GB of shingle hashes)
-    * that is B≈31 and a ~0.5 TB docs-side shuffle for a candidate
-    * set touching ~10% of docs. Here instead:
-    *
-    *  1. the candidate relation is STAGED to scratch parquet — small
-    *     by construction in this regime, and the write means
-    *     candidate generation runs exactly ONCE though three
-    *     consumers read it (sizing, docs prune, pairs side);
-    *  2. the docs side is PRUNED to candidate-touched ids with a
-    *     left-semi join (tiny build side → broadcast, map-side, no
-    *     corpus exchange) — untouched docs never enter the grid;
-    *  3. B is sized to the TOUCHED volume (same n_chars proxy as
-    *     [[shingleVolumeBytes]], summed over touched ids only), so
-    *     replication scales with the candidate footprint, not the
-    *     corpus.
-    *
-    * The merge itself is unchanged (same [[gridMerge]] /
-    * [[gridMergeSmall]], same exact-jac emission, same survivor
-    * dedup), so the pairs-identical and grid-invariance specs pin
-    * this path too. The DENSE regime (the full PPJoin sweep, whose
-    * candidates reference essentially every doc and number ~8 per
-    * corpus doc) keeps the classic unstaged grid: staging ~25 GB of
-    * candidate rows would cost more than the replication it saves.
-    */
-  /** Regime floor for the sparse path — the same 64 MB line as
-    * [[SmallGridVolumeBytes]]: below it the whole corpus fits one
-    * merge task and the classic one-query single-partition merge
-    * wins (staging jobs cost more than they save: sf0.1 sparse
-    * 1.9-2.9 s vs classic 1.4-1.9 s). Above it, for the families
-    * routed here (banded candidates — near-dup-rate sparse at every
-    * scale), the staged path wins decisively and increasingly with
-    * scale: at sf10 the candidate-touched volume collapses the
-    * grid to a tiny B (often the single-partition merge) and the
-    * measured wall is 4.8-12.5 s vs the classic grid's 40-46 s —
-    * the classic path replicates and shuffles 500k docs' arrays to
-    * verify ~300k candidate rows. At sf100 the classic docs-side
-    * shuffle is O(B×corpus) ≈ 0.5 TB while the sparse path stays
-    * O(touched). The DENSE ngram families are NOT routed here at
-    * any volume: their candidates reference essentially every doc,
-    * so pruning saves nothing and staging costs a full extra pass
-    * (measured 83 s vs classic at sf10). Override:
-    * `graft.verify.sparseVolumeBytes` (0 forces sparse — the
-    * equality spec does). */
+  /** Regime floor for the sparse pair-join path — the same 64 MB
+    * line as [[SmallGridVolumeBytes]]: below it the whole corpus
+    * fits one merge task and the classic one-query single-partition
+    * merge is cheapest (sf0.1: classic 1.4-1.9 s). Above it, for
+    * the families routed here (banded candidates — near-dup-rate
+    * sparse at every scale), the pair join wins decisively and
+    * increasingly with scale (sf10: 13.5 / 4.3 s vs the grid's
+    * 40-46 s — the grid replicates and shuffles 500k docs' arrays
+    * to verify ~300k candidate rows). The DENSE ngram families are
+    * NOT routed here at any volume: their candidate relation
+    * dwarfs the corpus, so per-pair array shipping would ship each
+    * array ~8x and the grid's bounded B-fold replication wins.
+    * Override: `graft.verify.sparseVolumeBytes` (0 forces sparse —
+    * the equality spec does). */
   private[graft] val SparseGridVolumeBytes = SmallGridVolumeBytes
 
   private def sparseFloor(spark: SparkSession): Long =
     spark.conf.getOption("graft.verify.sparseVolumeBytes")
       .map(_.toLong).getOrElse(SparseGridVolumeBytes)
 
-  /** Dispatch between the classic one-query grid and the staged
-    * sparse path by corpus volume (see [[SparseGridVolumeBytes]]). */
+  /** Dispatch between the classic one-query grid and the sparse
+    * pair join by corpus volume (see [[SparseGridVolumeBytes]]). */
   private def verifyJaccardAuto(cand: DataFrame, hashed: DataFrame,
                                 docs: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     val vol = shingleVolumeBytes(docs)
-    if (vol > sparseFloor(spark)) verifyJaccardSparse(cand, hashed, docs)
+    if (vol > sparseFloor(spark)) verifyJaccardSparse(cand, hashed)
     else verifyJaccard(cand, hashed, vol)
-  }
-
-  private def verifyJaccardSparse(cand: DataFrame, hashed: DataFrame,
-                                  docs: DataFrame): DataFrame = {
-    val spark = cand.sparkSession
-    val path = s"$candStageRoot/c${candStageN.getAndIncrement()}"
-    cand.write.mode("overwrite").parquet(path)
-    val staged = spark.read.parquet(path)
-    // BROADCAST the touched-id set into both semi joins: the build
-    // side is bounded by the candidate footprint (the regime's
-    // defining property), and a planner-chosen sort-merge semi join
-    // would push the ARRAY relation through sorter pages — the exact
-    // spill the grid design exists to avoid (measured: +80 s at sf10
-    // when SMJ was chosen).
-    val touched = broadcast(staged
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct())
-    val prunedVol = {
-      val row = docs.join(touched, Seq("doc_id"), "left_semi")
-        .agg(sum(greatest(col("n_chars") - lit(ShingleN - 1), lit(0L)))).head
-      if (row.isNullAt(0)) 0L else 8L * row.getLong(0)
-    }
-    val prunedDocs = hashed.join(touched, Seq("doc_id"), "left_semi")
-    val b = gridB(spark, prunedVol)
-    (if (b == 1) gridMergeSmall(staged, prunedDocs)
-     else gridMerge(verifyGridPlan(staged, prunedDocs, b), gridDocsPlan(prunedDocs, b)))
-      .repartition(col("doc_a"))
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----

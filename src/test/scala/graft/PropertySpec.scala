@@ -109,6 +109,7 @@ class PropertySpec extends AnyFunSuite {
       assert(dec2 == dec)
     }
   }
+
 }
 
 /** Minimal in-memory GroupState for driving sessionizeFn directly. */
