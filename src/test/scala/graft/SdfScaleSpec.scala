@@ -62,4 +62,30 @@ class SdfScaleSpec extends AnyFunSuite {
     assert(whole.length == NumMols)
     assert(split == whole)
   }
+
+  test("warehouse lifecycle on the layout-faithful generated corpus: ingest, lookups, compaction") {
+    // the spec twin of graft.SdfScaleBench (whose GB-scale runs are
+    // recorded in BASELINE.md): the DEFAULT layout over a multi-file
+    // synthetic corpus carrying every default-layout tag — ingest
+    // with the manifest skip-set, pk lookup via manifest spans, miss
+    // semantics, idempotent re-ingest, and compaction preserving
+    // both rows and lookup results
+    import graft.sinks.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("sdf_lifecycle").toString
+    val glob = SdfScaleBench.generate(root, nFiles = 4, molsPerFile = 1500)
+    val wh = s"$root/wh"
+    val res = Warehouse.ingest(spark, glob, wh)
+    assert(res.filesLoaded.length == 4 && res.rowsLoaded == 6000)
+    assert(Warehouse.ingest(spark, glob, wh).filesLoaded.isEmpty, "re-ingest must be a no-op")
+    val hit = Warehouse.lookup(spark, wh, 3000L).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("cid") == 3000L)
+    assert(hit.head.getAs[String]("InChI") != null, "layout columns extracted")
+    assert(Warehouse.lookup(spark, wh, 99999L).collect().isEmpty, "miss is empty")
+    Warehouse.compact(spark, wh)
+    assert(spark.read.parquet(s"$wh/compounds").count() == 6000)
+    val post = Warehouse.lookup(spark, wh, 3000L).collect()
+    assert(post.length == 1 && post.head.getAs[Long]("cid") == 3000L)
+    assert(Warehouse.ingest(spark, glob, wh).filesLoaded.isEmpty,
+      "compaction must leave the manifest skip-set intact")
+  }
 }
