@@ -360,4 +360,25 @@ class CurationSpec extends AnyFunSuite {
       assert(ranks.toSeq == (1L to ranks.length).toSeq)
     }
   }
+
+  test("corpus_drift on a degenerate corpus (empty old side) yields finite drift, not NaN") {
+    // a doc_id-0-only corpus makes the 90% split 0, so EVERY doc is
+    // "fresh" and t_old = 0 — the zero-total guard (ADVICE r13) must
+    // keep drift a number with a pinned ordering
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "solo words here")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("drift0").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.Curation.corpusDrift(spark, tmp).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Double]("drift")
+      assert(!d.isNaN && !d.isInfinite, s"drift must be finite, got $d")
+    }
+    // every term is fresh-only: drift = its fresh rate exactly
+    assert(out.map(_.getAs[Double]("drift")).forall(_ > 0))
+  }
 }
