@@ -108,9 +108,17 @@ object Bench {
     // runs) — the driver's BENCH_r{N}.json capture truncates the
     // tail at ~2000 chars, hiding the alphabetically-first entries
     // (VERDICT r13 item 8); the repo copy survives for review.
+    // The repo copy resolves to an absolute path: GRAFT_REPO_DIR if
+    // set, else cwd ONLY when it looks like this repo (build.sbt
+    // present) — a run launched elsewhere skips the copy instead of
+    // scattering stray files (ADVICE r14). The file is gitignored.
+    val repoCopy = sys.env.get("GRAFT_REPO_DIR")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d, "build.sbt"))))
+      .map(d => java.nio.file.Paths.get(d, "BENCH_full_latest.json").toString)
     for (out <- Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      "BENCH_full_latest.json")) {
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ++ repoCopy) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (line + "\n").getBytes("UTF-8"))

@@ -45,7 +45,14 @@ object GraftSession {
       // from executor memory (SURVEY §E) — what must NOT happen is
       // a row group so large the file stops splitting at all
       // (gen_sf.py caps row groups for the same reason).
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // Env-overridable (ADVICE r14): 16m is tuned to the local
+      // bench corpus; a deployment whose scans are genuinely large
+      // sets GRAFT_MAX_PARTITION_BYTES (e.g. "128m") instead of
+      // remembering a per-job conf override — the tuned value stays
+      // the default so every local entrypoint keeps the measured
+      // profile.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate turns every explode(kernel(text))
       // into an inferred `size(kernel(text)) > 0` filter; predicate

@@ -69,8 +69,7 @@ object SdfScaleBench {
        |
        |> <PUBCHEM_MOLECULAR_WEIGHT>
        |${101.0 + (cid % 9000).toDouble / 10}
-       |
-       |$$$$$$$$""".stripMargin.replace("$$$$$$$$", "$$$$") + "\n"
+       |""".stripMargin + "\n$$$$\n"
   }
 
   def generate(root: String, nFiles: Int, molsPerFile: Int): String = {

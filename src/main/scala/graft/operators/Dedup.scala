@@ -801,6 +801,25 @@ object Dedup {
     * sf100 the grid DNFs on any single box's disk while this
     * path's shuffle stays ~3x the candidate-touched array volume. */
   private def verifyJaccardSparse(cand: DataFrame, hashed: DataFrame): DataFrame = {
+    // Optional loud-invariant audit (ADVICE r14): the inner joins
+    // below silently drop a candidate referencing a doc absent from
+    // the shingle relation, where the grid paths throw
+    // IllegalStateException. "Cannot happen by construction" stays
+    // checkable on this path too — under graft.verify.auditSparse
+    // (off by default: two extra anti-join jobs), any orphan
+    // candidate fails loudly instead of vanishing. The equality
+    // spec runs with it on.
+    if (cand.sparkSession.conf.getOption("graft.verify.auditSparse")
+          .contains("true")) {
+      val ids = hashed.select(col("doc_id"))
+      val orphans =
+        cand.select(col("doc_a").as("doc_id")).join(ids, Seq("doc_id"), "left_anti")
+          .union(
+            cand.select(col("doc_b").as("doc_id")).join(ids, Seq("doc_id"), "left_anti"))
+          .limit(1).count()
+      if (orphans > 0) throw new IllegalStateException(
+        "sparse verify: candidate references a doc_id absent from the shingle relation")
+    }
     cand
       .join(hashed.select(col("doc_id").as("doc_a"), col("ghs").as("ghs_a"),
         col("n").as("n_a")), Seq("doc_a"))

@@ -400,6 +400,11 @@ class DedupSpec extends AnyFunSuite {
     val classicInc = Dedup.dedupMinhashLshIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     spark.conf.set("graft.verify.sparseVolumeBytes", "0")
+    // Run the sparse path with its orphan-candidate audit on: the
+    // "cannot happen by construction" invariant (every candidate's
+    // doc ids exist in the shingle relation) stays loud here, where
+    // the grid paths throw natively.
+    spark.conf.set("graft.verify.auditSparse", "true")
     try {
       val sparseLsh = Dedup.dedupMinhashLsh(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -407,7 +412,10 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(classicLsh.nonEmpty && sparseLsh == classicLsh)
       assert(classicInc.nonEmpty && sparseInc == classicInc)
-    } finally spark.conf.unset("graft.verify.sparseVolumeBytes")
+    } finally {
+      spark.conf.unset("graft.verify.sparseVolumeBytes")
+      spark.conf.unset("graft.verify.auditSparse")
+    }
   }
 
   test("zero candidate pairs: verify grid returns empty, not an AQE partition-count crash") {
