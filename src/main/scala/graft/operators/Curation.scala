@@ -863,6 +863,48 @@ object Curation {
        |WHERE CAST(n_contaminated AS DOUBLE) / n_shingles >= $ContainmentThreshold
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- decontaminate_bloom: the compact-broadcast scale variant ----
+  /** Same semantics as [[textDecontaminate]] (identical output, same
+    * oracle), with the benchmark shingle set shipped as a BLOOM
+    * FILTER instead of an exact broadcast hash set. Why this exists
+    * as its own gated entry: the exact semi-join broadcasts
+    * ~16 bytes per distinct bench shingle, while the bloom is ~10
+    * BITS per element at 1% fpp — a 10-13x smaller broadcast, the
+    * difference between "fits every executor" and "doesn't" when
+    * the eval corpus is GBs. Bloom false positives would break the
+    * exactness contract, so the filter is a PREFILTER only: corpus
+    * shingles that bloom-hit (true hits + ~1% fp) still pass the
+    * exact semi-join, whose probe side has now shrunk from the
+    * whole corpus to the hit stream. Output is provably identical —
+    * the bloom never produces false NEGATIVES, so no true hit is
+    * lost, and the confirm join removes every false positive. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
+    val hashed = Dedup.sharedShingleArrays(docs)
+    val corpus = hashed.filter(col("doc_id") < lit(split))
+      .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+        explode(col("ghs")).as("gh"))
+    val bench = hashed.filter(col("doc_id") >= lit(split))
+      .select(explode(col("ghs")).as("gh")).distinct()
+    // The bench side is bounded by design (eval suites, not corpora):
+    // one eager count sizes the bloom honestly instead of guessing.
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = spark.sparkContext.broadcast(
+      bench.stat.bloomFilter("gh", nBench, 0.01))
+    val bloomHit = udf((g: Long) => bloom.value.mightContainLong(g))
+    corpus.filter(bloomHit(col("gh")))
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_contaminated"))
+      .withColumn("containment",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .filter(col("n_contaminated").cast("double") / col("n_shingles") >= ContainmentThreshold)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- curate_pipeline: the composed nightly curation job ----
   /** Quality gates for the composed pipeline — deliberately plain
     * raw-column rules (the Gopher/C4-style length+symbol cuts), each
@@ -1170,5 +1212,6 @@ object Curation {
     // tokenization only over the pushed fresh-slice scan
     GraftQuery("tfidf_incremental", Some(tfidfTopTermsSql), tfidfIncremental),
     GraftQuery("corpus_drift", Some(corpusDriftSql), corpusDrift),
-    GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate))
+    GraftQuery("text_decontaminate", Some(textDecontaminateSql), textDecontaminate),
+    GraftQuery("decontaminate_bloom", Some(textDecontaminateSql), decontaminateBloom))
 }

@@ -579,7 +579,143 @@ object Relational {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q_band_join: numeric band (range) self-join via bin bucketing ----
+  /** Half-width of the price band. Also the bin width: values within
+    * `eps` of each other land in the same or an adjacent bin, so the
+    * 3-bin replication below finds every qualifying pair exactly
+    * once (replica bins are distinct per row). */
+  val BandEps = 5.0
+
+  /** For each order, how many OTHER orders have a total price within
+    * ±[[BandEps]] — a pure non-equi band join (numeric near-match,
+    * the feature-space analogue of text near-dup). Spark has no
+    * native band-join operator and the naive plan is a
+    * BroadcastNestedLoopJoin — O(n²) compares and a driver-sized
+    * broadcast, both fatal at 100 TB. The scalable composition bins
+    * both sides at bin width = band width: the build side replicates
+    * into its 3 candidate bins (a bounded 3x, independent of corpus
+    * size), the join becomes a plain shuffled EQUI join on the bin,
+    * and the exact |Δprice| ≤ eps predicate filters in-row. Shuffle
+    * volume is 4n rows hashed uniformly by bin — no quadratic term
+    * anywhere; candidate volume per bin is data-density-bounded
+    * (AQE's skew split handles a hot price point). The spec pins the
+    * plan: an equi shuffle join, no nested-loop/cartesian operator. */
+  def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bin = floor(col("o_totalprice") / lit(BandEps)).cast("long")
+    val probe = ord.withColumn("bin", bin)
+    val build = ord
+      .select(col("o_orderkey").as("b_orderkey"),
+        col("o_totalprice").as("b_totalprice"))
+      .withColumn("b_bin",
+        floor(col("b_totalprice") / lit(BandEps)).cast("long"))
+      .withColumn("bin",
+        explode(array(col("b_bin") - 1, col("b_bin"), col("b_bin") + 1)))
+      .drop("b_bin")
+    probe.join(build, Seq("bin"))
+      .filter(abs(col("o_totalprice") - col("b_totalprice")) <= lit(BandEps) &&
+        col("o_orderkey") =!= col("b_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_similar"),
+        // IEEE subtract/abs/min are exact and order-independent —
+        // bit-identical across engines with no decimal detour
+        min(abs(col("o_totalprice") - col("b_totalprice"))).as("min_gap"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qBandJoinSql: String =
+    s"""SELECT a.o_orderkey, COUNT(*) AS n_similar,
+       |  MIN(ABS(a.o_totalprice - b.o_totalprice)) AS min_gap
+       |FROM orders a JOIN orders b
+       |  ON b.o_totalprice BETWEEN a.o_totalprice - $BandEps
+       |                        AND a.o_totalprice + $BandEps
+       | AND a.o_orderkey <> b.o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q_skew_join: salted equi-join over a pathologically hot key ----
+  /** Large-to-small join where the key (l_returnflag, 3 values) is
+    * maximally skewed — the shape where a plain shuffle join puts a
+    * third of the fact table on ONE reducer. Routed through
+    * [[Skew.saltedJoin]]: the fact side salts into 16 sub-keys, the
+    * small side replicates 16x (bounded — it is a 3-row aggregate),
+    * and every reducer gets ~1/48th of the data. The aggregate
+    * COUNT(*) in the output is the row-multiplicity proof: a salt
+    * bug that dropped or duplicated rows cannot hash-match the
+    * oracle's plain-join counts. AQE's skew-join split is the
+    * first-line fix at runtime (GraftSession enables it); the salted
+    * form is the deterministic fallback it cannot always apply —
+    * e.g. when the hot side feeds an aggregation, as here. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val flags = li.groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("flag_qty"))
+    Skew.saltedJoin(
+      li.select(col("l_returnflag"), col("l_linestatus")),
+      flags, "l_returnflag", salts = 16)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), max(col("flag_qty")).as("flag_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val qSkewJoinSql: String = {
+    import Exact.sql._
+    s"""WITH flags AS (
+       |  SELECT l_returnflag, ${sdsum("l_quantity")} AS flag_qty
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n,
+       |  MAX(f.flag_qty) AS flag_qty
+       |FROM lineitem l JOIN flags f USING (l_returnflag)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- sketch_distinct: HLL cardinality with an exactness gate ----
+  /** Relative-error parameter for the HLL++ sketch; the gate below
+    * allows 5x this (HLL's error is a distribution around rsd — a
+    * tight bound would flake, a loose one still catches a broken
+    * sketch by an order of magnitude). */
+  val SketchRsd = 0.05
+
+  /** Grouped distinct-user counts, exact AND sketched in one pass.
+    * The returned (oracle-checked) columns are the exact counts; the
+    * HLL++ estimate is computed alongside and GATED eagerly — the
+    * query throws if any group's estimate strays beyond 5*rsd, the
+    * ann_recall pattern (the sketch itself cannot hash-match a
+    * deterministic oracle, so the entry proves the sketch machinery
+    * against the exact answer instead). The 100 TB story is the
+    * sketch: COUNT(DISTINCT) over a hot key is an expand + two
+    * shuffles of every distinct value, where HLL++ is one partial-
+    * aggregable pass with KB-sized state per group — at scale a
+    * deployment returns the estimate and drops the exact column,
+    * and this entry is the measured license to do so. */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val grouped = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), SketchRsd).as("n_users_hll"),
+        count(lit(1)).as("n_events"))
+    // Eager gate over a bounded row set (one row per event type).
+    grouped.collect().foreach { r =>
+      val exact = r.getAs[Long]("n_users")
+      val est = r.getAs[Long]("n_users_hll")
+      val err = math.abs(est - exact).toDouble / math.max(exact, 1L)
+      if (err > 5 * SketchRsd) throw new IllegalStateException(
+        s"sketch_distinct: HLL estimate $est vs exact $exact for " +
+          s"${r.getAs[String]("event_type")} — error $err exceeds ${5 * SketchRsd}")
+    }
+    grouped.select(col("event_type"), col("n_users"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sketchDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_band_join", Some(qBandJoinSql), qBandJoin),
+    GraftQuery("q_skew_join", Some(qSkewJoinSql), qSkewJoin),
+    GraftQuery("sketch_distinct", Some(sketchDistinctSql), sketchDistinct),
     GraftQuery("q_events_retention", Some(qEventsRetentionSql), qEventsRetention),
     GraftQuery("q_events_funnel", Some(qEventsFunnelSql), qEventsFunnel),
     GraftQuery("q_setops", Some(qSetopsSql), qSetops),

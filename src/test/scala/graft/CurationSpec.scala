@@ -381,4 +381,13 @@ class CurationSpec extends AnyFunSuite {
     // every term is fresh-only: drift = its fresh rate exactly
     assert(out.map(_.getAs[Double]("drift")).forall(_ > 0))
   }
+
+  test("decontaminate_bloom emits exactly text_decontaminate's rows") {
+    // the bloom is a prefilter only — false positives die in the
+    // exact confirm join, false negatives cannot exist, so the two
+    // entries must agree row-for-row
+    val exact = Curation.textDecontaminate(spark, dir).collect().toSeq
+    val bloom = Curation.decontaminateBloom(spark, dir).collect().toSeq
+    assert(exact.nonEmpty && bloom == exact)
+  }
 }

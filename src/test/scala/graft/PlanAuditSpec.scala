@@ -605,4 +605,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
       s"unpruned documents scan: $readSchema")
   }
+
+  test("q_band_join: bin bucketing makes the band join an equi join, never a nested loop") {
+    val plan = formatted(operators.Relational.qBandJoin(spark, dir))
+    // the whole point of the 3-bin replication: a non-equi band
+    // predicate alone plans as BroadcastNestedLoopJoin (O(n²)
+    // compares, driver-sized broadcast — fatal at 100 TB)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi join found:\n$plan")
+    // the ±eps predicate must filter pairs INSIDE the join (join
+    // condition), not in a post-join filter over the 3x candidates
+    assert(plan.contains("Join") && plan.toLowerCase.contains("abs"),
+      s"band predicate not attached to the join:\n$plan")
+  }
+
+  test("q_skew_join: the fact side salts before the join (no unsalted hot-key shuffle)") {
+    val plan = staticPlan(operators.Relational.qSkewJoin(spark, dir))
+    // the join key must be (l_returnflag, __salt) — a plain
+    // l_returnflag-only shuffle join puts 1/3 of the fact table on
+    // one reducer at any scale
+    assert(plan.contains("__salt"), s"salt column absent from the static plan:\n$plan")
+  }
 }

@@ -103,4 +103,45 @@ class RelationalSpec extends AnyFunSuite {
         s"session_start after session_end: $r")
     }
   }
+
+  test("q_band_join equals the naive all-pairs band join") {
+    val eps = operators.Relational.BandEps
+    val got = operators.Relational.qBandJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val naive = ord.flatMap { case (ka, pa) =>
+      val gaps = ord.collect {
+        case (kb, pb) if kb != ka && math.abs(pa - pb) <= eps => math.abs(pa - pb)
+      }
+      if (gaps.isEmpty) None else Some((ka, gaps.length.toLong, gaps.min))
+    }.sortBy(_._1).toSeq
+    assert(naive.nonEmpty && got == naive)
+  }
+
+  test("q_skew_join equals the unsalted plain join") {
+    val got = operators.Relational.qSkewJoin(spark, dir).collect().map(_.toString).toSeq
+    val li = Tables.lineitem(spark, dir)
+    val flags = li.groupBy(col("l_returnflag"))
+      .agg(Exact.dsum(col("l_quantity")).as("flag_qty"))
+    val plain = li.select(col("l_returnflag"), col("l_linestatus"))
+      .join(flags, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), max(col("flag_qty")).as("flag_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(_.toString).toSeq
+    assert(plain.nonEmpty && got == plain)
+  }
+
+  test("sketch_distinct: gate passes and the exact column is exact") {
+    val rows = operators.Relational.sketchDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    rows.foreach { r =>
+      val exact = ev.filter(col("event_type") === r.getString(0))
+        .select(col("user_id")).distinct().count()
+      assert(r.getLong(1) == exact, s"${r.getString(0)}: ${r.getLong(1)} vs $exact")
+    }
+  }
 }
