@@ -22,6 +22,7 @@ object Registry {
       operators.Curation.queries ++
       operators.Similarity.queries ++
       sources.SdfQueries.queries ++
+      sinks.ZOrder.queries ++
       streaming.Streams.queries ++
       multimodal.Multimodal.queries
 

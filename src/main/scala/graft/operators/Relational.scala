@@ -648,26 +648,27 @@ object Relational {
     * e.g. when the hot side feeds an aggregation, as here. */
   def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // the dim measure is a plain long count — exact in both engines
+    // with no decimal pass; the multiplicity proof needs the VALUES
+    // joined through the salt, not an expensive measure
     val flags = li.groupBy(col("l_returnflag"))
-      .agg(dsum(col("l_quantity")).as("flag_qty"))
+      .agg(count(lit(1)).as("flag_rows"))
     Skew.saltedJoin(
       li.select(col("l_returnflag"), col("l_linestatus")),
       flags, "l_returnflag", salts = 16)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), max(col("flag_qty")).as("flag_qty"))
+      .agg(count(lit(1)).as("n"), max(col("flag_rows")).as("flag_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  private val qSkewJoinSql: String = {
-    import Exact.sql._
-    s"""WITH flags AS (
-       |  SELECT l_returnflag, ${sdsum("l_quantity")} AS flag_qty
-       |  FROM lineitem GROUP BY 1)
-       |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n,
-       |  MAX(f.flag_qty) AS flag_qty
-       |FROM lineitem l JOIN flags f USING (l_returnflag)
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
+  private val qSkewJoinSql: String =
+    """WITH flags AS (
+      |  SELECT l_returnflag, COUNT(*) AS flag_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n,
+      |  MAX(f.flag_rows) AS flag_rows
+      |FROM lineitem l JOIN flags f USING (l_returnflag)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- sketch_distinct: HLL cardinality with an exactness gate ----
   /** Relative-error parameter for the HLL++ sketch; the gate below
@@ -712,8 +713,62 @@ object Relational {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- sketch_quantile: KLL/GK quantile sketch with an exactness gate ----
+  /** approx_percentile's accuracy parameter: guarantees rank error
+    * ≤ n/accuracy = 0.1% of the group — the gate below allows the
+    * sketch to land anywhere between the exact p±5 percentiles,
+    * ~50x that guarantee (loose enough never to flake, tight enough
+    * that a broken sketch cannot pass). */
+  val QuantileAccuracy = 1000
+
+  /** Grouped exact quantiles (the oracle-checked columns) with the
+    * quantile SKETCH computed alongside and gated eagerly — the
+    * sketch_distinct pattern applied to percentiles. At 100 TB exact
+    * grouped percentiles need the full sorted group per key;
+    * approx_percentile is one partial-aggregable pass with bounded
+    * per-group state, and this entry is the measured license to use
+    * it: the estimate must fall within the exact [p-0.05, p+0.05]
+    * percentile bracket, far inside which the sketch's rank-error
+    * contract (≤ 1/[[QuantileAccuracy]]) puts it. */
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val grouped = ev.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr(s"approx_percentile(value, 0.5, $QuantileAccuracy)").as("p50_sketch"),
+        expr(s"approx_percentile(value, 0.9, $QuantileAccuracy)").as("p90_sketch"),
+        expr("percentile(value, 0.45)").as("p50_lo"),
+        expr("percentile(value, 0.55)").as("p50_hi"),
+        expr("percentile(value, 0.85)").as("p90_lo"),
+        expr("percentile(value, 0.95)").as("p90_hi"),
+        count(lit(1)).as("n_events"))
+    grouped.collect().foreach { r =>
+      def in(est: String, lo: String, hi: String): Unit = {
+        val e = r.getAs[Double](est)
+        if (e < r.getAs[Double](lo) || e > r.getAs[Double](hi))
+          throw new IllegalStateException(
+            s"sketch_quantile: $est=$e outside exact bracket " +
+              s"[${r.getAs[Double](lo)}, ${r.getAs[Double](hi)}] for " +
+              r.getAs[String]("event_type"))
+      }
+      in("p50_sketch", "p50_lo", "p50_hi")
+      in("p90_sketch", "p90_lo", "p90_hi")
+    }
+    grouped.select(col("event_type"), col("p50"), col("p90"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sketchQuantileSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_band_join", Some(qBandJoinSql), qBandJoin),
+    GraftQuery("sketch_quantile", Some(sketchQuantileSql), sketchQuantile),
     GraftQuery("q_skew_join", Some(qSkewJoinSql), qSkewJoin),
     GraftQuery("sketch_distinct", Some(sketchDistinctSql), sketchDistinct),
     GraftQuery("q_events_retention", Some(qEventsRetentionSql), qEventsRetention),

@@ -124,11 +124,11 @@ class RelationalSpec extends AnyFunSuite {
     val got = operators.Relational.qSkewJoin(spark, dir).collect().map(_.toString).toSeq
     val li = Tables.lineitem(spark, dir)
     val flags = li.groupBy(col("l_returnflag"))
-      .agg(Exact.dsum(col("l_quantity")).as("flag_qty"))
+      .agg(count(lit(1)).as("flag_rows"))
     val plain = li.select(col("l_returnflag"), col("l_linestatus"))
       .join(flags, Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), max(col("flag_qty")).as("flag_qty"))
+      .agg(count(lit(1)).as("n"), max(col("flag_rows")).as("flag_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
       .collect().map(_.toString).toSeq
     assert(plain.nonEmpty && got == plain)

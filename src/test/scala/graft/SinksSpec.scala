@@ -286,4 +286,53 @@ class SinksSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((1L, "a"), (2L, "z"))) // lexicographically smallest row wins
   }
+
+  test("z-order layout prunes files on BOTH axes where a linear sort prunes one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ZOrder
+    // deterministic uniform grid: 200k points over [0,10000)²
+    val n = 200000
+    val df = spark.range(n.toLong)
+      .select(col("id"),
+        (col("id") * 7919 % 10000).as("x"),   // co-prime stride: uniform, decorrelated
+        (col("id") * 104729 % 10000).as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zspec_z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft_zspec_l").toString
+    ZOrder.publishZOrdered(df, "x", "y", zdir, files = 64)
+    df.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir)
+
+    // per-file min/max stats (what parquet footers carry), one job per layout
+    def fileStats(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zStats = fileStats(zdir)
+    val lStats = fileStats(ldir)
+    assert(zStats.length == 64 && lStats.length == 64)
+
+    def touched(stats: Array[(Long, Long, Long, Long)],
+                xr: Option[(Long, Long)], yr: Option[(Long, Long)]): Int =
+      stats.count { case (xlo, xhi, ylo, yhi) =>
+        xr.forall { case (a, b) => xhi >= a && xlo <= b } &&
+          yr.forall { case (a, b) => yhi >= a && ylo <= b }
+      }
+
+    val yBand = Some((2000L, 2999L)) // 10% of the y domain
+    val xBand = Some((2000L, 2999L))
+    // the linear-x layout cannot prune a y-only predicate at all
+    assert(touched(lStats, None, yBand) == 64,
+      "x-sorted layout unexpectedly pruned a y predicate — test premise broken")
+    // the z-order layout must prune most files on the SAME predicate
+    val zY = touched(zStats, None, yBand)
+    assert(zY <= 24, s"z-order touched $zY/64 files for a 10% y band")
+    // and the 1% box must touch only a corner of the curve
+    val zBox = touched(zStats, xBand, yBand)
+    assert(zBox <= 12, s"z-order touched $zBox/64 files for a 1% box")
+    // x predicates keep pruning too (both layouts cluster x)
+    val zX = touched(zStats, xBand, None)
+    assert(zX <= 24, s"z-order touched $zX/64 files for a 10% x band")
+  }
 }
