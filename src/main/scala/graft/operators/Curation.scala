@@ -878,6 +878,31 @@ object Curation {
     * whole corpus to the hit stream. Output is provably identical —
     * the bloom never produces false NEGATIVES, so no true hit is
     * lost, and the confirm join removes every false positive. */
+  /** Codegen'd bloom probe over a long column: Spark's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression behind runtime row-level filtering) over the
+    * serialized filter, instead of a per-row Scala UDF. The probe is
+    * applied to the corpus-side EXPLODED shingle stream — the single
+    * hottest relation in the query — so interpreted boxing dispatch
+    * per shingle is exactly the cost class this repo's native-kernel
+    * discipline exists to avoid. Semantics are bit-identical:
+    * BloomFilterMightContain.eval IS `bloomFilter.mightContainLong
+    * (value)`, the same call the UDF made, on the same
+    * `org.apache.spark.util.sketch.BloomFilter` implementation
+    * (writeTo/readFrom round-trip). The binary literal rides the
+    * stage's task-binary broadcast, so executors still receive the
+    * filter once per stage, not per row. */
+  private[graft] def bloomProbe(
+      bloom: org.apache.spark.util.sketch.BloomFilter, value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(value)))
+  }
+
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
@@ -890,10 +915,8 @@ object Curation {
     // The bench side is bounded by design (eval suites, not corpora):
     // one eager count sizes the bloom honestly instead of guessing.
     val nBench = math.max(bench.count(), 1L)
-    val bloom = spark.sparkContext.broadcast(
-      bench.stat.bloomFilter("gh", nBench, 0.01))
-    val bloomHit = udf((g: Long) => bloom.value.mightContainLong(g))
-    corpus.filter(bloomHit(col("gh")))
+    val bloom = bench.stat.bloomFilter("gh", nBench, 0.01)
+    corpus.filter(bloomProbe(bloom, col("gh")))
       .join(broadcast(bench), Seq("gh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(max(col("n_shingles")).as("n_shingles"),

@@ -696,7 +696,8 @@ object Relational {
         approx_count_distinct(col("user_id"), SketchRsd).as("n_users_hll"),
         count(lit(1)).as("n_events"))
     // Eager gate over a bounded row set (one row per event type).
-    grouped.collect().foreach { r =>
+    val rows = grouped.collect()
+    rows.foreach { r =>
       val exact = r.getAs[Long]("n_users")
       val est = r.getAs[Long]("n_users_hll")
       val err = math.abs(est - exact).toDouble / math.max(exact, 1L)
@@ -704,8 +705,14 @@ object Relational {
         s"sketch_distinct: HLL estimate $est vs exact $exact for " +
           s"${r.getAs[String]("event_type")} — error $err exceeds ${5 * SketchRsd}")
     }
-    grouped.select(col("event_type"), col("n_users"), col("n_events"))
-      .orderBy(col("event_type"))
+    // Return the ALREADY-COLLECTED rows (bounded: one per event
+    // type) — consuming the returned frame must not re-run the
+    // full aggregation the gate just executed.
+    import spark.implicits._
+    rows.map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events")))
+      .sortBy(_._1).toSeq
+      .toDF("event_type", "n_users", "n_events")
   }
 
   private val sketchDistinctSql: String =
@@ -743,7 +750,8 @@ object Relational {
         expr("percentile(value, 0.85)").as("p90_lo"),
         expr("percentile(value, 0.95)").as("p90_hi"),
         count(lit(1)).as("n_events"))
-    grouped.collect().foreach { r =>
+    val rows = grouped.collect()
+    rows.foreach { r =>
       def in(est: String, lo: String, hi: String): Unit = {
         val e = r.getAs[Double](est)
         if (e < r.getAs[Double](lo) || e > r.getAs[Double](hi))
@@ -755,8 +763,13 @@ object Relational {
       in("p50_sketch", "p50_lo", "p50_hi")
       in("p90_sketch", "p90_lo", "p90_hi")
     }
-    grouped.select(col("event_type"), col("p50"), col("p90"), col("n_events"))
-      .orderBy(col("event_type"))
+    // Bounded collected rows ARE the result — don't recompute the
+    // grouped percentiles a second time when the frame is consumed.
+    import spark.implicits._
+    rows.map(r => (r.getAs[String]("event_type"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Long]("n_events")))
+      .sortBy(_._1).toSeq
+      .toDF("event_type", "p50", "p90", "n_events")
   }
 
   private val sketchQuantileSql: String =

@@ -88,8 +88,15 @@ object ZOrder {
   val BoxDateLo = "1997-01-01"
   val BoxDateHi = "1997-06-30"
 
+  /** Scratch dir for the published layout: keyed on PID as well as
+    * the corpus dir, so two concurrent harness JVMs on the same
+    * corpus never race mode("overwrite") against each other's
+    * read-back (same hazard the SdfQueries StagePath comment
+    * documents). Stable within a JVM so repeated invocations reuse
+    * one path instead of leaking a dir per call. */
   private def zDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${Integer.toHexString(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
 
   /** Publish orders z-ordered on (o_totalprice, o_orderdate) and run
     * the box aggregation over the PUBLISHED table. The values cannot
@@ -103,12 +110,19 @@ object ZOrder {
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
-      .withColumn("o_orderdate_us", unix_micros(col("o_orderdate")))
+      // o_orderdate is TIMESTAMP_NTZ (parquet timestamp, not UTC-
+      // adjusted); unix_micros only accepts TIMESTAMP, so cast. The
+      // session-TZ shift is monotonic, which is all an ordering key
+      // for the curve needs.
+      .withColumn("o_orderdate_us", unix_micros(col("o_orderdate").cast("timestamp")))
     publishZOrdered(ord, "o_totalprice", "o_orderdate_us", out, files = 32)
     spark.read.parquet(out)
       .filter(col("o_totalprice").between(BoxPriceLo, BoxPriceHi) &&
+        // NTZ literals against the NTZ column: no cast on the column,
+        // so the predicate pushes to the scan and prunes on the
+        // published stats.
         col("o_orderdate").between(
-          to_timestamp(lit(BoxDateLo)), to_timestamp(lit(BoxDateHi))))
+          lit(BoxDateLo).cast("timestamp_ntz"), lit(BoxDateHi).cast("timestamp_ntz")))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         Exact.dsum(col("o_totalprice")).as("sum_price"))

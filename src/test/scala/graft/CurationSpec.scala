@@ -390,4 +390,19 @@ class CurationSpec extends AnyFunSuite {
     val bloom = Curation.decontaminateBloom(spark, dir).collect().toSeq
     assert(exact.nonEmpty && bloom == exact)
   }
+
+  test("native bloomProbe column decides exactly like BloomFilter.mightContainLong") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pin the codegen'd BloomFilterMightContain path to the driver-
+    // side call the old UDF made, over members AND non-members
+    val members = (0L until 500L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(members.size, 0.01)
+    members.foreach(bloom.putLong)
+    val probes = (0L until 5000L).toDF("g")
+    val gotHits = probes.filter(Curation.bloomProbe(bloom, col("g")))
+      .as[Long].collect().toSet
+    val wantHits = (0L until 5000L).filter(bloom.mightContainLong).toSet
+    assert(gotHits == wantHits && members.filter(_ < 5000L).toSet.subsetOf(gotHits))
+  }
 }

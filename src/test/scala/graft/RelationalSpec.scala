@@ -144,4 +144,23 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(1) == exact, s"${r.getString(0)}: ${r.getLong(1)} vs $exact")
     }
   }
+
+  test("sketch_quantile: gate passes and the exact columns are exact percentiles") {
+    val rows = operators.Relational.sketchQuantile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    rows.foreach { r =>
+      // re-derive the exact percentiles independently of the entry's
+      // own aggregation (the gate already proved the sketch columns
+      // sit inside the exact p±5 bracket; this pins the RETURNED
+      // exact columns)
+      val want = ev.filter(col("event_type") === r.getString(0))
+        .agg(expr("percentile(value, 0.5)"), expr("percentile(value, 0.9)"))
+        .head()
+      assert(r.getDouble(1) == want.getDouble(0),
+        s"${r.getString(0)} p50: ${r.getDouble(1)} vs ${want.getDouble(0)}")
+      assert(r.getDouble(2) == want.getDouble(1),
+        s"${r.getString(0)} p90: ${r.getDouble(2)} vs ${want.getDouble(1)}")
+    }
+  }
 }
