@@ -25,4 +25,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Present {
   def ordered(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(keys.head).orderBy(keys: _*)
+
+  /** Presentation sort for BOUNDED outputs (r16): when the result is
+    * a small presentation table (cohort matrices, per-type rollups —
+    * thousands of rows by construction), a global `orderBy` still
+    * pays a range exchange whose bound computation SAMPLES the child
+    * — one extra pass over the final aggregate stage per execution,
+    * measured at ~1.0 s of q_events_tumbling's 3.17 s at sf100
+    * (BASELINE r14 decomposition). A single-partition exchange + one
+    * in-partition sort produces the IDENTICAL total order (one
+    * partition ⇒ in-partition order IS global order) with no
+    * sampling job and no range boundaries to compute. The upstream
+    * aggregation keeps its full parallelism — only the bounded
+    * result rows funnel to one task, which is also the right shape
+    * on a 1000-executor cluster: a tiny presentation sort should be
+    * one task, not a 200-partition range exchange of 3 k rows.
+    * Unbounded outputs must keep [[ordered]] — funneling a corpus-
+    * sized result to one partition is exactly the anti-pattern. */
+  def orderedBounded(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(keys: _*)
 }

@@ -325,7 +325,9 @@ object Relational {
     ev.withColumn("bucket_us", us - pmod(us, lit(WindowUs)))
       .groupBy(col("bucket_us"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .orderBy(col("bucket_us"), col("event_type"))
+      // bounded output (buckets × types): single-partition sort, no
+      // range-bound sampling pass — see Present.orderedBounded
+      .transform(graft.Present.orderedBounded(_, col("bucket_us"), col("event_type")))
   }
 
   private val qEventsTumblingSql: String = {
@@ -504,7 +506,7 @@ object Relational {
       .map { case (df, name) => stage(df, name) }
       .reduce(_ union _)
       .select(col("stage"), col("n_users"))
-      .orderBy(col("stage"))
+      .transform(graft.Present.orderedBounded(_, col("stage")))
   }
 
   private val qEventsFunnelSql: String =
@@ -563,7 +565,8 @@ object Relational {
       .select(array_min(col("wks")).as("cohort_week"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("cohort_week"), col("week_offset"))
+      // bounded cohort matrix: single-partition presentation sort
+      .transform(graft.Present.orderedBounded(_, col("cohort_week"), col("week_offset")))
   }
 
   private val qEventsRetentionSql: String = {

@@ -145,6 +145,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("events trio: bounded presentation sort is globally ordered in one partition") {
+    // Present.orderedBounded replaced the trio's global orderBy
+    // (range exchange + bound-sampling pass) — pin that the output
+    // is ONE partition and totally ordered on the presentation keys,
+    // i.e. exactly what the orderBy produced.
+    Seq(
+      ("q_events_tumbling", Seq("bucket_us", "event_type")),
+      ("q_events_retention", Seq("cohort_week", "week_offset")),
+      ("q_events_funnel", Seq("stage"))
+    ).foreach { case (name, keys) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.rdd.getNumPartitions == 1, s"$name not single-partition")
+      val got = df.collect().toSeq
+      val sorted = df.orderBy(keys.map(col): _*).collect().toSeq
+      assert(got == sorted, s"$name output not globally ordered on ${keys.mkString(",")}")
+      assert(got.nonEmpty, s"$name empty")
+    }
+  }
+
   test("sketch_quantile: gate passes and the exact columns are exact percentiles") {
     val rows = operators.Relational.sketchQuantile(spark, dir).collect()
     assert(rows.nonEmpty)
