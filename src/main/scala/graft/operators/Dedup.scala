@@ -846,22 +846,73 @@ object Dedup {
     * NOT routed here at any volume: their candidate relation
     * dwarfs the corpus, so per-pair array shipping would ship each
     * array ~8x and the grid's bounded B-fold replication wins.
-    * Override: `graft.verify.sparseVolumeBytes` (0 forces sparse —
-    * the equality spec does). */
+    * Override: `graft.verify.sparseVolumeBytes` (0 forces the
+    * above-floor regime — the equality spec does; the MEASURED
+    * candidate-density check then picks sparse vs grid, see
+    * [[DenseCandRatio]]). */
   private[graft] val SparseGridVolumeBytes = SmallGridVolumeBytes
 
   private def sparseFloor(spark: SparkSession): Long =
     spark.conf.getOption("graft.verify.sparseVolumeBytes")
       .map(_.toLong).getOrElse(SparseGridVolumeBytes)
 
+  /** Candidate-density line above which a BANDED family is verified
+    * on the grid after all (r16, VERDICT r14 item 3): the sparse
+    * pair join ships each doc's array once per candidate touching
+    * it, so at R candidate rows per corpus doc its shuffle is ~R×
+    * the grid's bounded (2B−1)-fold docs-side replication crossover.
+    * The dense PPJoin sweep sits at ~8 rows/doc and the grid wins
+    * there; banded LSH candidates arrive at the near-dup rate (≪1)
+    * on a healthy corpus — but a near-dup-SATURATED crawl (the same
+    * page mirrored thousands of times) collides everything into the
+    * same band buckets and the banded relation turns dense too.
+    * 4 rows/doc splits the regimes with margin on both sides.
+    * Override: `graft.verify.denseCandRatio`. */
+  private[graft] val DenseCandRatio = 4.0
+
+  /** Last routing decision of [[verifyJaccardAuto]] — observability
+    * for the routing spec ONLY (specs run serially); not part of the
+    * operator contract. */
+  @volatile private[graft] var lastAutoRoute: String = ""
+
   /** Dispatch between the classic one-query grid and the sparse
-    * pair join by corpus volume (see [[SparseGridVolumeBytes]]). */
+    * pair join: by corpus volume first (below
+    * [[SparseGridVolumeBytes]] the one-task merge is cheapest), then
+    * by MEASURED candidate density rather than family identity
+    * (r16): the banded families route here because their candidates
+    * are usually near-dup-rate sparse, but "usually" is a property
+    * of the corpus, not the family — a near-dup-saturated crawl
+    * lands banded candidates in exactly the dense regime the grid's
+    * bounded replication exists for. The candidate id-pair relation
+    * is persisted (two longs per row — MEMORY_AND_DISK, pair-bounded)
+    * and counted once; the verify pass then consumes the cache, so
+    * candidate generation itself still runs once. The count job does
+    * re-run the shingle/signature kernel that feeds the band join
+    * (the verify job recomputes `hashed` for the array joins — cross-
+    * action exchange reuse doesn't exist), a bounded premium paid
+    * only above the volume floor, against the unbounded downside of
+    * per-pair array shipping on a dense candidate set. */
   private def verifyJaccardAuto(cand: DataFrame, hashed: DataFrame,
                                 docs: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     val vol = shingleVolumeBytes(docs)
-    if (vol > sparseFloor(spark)) verifyJaccardSparse(cand, hashed)
-    else verifyJaccard(cand, hashed, vol)
+    if (vol <= sparseFloor(spark)) {
+      lastAutoRoute = "small-grid"
+      verifyJaccard(cand, hashed, vol)
+    } else {
+      val ratio = spark.conf.getOption("graft.verify.denseCandRatio")
+        .map(_.toDouble).getOrElse(DenseCandRatio)
+      val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candRows = candP.count()
+      val docRows = docs.count()
+      if (candRows > ratio * docRows) {
+        lastAutoRoute = "dense-grid"
+        verifyJaccard(candP, hashed, vol)
+      } else {
+        lastAutoRoute = "sparse"
+        verifyJaccardSparse(candP, hashed)
+      }
+    }
   }
 
   // ---- dedup_ngram_jaccard: exact set-Jaccard via prefix filter ----

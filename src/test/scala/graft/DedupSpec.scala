@@ -412,9 +412,52 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(classicLsh.nonEmpty && sparseLsh == classicLsh)
       assert(classicInc.nonEmpty && sparseInc == classicInc)
+      // this corpus's banded candidates are near-dup-rate sparse, so
+      // the density check must have picked the pair join
+      assert(Dedup.lastAutoRoute == "sparse")
     } finally {
       spark.conf.unset("graft.verify.sparseVolumeBytes")
       spark.conf.unset("graft.verify.auditSparse")
+    }
+  }
+
+  test("density-aware routing: a near-dup-saturated corpus routes banded verify to the grid") {
+    // r16 (VERDICT r14 item 3): banded→sparse used to be family-
+    // static; a crawl where the same page recurs dozens of times
+    // makes the BANDED candidate relation dense (every copy collides
+    // with every copy in every band — quadratic rows over a linear
+    // corpus), the regime the grid's bounded replication exists for.
+    // Plant exactly that corpus: 24 near-identical docs (tiny suffix
+    // edits, Jaccard >= threshold) + a few distinct ones. Band
+    // collisions ≈ 16 bands × C(24,2) ≈ 4.4k rows over 30 docs —
+    // two orders past the 4 rows/doc line.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 4
+    val docs = ((0 until 24).map(i => (i.toLong, base + ("x" * (i % 3)))) ++
+      Seq((100L, "entirely unrelated content about spark partitions and shuffles"),
+        (101L, "another distinct document concerning columnar storage formats"),
+        (102L, "a third unique text on approximate membership structures")))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("densecorpus").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.conf.set("graft.verify.sparseVolumeBytes", "0") // engage the above-floor regime
+    try {
+      val auto = Dedup.dedupMinhashLsh(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(Dedup.lastAutoRoute == "dense-grid",
+        s"dense banded corpus routed '${Dedup.lastAutoRoute}', expected dense-grid")
+      assert(auto.nonEmpty)
+      // pairs identical whichever way the router decides: force the
+      // sparse path on the same corpus by raising the density line
+      spark.conf.set("graft.verify.denseCandRatio", "1e18")
+      val sparse = Dedup.dedupMinhashLsh(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(Dedup.lastAutoRoute == "sparse")
+      assert(sparse == auto)
+    } finally {
+      spark.conf.unset("graft.verify.sparseVolumeBytes")
+      spark.conf.unset("graft.verify.denseCandRatio")
     }
   }
 
