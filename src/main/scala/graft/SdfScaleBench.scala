@@ -72,26 +72,37 @@ object SdfScaleBench {
        |""".stripMargin + "\n$$$$\n"
   }
 
-  def generate(root: String, nFiles: Int, molsPerFile: Int): String = {
-    val dir = java.nio.file.Paths.get(root, "sdf")
+  /** Generate the corpus, optionally as `.sdf.gz` — what PubChem
+    * actually ships (reference utils.py:285 opens via gzip). Gzip is
+    * not splittable, so a `.gz` file is ONE task however large; the
+    * bench's gz mode exists to measure that file-level parallelism
+    * (PubChem ships thousands of files) still saturates the box. */
+  def generate(root: String, nFiles: Int, molsPerFile: Int,
+               gz: Boolean = false): String = {
+    val dir = java.nio.file.Paths.get(root, if (gz) "sdfgz" else "sdf")
     java.nio.file.Files.createDirectories(dir)
     val rng = new java.util.Random(42)
+    val ext = if (gz) ".sdf.gz" else ".sdf"
     var cid = 1L
     for (f <- 0 until nFiles) {
-      val p = dir.resolve(f"Compound_$f%05d.sdf")
+      val p = dir.resolve(f"Compound_$f%05d$ext")
       if (!java.nio.file.Files.exists(p)) {
-        val w = java.nio.file.Files.newBufferedWriter(p)
+        val out = java.nio.file.Files.newOutputStream(p)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          if (gz) new java.util.zip.GZIPOutputStream(out, 1 << 16) else out,
+          java.nio.charset.StandardCharsets.UTF_8))
         try for (_ <- 0 until molsPerFile) { w.write(record(cid, rng)); cid += 1 }
         finally w.close()
       } else cid += molsPerFile
     }
-    s"$dir/*.sdf"
+    s"$dir/*$ext"
   }
 
   def main(args: Array[String]): Unit = {
     val nFiles = if (args.length > 0) args(0).toInt else 20
     val molsPerFile = if (args.length > 1) args(1).toInt else 50000
     val root = if (args.length > 2) args(2) else "/tmp/graft_sdf_scale"
+    val gz = args.length > 3 && args(3) == "gz"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = GraftSession.local(cpus)
 
@@ -102,7 +113,8 @@ object SdfScaleBench {
       r
     }
 
-    val glob = timed(s"generate ${nFiles}x$molsPerFile")(generate(root, nFiles, molsPerFile))
+    val glob = timed(s"generate ${nFiles}x$molsPerFile${if (gz) " gz" else ""}")(
+      generate(root, nFiles, molsPerFile, gz))
     val wh = s"$root/wh"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
 
