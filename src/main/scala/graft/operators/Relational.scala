@@ -583,10 +583,15 @@ object Relational {
   }
 
   // ---- q_band_join: numeric band (range) self-join via bin bucketing ----
-  /** Half-width of the price band. Also the bin width: values within
-    * `eps` of each other land in the same or an adjacent bin, so the
-    * 3-bin replication below finds every qualifying pair exactly
-    * once (replica bins are distinct per row). */
+  /** Half-width of the price band. The bin width is 2*eps: a
+    * qualifying pair is at most eps (+ a few ulps — see the predicate
+    * note on [[qBandJoin]]) apart, i.e. at most ~half a bin, so its
+    * floors differ by at most 1 and the 3-bin replication finds every
+    * pair exactly once (replica bins are distinct per row). Width =
+    * eps would leave NO margin: IEEE division rounding can push a
+    * boundary pair's quotients just past 1.0 bins apart, where
+    * floor(x)-floor(y) < (x-y)+1 admits a distance of 2 — a pair the
+    * ±1 replication never meets (observed at sf1, keys 406975/32632). */
   val BandEps = 5.0
 
   /** For each order, how many OTHER orders have a total price within
@@ -595,34 +600,43 @@ object Relational {
     * native band-join operator and the naive plan is a
     * BroadcastNestedLoopJoin — O(n²) compares and a driver-sized
     * broadcast, both fatal at 100 TB. The scalable composition bins
-    * both sides at bin width = band width: the build side replicates
-    * into its 3 candidate bins (a bounded 3x, independent of corpus
-    * size), the join becomes a plain shuffled EQUI join on the bin,
-    * and the exact |Δprice| ≤ eps predicate filters in-row. Shuffle
-    * volume is 4n rows hashed uniformly by bin — no quadratic term
-    * anywhere; candidate volume per bin is data-density-bounded
+    * both sides at bin width = 2x band width (see [[BandEps]] for why
+    * the margin matters): the build side replicates into its 3
+    * candidate bins (a bounded 3x, independent of corpus size), the
+    * join becomes a plain shuffled EQUI join on the bin, and the
+    * exact band predicate filters in-row. The predicate is the
+    * oracle's own form — `b BETWEEN a - eps AND a + eps` — NOT
+    * `abs(a - b) <= eps`: the two are DIFFERENT IEEE functions at the
+    * band edge (b can equal the rounded `a + eps` while `b - a`
+    * rounds to eps plus an ulp; sf1 witness a=1023.13, b=1028.13,
+    * b-a=5.000000000000114) and BETWEEN is the band-join contract.
+    * Shuffle volume is 4n rows hashed uniformly by bin — no quadratic
+    * term anywhere; candidate volume per bin is data-density-bounded
     * (AQE's skew split handles a hot price point). The spec pins the
     * plan: an equi shuffle join, no nested-loop/cartesian operator. */
   def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 2 * BandEps
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val bin = floor(col("o_totalprice") / lit(BandEps)).cast("long")
+    val bin = floor(col("o_totalprice") / lit(binW)).cast("long")
     val probe = ord.withColumn("bin", bin)
     val build = ord
       .select(col("o_orderkey").as("b_orderkey"),
         col("o_totalprice").as("b_totalprice"))
       .withColumn("b_bin",
-        floor(col("b_totalprice") / lit(BandEps)).cast("long"))
+        floor(col("b_totalprice") / lit(binW)).cast("long"))
       .withColumn("bin",
         explode(array(col("b_bin") - 1, col("b_bin"), col("b_bin") + 1)))
       .drop("b_bin")
     probe.join(build, Seq("bin"))
-      .filter(abs(col("o_totalprice") - col("b_totalprice")) <= lit(BandEps) &&
+      .filter(col("b_totalprice").between(
+        col("o_totalprice") - lit(BandEps),
+        col("o_totalprice") + lit(BandEps)) &&
         col("o_orderkey") =!= col("b_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_similar"),
-        // IEEE subtract/abs/min are exact and order-independent —
-        // bit-identical across engines with no decimal detour
+        // same ABS(a-b) both engines apply to the BETWEEN-matched
+        // pairs — identical IEEE ops on identical inputs
         min(abs(col("o_totalprice") - col("b_totalprice"))).as("min_gap"))
       .orderBy(col("o_orderkey"))
   }

@@ -112,12 +112,33 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_totalprice")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     val naive = ord.flatMap { case (ka, pa) =>
+      // the BETWEEN form, not abs(a-b)<=eps — the contract predicate
+      // (the two differ at IEEE band edges; see qBandJoin's doc)
       val gaps = ord.collect {
-        case (kb, pb) if kb != ka && math.abs(pa - pb) <= eps => math.abs(pa - pb)
+        case (kb, pb) if kb != ka && pb >= pa - eps && pb <= pa + eps =>
+          math.abs(pa - pb)
       }
       if (gaps.isEmpty) None else Some((ka, gaps.length.toLong, gaps.min))
     }.sortBy(_._1).toSeq
     assert(naive.nonEmpty && got == naive)
+  }
+
+  test("q_band_join finds IEEE band-edge pairs (sf1 regression)") {
+    // real witness from the sf1 oracle compare: b equals the rounded
+    // a + eps, so BETWEEN matches while b - a rounds to eps + 1 ulp
+    // (5.000000000000114). The old abs()<=eps predicate dropped it.
+    val a = 1023.13; val b = 1028.13
+    assert(b - a > operators.Relational.BandEps) // the trap is real
+    val tmp = java.nio.file.Files.createTempDirectory("graft_band").toString
+    spark.createDataFrame(Seq((1L, a), (2L, b), (3L, 500.0)))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = operators.Relational.qBandJoin(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // asymmetric by IEEE design, and DuckDB-on-DOUBLE agrees: b sits
+    // in a's band (b == rounded a+eps) but a is NOT in b's band
+    // (b - eps rounds UP past a), so only key 1 emits a row
+    assert(got == Map(1L -> 1L), s"got $got")
   }
 
   test("q_skew_join equals the unsalted plain join") {
