@@ -35,6 +35,19 @@ object ProfileEvents {
         .groupBy(col("bucket_us"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
       "tumb_entry" -> (() => operators.Relational.qEventsTumbling(spark, sfDir)),
+      // the pre-round-16 presentation sort (range exchange with
+      // boundary sampling) over the same aggregate — the ABA twin
+      // for Present.orderedBounded's claimed saving
+      "tumb_agg_dsum_rangesort" -> (() => ev
+        .withColumn("bucket_us", us - pmod(us, lit(w)))
+        .groupBy(col("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("s"))
+        .orderBy(col("bucket_us"), col("event_type"))),
+      "tumb_agg_dsum_boundedsort" -> (() => graft.Present.orderedBounded(
+        ev.withColumn("bucket_us", us - pmod(us, lit(w)))
+          .groupBy(col("bucket_us"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("s")),
+        col("bucket_us"), col("event_type"))),
       "retention_entry" -> (() => operators.Relational.qEventsRetention(spark, sfDir)),
       "funnel_entry" -> (() => operators.Relational.qEventsFunnel(spark, sfDir)),
       "docs_scan_id" -> (() => docs.select(col("doc_id"))),
