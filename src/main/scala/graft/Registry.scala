@@ -20,6 +20,7 @@ object Registry {
       operators.Bpe.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++
+      operators.Retract.queries ++
       operators.Similarity.queries ++
       sources.SdfQueries.queries ++
       sinks.ZOrder.queries ++

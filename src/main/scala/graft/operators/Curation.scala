@@ -504,7 +504,7 @@ object Curation {
   /** The scoring core over any (doc_id, term, tf) relation — shared
     * by the full and incremental entries so their outputs are
     * identical by construction. */
-  private def tfidfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
+  private[operators] def tfidfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))

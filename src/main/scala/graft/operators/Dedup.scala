@@ -1264,13 +1264,24 @@ object Dedup {
   private val stagedCorpusHashes = new graft.StagedVersion[(String, String)]
 
   /** Read (building once per corpus version) the persisted old-corpus
-    * exact-hash set for `dir`. */
+    * exact-hash set for `dir`.
+    *
+    * The table carries a REFCOUNT (`cnt` = how many old docs share
+    * the hash), not just the distinct set (round 17, for
+    * [[Retract]]): a set is not subtractable — deleting a retracted
+    * doc's hash would wrongly evict a hash a SURVIVING duplicate
+    * still owns, and detecting that case without a count needs a
+    * corpus-wide text re-hash. With the count, retraction is exact
+    * and takedown-sized: subtract the retracted docs' hash counts,
+    * drop rows at zero. Every consumer joins on `h` only (the
+    * stream gates' left_anti), so the extra column is free. */
   def corpusHashTable(spark: SparkSession, dir: String): DataFrame = {
     stagedCorpusHashes((dir, Tables.fingerprint(spark, dir, "documents"))) {
       val docs = Tables.documents(spark, dir)
       val split = incrementalSplit(docs).getOrElse(Long.MaxValue)
       docs.filter(col("doc_id") < lit(split))
-        .select(md5(col("text")).as("h")).distinct()
+        .select(md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(CorpusHashPath)
     }
     spark.read.parquet(CorpusHashPath)
@@ -1944,9 +1955,18 @@ object Dedup {
     val restrict = incrementalSplit(docs)
       .map(split => col("doc_id") >= lit(split))
       .getOrElse(lit(false))
-    val p = spark.sparkContext.defaultParallelism
     val wt = substringWindowTable(spark, dir)
-    val sliceDocs = docs.filter(col("n_chars") >= SubstringK && restrict)
+    sliceProfileAgainst(docs.filter(col("n_chars") >= SubstringK && restrict), wt)
+  }
+
+  /** The slice-vs-window-totals profile core — shared by the
+    * incremental entry above and [[Retract.retractSubstringProfile]]
+    * (which feeds the REPAIRED totals): explode only `sliceDocs`'
+    * text, inner-join window totals (lossless — every slice window
+    * is in the table by construction), total == 1 means globally
+    * unique. Callers must have the graft kernels registered. */
+  private[operators] def sliceProfileAgainst(sliceDocs: DataFrame, wt: DataFrame): DataFrame = {
+    val p = sliceDocs.sparkSession.sparkContext.defaultParallelism
     val uniqPerDoc = sliceDocs
       .repartition(p, col("doc_id"))
       .select(col("doc_id"),

@@ -591,7 +591,17 @@ object Relational {
     * eps would leave NO margin: IEEE division rounding can push a
     * boundary pair's quotients just past 1.0 bins apart, where
     * floor(x)-floor(y) < (x-y)+1 admits a distance of 2 — a pair the
-    * ±1 replication never meets (observed at sf1, keys 406975/32632). */
+    * ±1 replication never meets.
+    *
+    * The round-16 sf1 compare dropped exactly TWO pairs, with
+    * DISTINCT causes fixed by the two independent changes above
+    * (ADVICE r16 asked for one attribution, stated here once):
+    * the pair (a=1023.13, b=1028.13) was a PREDICATE-edge miss —
+    * b equals the rounded a+eps so BETWEEN matches while b−a rounds
+    * to eps+1ulp, fixed by adopting the BETWEEN form; the pair
+    * (keys 406975/32632) was a BIN-distance miss — under width=eps
+    * their quotients floored 2 bins apart, fixed by widening bins
+    * to 2x eps. Neither fix alone recovers both pairs. */
   val BandEps = 5.0
 
   /** For each order, how many OTHER orders have a total price within

@@ -129,16 +129,24 @@ class RelationalSpec extends AnyFunSuite {
     // (5.000000000000114). The old abs()<=eps predicate dropped it.
     val a = 1023.13; val b = 1028.13
     assert(b - a > operators.Relational.BandEps) // the trap is real
-    val tmp = java.nio.file.Files.createTempDirectory("graft_band").toString
-    spark.createDataFrame(Seq((1L, a), (2L, b), (3L, 500.0)))
-      .toDF("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
-    val got = operators.Relational.qBandJoin(spark, tmp).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    // asymmetric by IEEE design, and DuckDB-on-DOUBLE agrees: b sits
-    // in a's band (b == rounded a+eps) but a is NOT in b's band
-    // (b - eps rounds UP past a), so only key 1 emits a row
-    assert(got == Map(1L -> 1L), s"got $got")
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_band")
+    try {
+      val tmp = tmpDir.toString
+      spark.createDataFrame(Seq((1L, a), (2L, b), (3L, 500.0)))
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val got = operators.Relational.qBandJoin(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // asymmetric by IEEE design, and DuckDB-on-DOUBLE agrees: b sits
+      // in a's band (b == rounded a+eps) but a is NOT in b's band
+      // (b - eps rounds UP past a), so only key 1 emits a row
+      assert(got == Map(1L -> 1L), s"got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("q_skew_join equals the unsalted plain join") {
