@@ -71,17 +71,25 @@ object Retract {
   /** Fraction modulus of the synthetic takedown set: 1-in-20 ≈ 5%. */
   val TakedownMod = 20
 
-  /** The deterministic takedown predicate — md5 over a SALTED doc_id
-    * (decorrelated from the md5(doc_id) sampling permutation the
-    * sample_* entries use), first 8 hex digits as an integer,
-    * mod [[TakedownMod]]. Identical arithmetic in both engines. */
-  def takedownPred: Column =
-    conv(substring(md5(concat(lit("takedown:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+  /** The deterministic takedown predicate over any id column — md5
+    * over a SALTED id (decorrelated from the md5(doc_id) sampling
+    * permutation the sample_* entries use), first 8 hex digits as an
+    * integer, mod [[TakedownMod]]. Identical arithmetic in both
+    * engines. One rule for the whole retraction family: documents
+    * take it on doc_id, the vector warehouse on vec_id. */
+  def takedownPredOn(id: Column): Column =
+    conv(substring(md5(concat(lit("takedown:"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % TakedownMod === 0
 
+  /** DuckDB twin of [[takedownPredOn]]. */
+  def takedownPredSqlOn(idCol: String): String =
+    s"('0x' || substring(md5('takedown:' || CAST($idCol AS VARCHAR)), 1, 8))::BIGINT % $TakedownMod = 0"
+
+  /** The document-table instance of the rule. */
+  def takedownPred: Column = takedownPredOn(col("doc_id"))
+
   /** DuckDB twin of [[takedownPred]] (unqualified `doc_id`). */
-  val TakedownPredSql: String =
-    s"('0x' || substring(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $TakedownMod = 0"
+  val TakedownPredSql: String = takedownPredSqlOn("doc_id")
 
   private def stage(name: String): String =
     graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + name
@@ -379,5 +387,5 @@ object Retract {
     GraftQuery("retract_docs", Some(retractDocsSql), retractDocs),
     GraftQuery("retract_clusters", Some(retractClustersSql), retractClusters),
     GraftQuery("retract_substring_profile", Some(retractSubstringProfileSql),
-      retractSubstringProfile))
+      retractSubstringProfile)) ++ Similarity.retractQueries
 }

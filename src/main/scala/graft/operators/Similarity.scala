@@ -700,9 +700,17 @@ object Similarity {
     }
 
   def annIvfProbe(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val idx = ivfIndex(spark, dir)
     stageCentroids(spark, idx)
+    ivfExactProbeOver(spark, dir, idx, ivfLists(spark, dir, idx))
+  }
+
+  /** The steady-state exact probe over ANY posting-list relation of
+    * the index's shape — shared by `ann_ivf_probe` (the persisted
+    * lists) and `retract_vectors` (the takedown-repaired lists). */
+  private def ivfExactProbeOver(spark: SparkSession, dir: String,
+                                idx: IvfIndex, listsAll: DataFrame): DataFrame = {
+    import spark.implicits._
     val np = ivfProbes(idx.cells)
     // bounded collect: queries x dim, the probe batch itself. Read
     // straight off the pushdown-filtered scan (embeddingsWithNorm's
@@ -724,7 +732,7 @@ object Similarity {
     }
     val probedCids = probes.map(_._4).distinct.sorted
     val probesDf = probes.toDF("q_id", "qv", "qn", "cid")
-    val lists = ivfLists(spark, dir, idx)
+    val lists = listsAll
       .filter(col("cid").isin(probedCids: _*))
     val scored = lists.join(broadcast(probesDf), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -739,7 +747,8 @@ object Similarity {
     * the staged centroid count, the same ivfProbes arithmetic), and
     * the brute oracle's cosine/rank tail. Distances use the
     * kernel's exact left-to-right accumulation. */
-  private def ivfProbeSqlFor(centroidPath: String): String = {
+  private def ivfProbeSqlFor(centroidPath: String,
+                             candWhere: String = ""): String = {
     def distFold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
@@ -757,7 +766,7 @@ object Similarity {
        |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS np FROM c
        |), ad AS (
        |  SELECT vec_id, v, nrm, cid, ${distFold("v", "cv")} AS dist
-       |  FROM n, c
+       |  FROM n, c$candWhere
        |), lists AS (
        |  SELECT vec_id, v, nrm, cid FROM (
        |    SELECT vec_id, v, nrm, cid,
@@ -1631,6 +1640,150 @@ object Similarity {
       leg("lsh", annTopkLsh(spark, dir), RecallFloorLsh))
       .toDF("method", "matched", "total", "recall").orderBy(col("method"))
   }
+
+  // ---- retract_vectors: takedown through the vector warehouse ----
+
+  /** Takedown-repaired copies of the two vec-keyed persisted
+    * artifacts (the [[graft.operators.Retract]] family's vector
+    * half). The INDEX VERSION itself — centroids and PQ codebooks —
+    * is a TRAINED artifact like the BPE merges table and stays;
+    * what must repair is the per-vector state: the cid-partitioned
+    * posting lists and the pg-partitioned PQ codes. Assignment and
+    * encoding are per-row deterministic, so the exact repair is
+    * delete-only — and because both tables are PARTITIONED, the
+    * rewrite is PARTITION-SCOPED: only directories that actually
+    * contain a retracted vector rewrite (dynamic partition
+    * overwrite); untouched cells keep their original files
+    * byte-for-byte (spec-pinned via file listings). At 100 TB that
+    * is the difference between a takedown costing a corpus rewrite
+    * and costing a few posting lists. */
+  val RetractedListsPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "retract_ivf_lists.parquet"
+  val RetractedCodesPath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") + "retract_ivfpq_codes.parquet"
+
+  private val stagedVecRetract = new graft.StagedVersion[String]
+
+  private def copyDir(spark: SparkSession, from: String, to: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(from)
+    val dst = new Path(to)
+    val fs = src.getFileSystem(conf)
+    fs.delete(dst, true)
+    FileUtil.copy(fs, src, fs, dst, false, conf)
+  }
+
+  /** Rewrite ONLY the partitions of `table` (partitioned on
+    * `partCol`) that contain a retracted vec_id, in place at `path`
+    * (a copy of the source table): dynamic partition overwrite for
+    * partitions with survivors, explicit directory delete for
+    * partitions whose every row was retracted (dynamic overwrite
+    * cannot emit an empty partition). Returns the affected partition
+    * values (bounded by the partition fan-out). */
+  private def repairPartitioned(spark: SparkSession, table: DataFrame,
+                                retv: DataFrame, partCol: String,
+                                path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val hit = table.join(broadcast(retv), Seq("vec_id"))
+      .groupBy(col(partCol)).agg(count(lit(1)).as("n_ret"))
+    val survivors = table.join(broadcast(retv), Seq("vec_id"), "left_anti")
+      .groupBy(col(partCol)).agg(count(lit(1)).as("n_kept"))
+    // bounded collect: one row per AFFECTED partition (<= fan-out)
+    val affected = hit.join(survivors, Seq(partCol), "left")
+      .select(col(partCol).cast("long"),
+        coalesce(col("n_kept"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (emptied, rewritten) = affected.partition(_._2 == 0L)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rewritten.nonEmpty) {
+      val vals = rewritten.map(_._1)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try table
+        .filter(col(partCol).cast("long").isin(vals: _*))
+        .join(broadcast(retv), Seq("vec_id"), "left_anti")
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col("vec_id"))
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    emptied.foreach { case (v, _) =>
+      fs.delete(new Path(path, s"$partCol=$v"), true)
+    }
+    affected.map(_._1).toSeq
+  }
+
+  /** Stage (once per index version) the repaired posting lists and
+    * PQ codes for `dir`'s takedown set, with a count gate proving
+    * the repair equals delete-only semantics before anything reads
+    * it. The source tables here are oracle-stage COPIES; a real
+    * warehouse runs the same dynamic overwrite against the table in
+    * place. */
+  private def repairVectorState(spark: SparkSession, dir: String, idx: IvfIndex): Unit =
+    stagedVecRetract(idx.listsPath) {
+      ensureIvfPqArtifacts(spark, dir, idx)
+      val retv = Tables.embeddings(spark, dir)
+        .filter(Retract.takedownPredOn(col("vec_id"))).select(col("vec_id"))
+      copyDir(spark, idx.listsPath, RetractedListsPath)
+      // the copy carries the source's _centroids sidecar; the
+      // repaired LISTS dir must stay scan-clean (underscore dirs are
+      // invisible to scans, so this is hygiene, not correctness)
+      val lists = spark.read.parquet(idx.listsPath)
+      repairPartitioned(spark, lists, retv, "cid", RetractedListsPath)
+      copyDir(spark, IvfPqCodesStagePath, RetractedCodesPath)
+      val codes = spark.read.parquet(IvfPqCodesStagePath)
+      repairPartitioned(spark, codes, retv, "pg", RetractedCodesPath)
+      // gates: exact delete-only row counts, checked at repair time
+      // so a broken empty-partition path can never serve a probe
+      val nLists = lists.count()
+      val nCodes = codes.count()
+      val nRetL = lists.join(broadcast(retv), Seq("vec_id")).count()
+      val nRetC = codes.join(broadcast(retv), Seq("vec_id")).count()
+      val gotL = spark.read.parquet(RetractedListsPath).count()
+      val gotC = spark.read.parquet(RetractedCodesPath).count()
+      require(gotL == nLists - nRetL,
+        s"retract_vectors: repaired lists hold $gotL rows, want ${nLists - nRetL}")
+      require(gotC == nCodes - nRetC,
+        s"retract_vectors: repaired codes hold $gotC rows, want ${nCodes - nRetC}")
+    }
+
+  /** The vector warehouse's takedown entry: the steady-state exact
+    * IVF probe served from the REPAIRED posting lists — retracted
+    * vectors can no longer be returned by any query, under the SAME
+    * index version (centroids unchanged; queries are probe INPUTS
+    * and may be any vector, retracted or not — the takedown governs
+    * what the warehouse can serve, not what a caller may ask).
+    * Oracle: the ann_ivf_probe replica SQL with the takedown filter
+    * on the CANDIDATE side — full-recompute-minus-the-set. The PQ
+    * codes repair is spec-pinned (row equality + partition-scoped
+    * file-listing proof) rather than driver-priced: the ADC oracle
+    * already carries the replica-SQL fairness note and adds no new
+    * failure channel beyond the lists'. */
+  def retractVectors(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    stageCentroids(spark, idx)
+    repairVectorState(spark, dir, idx)
+    ivfExactProbeOver(spark, dir, idx, spark.read.parquet(RetractedListsPath))
+  }
+
+  private lazy val retractVectorsSql: String = ivfProbeSqlFor(CentroidStagePath,
+    s"\n  WHERE NOT (${Retract.takedownPredSqlOn("vec_id")})")
+
+  /** Test hooks for the partition-scoped claims. */
+  private[graft] def retractRepairedPaths(spark: SparkSession, dir: String): (String, String) = {
+    val idx = ivfIndex(spark, dir)
+    repairVectorState(spark, dir, idx)
+    (idx.listsPath, IvfPqCodesStagePath)
+  }
+
+  /** Registered via [[Retract.queries]] so the retraction family
+    * lists as one unit. */
+  private[operators] def retractQueries: Seq[GraftQuery] = Seq(
+    GraftQuery("retract_vectors", Some(retractVectorsSql), retractVectors))
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("ann_topk_brute", Some(annTopkBruteSql), annTopkBrute),

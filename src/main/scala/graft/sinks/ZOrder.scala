@@ -56,15 +56,22 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** Publish `df` as parquet clustered on the Morton curve over two
-    * numeric columns. One bounded agg for the min/max frame, one
-    * range exchange on the Morton value (range, not hash: the curve
-    * is only useful if CONSECUTIVE cells land in the same file),
-    * an in-partition sort, and a stats-bearing parquet write —
-    * O(one shuffle) over the corpus, same cost class as any
-    * publish-time sort. */
-  def publishZOrdered(df: DataFrame, xCol: String, yCol: String,
-                      outDir: String, files: Int): Unit = {
+  /** The curve-clustered form of `df`: one bounded agg for the
+    * min/max frame, one range exchange on the Morton value (range,
+    * not hash: the curve is only useful if CONSECUTIVE cells land in
+    * the same file), an in-partition sort. Shared by publish, append
+    * and recluster so the three layouts can never drift.
+    *
+    * Bounds are computed from `df` ITSELF (per batch). That is a
+    * deliberate choice for the append path: pruning CORRECTNESS
+    * never depends on the curve — parquet footers carry the true
+    * min/max of the written values whatever order they arrived in —
+    * the curve only controls how TIGHT each file's rectangle is, and
+    * a batch normalized over its own value range spreads across its
+    * own files exactly as the base did. Persisting base bounds would
+    * buy nothing and break on out-of-range appends. */
+  private def zClustered(df: DataFrame, xCol: String, yCol: String,
+                         files: Int): DataFrame = {
     val bounds = df.agg(
       min(col(xCol).cast("double")).as("xlo"), max(col(xCol).cast("double")).as("xhi"),
       min(col(yCol).cast("double")).as("ylo"), max(col(yCol).cast("double")).as("yhi"))
@@ -76,7 +83,61 @@ object ZOrder {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Publish `df` as parquet clustered on the Morton curve over two
+    * numeric columns — O(one shuffle) over the corpus, same cost
+    * class as any publish-time sort. */
+  def publishZOrdered(df: DataFrame, xCol: String, yCol: String,
+                      outDir: String, files: Int): Unit =
+    zClustered(df, xCol, yCol, files).write.mode("overwrite").parquet(outDir)
+
+  /** INCREMENTAL maintenance (round 17, VERDICT r16 item 4): append
+    * a fresh slice to a z-ordered table WITHOUT republishing the
+    * corpus. The slice is clustered among its own `files` and lands
+    * as new files next to the base's — the lakehouse append regime
+    * (cluster-on-write per batch, periodic OPTIMIZE): every file,
+    * base or appended, still carries a tight bounded rectangle, so a
+    * box predicate keeps pruning by footer stats; what degrades is
+    * only the FILE COUNT (each append adds its own curve segments
+    * instead of merging into the base's), restored by
+    * [[reclusterZOrdered]]. Append cost is slice-sized — one bounded
+    * agg + one range exchange over the slice, never the corpus. */
+  def appendZOrdered(df: DataFrame, xCol: String, yCol: String,
+                     outDir: String, files: Int): Unit =
+    zClustered(df, xCol, yCol, files).write.mode("append").parquet(outDir)
+
+  /** Full re-cluster of an appended-to table — the periodic
+    * OPTIMIZE that folds append batches back into one global curve.
+    * Corpus-sized (the same one shuffle as publish) but ATOMIC for
+    * readers: the rewrite lands in a sibling tmp dir, a
+    * row-preservation gate checks it, and two renames swap it in —
+    * the [[Warehouse.compact]] directory-swap pattern (see its
+    * recovery matrix; here every intermediate is derived data, so
+    * recovery is simply: old present without the canonical dir →
+    * restore old, anything else → discard leftovers and redo). */
+  def reclusterZOrdered(spark: SparkSession, outDir: String,
+                        xCol: String, yCol: String, files: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(outDir + ".zcluster_tmp")
+    val old = new Path(outDir + ".zcluster_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(dir)) require(fs.rename(old, dir),
+        s"recluster: crash recovery could not restore $old -> $dir")
+      else fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
+    val before = spark.read.parquet(outDir).count()
+    zClustered(spark.read.parquet(outDir), xCol, yCol, files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    require(after == before,
+      s"recluster: rewrite holds $after rows, source holds $before — refusing swap")
+    require(fs.rename(dir, old), s"recluster: could not stage aside $dir")
+    require(fs.rename(tmp, dir), s"recluster: could not swap in $tmp")
+    fs.delete(old, true)
   }
 
   // ---- warehouse_zorder: the driver-visible box query ----

@@ -154,6 +154,68 @@ class RetractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaRepair.nonEmpty && viaRepair == fromScratch)
   }
 
+  test("retract_vectors: delete-only rows, PARTITION-scoped rewrite, retracted vecs unservable") {
+    import operators.{Retract, Similarity}
+    val served = Similarity.retractVectors(spark, dir).collect()
+    assert(served.nonEmpty)
+    val retv = Tables.embeddings(spark, dir)
+      .filter(Retract.takedownPredOn(col("vec_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(retv.nonEmpty, "sf0.001 takedown retracts no vector — widen TakedownMod")
+    // the repaired warehouse can never serve a retracted vector
+    assert(served.map(_.getLong(1)).toSet.intersect(retv).isEmpty,
+      "a retracted vector appeared in probe results")
+    val (listsPath, codesPath) = Similarity.retractRepairedPaths(spark, dir)
+
+    def sortedRows(p: String): Set[String] = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).toSet
+    }
+    def minusRet(p: String): Set[String] = {
+      val df = spark.read.parquet(p).filter(!col("vec_id").isin(retv.toSeq: _*))
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).toSet
+    }
+    // delete-only semantics on BOTH vec-keyed tables (assignment and
+    // encoding are per-row deterministic, so this IS the from-scratch
+    // rebuild under the same index version)
+    assert(sortedRows(Similarity.RetractedListsPath) == minusRet(listsPath))
+    assert(sortedRows(Similarity.RetractedCodesPath) == minusRet(codesPath))
+
+    // partition-scoped rewrite: unaffected partition dirs keep the
+    // COPIED files byte-names; affected ones carry fresh write names
+    def partFiles(root: String, partCol: String): Map[String, Set[String]] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+        .map(f => f.getName -> f.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    def affectedVals(p: String, partCol: String): Set[String] =
+      spark.read.parquet(p).filter(col("vec_id").isin(retv.toSeq: _*))
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+    for ((src, rep, pc) <- Seq(
+        (listsPath, Similarity.RetractedListsPath, "cid"),
+        (codesPath, Similarity.RetractedCodesPath, "pg"))) {
+      val srcParts = partFiles(src, pc)
+      val repParts = partFiles(rep, pc)
+      val affected = affectedVals(src, pc)
+      assert(affected.nonEmpty)
+      val unaffected = srcParts.keySet -- affected
+      assert(unaffected.nonEmpty,
+        s"every $pc partition was affected — the partition-scoped claim is untestable here")
+      unaffected.foreach { part =>
+        assert(repParts.get(part).contains(srcParts(part)),
+          s"unaffected $part was rewritten (file names changed) — repair is not partition-scoped")
+      }
+      affected.foreach { part =>
+        // rewritten with survivors -> fresh file names; fully
+        // retracted -> directory gone
+        assert(!repParts.get(part).contains(srcParts(part)),
+          s"affected $part still carries the original files — retracted rows not rewritten")
+      }
+    }
+  }
+
   test("retract_clusters emits only touched survivors, rooted consistently with the repaired table") {
     val out = Retract.retractClusters(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -340,6 +340,71 @@ class SinksSpec extends AnyFunSuite {
     assert(zX <= 32, s"z-order touched $zX/64 files for a 10% x band")
   }
 
+  test("z-order append maintenance: slice-sized appends keep pruning; recluster restores the layout") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.ZOrder
+    val n = 200000
+    val df = spark.range(n.toLong)
+      .select(col("id"),
+        (col("id") * 7919 % 10000).as("x"),
+        (col("id") * 104729 % 10000).as("y"))
+    val base = df.filter(col("id") < (n * 9 / 10))
+    val slice = df.filter(col("id") >= (n * 9 / 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zspec_app").toString
+    try {
+      ZOrder.publishZOrdered(base, "x", "y", dir, files = 58)
+      ZOrder.appendZOrdered(slice, "x", "y", dir, files = 6)
+
+      def rowsOf = spark.read.parquet(dir).select("id", "x", "y")
+        .collect().map(_.toString).toSet
+      val want = df.collect().map(_.toString).toSet
+      // query equivalence: the unioned layout IS the table
+      assert(rowsOf == want, "base+append layout lost or duplicated rows")
+
+      def stats(): Array[(Long, Long, Long, Long)] =
+        spark.read.parquet(dir)
+          .groupBy(input_file_name())
+          .agg(min("x"), max("x"), min("y"), max("y"))
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      def touched(st: Array[(Long, Long, Long, Long)],
+                  xr: Option[(Long, Long)], yr: Option[(Long, Long)]): Int =
+        st.count { case (xlo, xhi, ylo, yhi) =>
+          xr.forall { case (a, b) => xhi >= a && xlo <= b } &&
+            yr.forall { case (a, b) => yhi >= a && ylo <= b }
+        }
+      val yBand = Some((2000L, 2999L))
+      val xBand = Some((2000L, 2999L))
+      val appended = stats()
+      assert(appended.length == 64, s"expected 58+6 files, found ${appended.length}")
+      // every file — base or appended batch — still carries a bounded
+      // rectangle: the 10% band and 1% box must keep pruning (bounds =
+      // the full-publish spec's, widened by the append's 6 own files)
+      assert(touched(appended, None, yBand) <= 38,
+        s"appended layout touched ${touched(appended, None, yBand)}/64 for a 10% y band")
+      assert(touched(appended, xBand, yBand) <= 26,
+        s"appended layout touched ${touched(appended, xBand, yBand)}/64 for the 1% box")
+
+      ZOrder.reclusterZOrdered(spark, dir, "x", "y", files = 64)
+      assert(rowsOf == want, "recluster lost or duplicated rows")
+      val reclustered = stats()
+      assert(reclustered.length == 64)
+      // back to the full-publish pruning contract
+      assert(touched(reclustered, None, yBand) <= 32,
+        s"reclustered layout touched ${touched(reclustered, None, yBand)}/64 for a 10% y band")
+      assert(touched(reclustered, xBand, yBand) <= 20,
+        s"reclustered layout touched ${touched(reclustered, xBand, yBand)}/64 for the 1% box")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      Seq(root, java.nio.file.Paths.get(dir + ".zcluster_tmp"),
+          java.nio.file.Paths.get(dir + ".zcluster_old"))
+        .filter(java.nio.file.Files.exists(_))
+        .foreach(p => java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(q => java.nio.file.Files.deleteIfExists(q)))
+    }
+  }
+
   test("warehouseZOrder entry runs end-to-end and matches querying the source directly") {
     import org.apache.spark.sql.functions._
     import graft.sinks.ZOrder
