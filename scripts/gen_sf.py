@@ -58,10 +58,25 @@ docs = pa.table({
 })
 pq.write_table(docs, f"{out}/documents.parquet", row_group_size=50_000)
 
-# embeddings: 10 gaussian clusters in 64-d
-centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(N_LABELS)]
+# embeddings: DRIVER-FAITHFUL shape (fixed round 17) — unit-normalized
+# near-uniform vectors with ~3% planted near-duplicates (previous
+# vector + small noise, cos ~0.999). The original "tight gaussian
+# clusters" (center + N(0, 0.3)) gave EVERY same-label pair cosine
+# ~0.8: at the 0.4 near-dup threshold the pair output is quadratic —
+# ~2e11 pairs at sf100, which no engine can emit. The driver's actual
+# testdata measures unit norms with same-label cosine density equal
+# to cross-label at the threshold (~5e-4) — labels are decoration,
+# near-dups are planted, and pair outputs scale linearly.
+import math
 labels = [rng.randrange(N_LABELS) for _ in range(N_VECS)]
-vecs = [[centers[l][d] + rng.gauss(0, 0.3) for d in range(DIM)] for l in labels]
+vecs = []
+for i in range(N_VECS):
+    if i % 33 == 32 and vecs:
+        v = [x + rng.gauss(0, 0.05) for x in vecs[-1]]
+    else:
+        v = [rng.gauss(0, 1.0) for _ in range(DIM)]
+    nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+    vecs.append([x / nrm for x in v])
 emb = pa.table({
     "vec_id": pa.array(range(N_VECS), pa.int64()),
     "embedding": pa.array(vecs, pa.list_(pa.float32())),

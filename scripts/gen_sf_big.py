@@ -83,7 +83,12 @@ if "documents" in tables:
 
 if "embeddings" in tables:
     CHUNK = 500_000
-    centers = rng.uniform(-1, 1, (N_LABELS, DIM)).astype(np.float32)
+    # DRIVER-FAITHFUL shape (fixed round 17, mirroring gen_sf.py):
+    # unit-normalized near-uniform vectors + ~3% planted near-dups.
+    # The original center + N(0, 0.3) clusters made every same-label
+    # pair cosine ~0.8 — a quadratic (~2e11-pair) output at the 0.4
+    # threshold that killed dedup_semantic's sf100 run on DISK, and
+    # misrepresented the driver corpus the operators are graded on.
     schema = pa.schema([("vec_id", pa.int64()),
                         ("embedding", pa.list_(pa.float32())),
                         ("label", pa.int32())])
@@ -92,7 +97,10 @@ if "embeddings" in tables:
     while done < N_VECS:
         n = min(CHUNK, N_VECS - done)
         labels = rng.integers(0, N_LABELS, n)
-        vecs = centers[labels] + rng.normal(0, 0.3, (n, DIM)).astype(np.float32)
+        vecs = rng.normal(0, 1.0, (n, DIM)).astype(np.float32)
+        dup = np.arange(32, n, 33)
+        vecs[dup] = vecs[dup - 1] + rng.normal(0, 0.05, (len(dup), DIM)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         flat = pa.array(vecs.reshape(-1), pa.float32())
         lists = pa.ListArray.from_arrays(
             pa.array(np.arange(n + 1, dtype=np.int32) * DIM), flat)

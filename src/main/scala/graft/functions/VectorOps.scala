@@ -36,6 +36,48 @@ object VectorOps {
     acc
   }
 
+  /** [[sqDist]] against a plain double array (a bound centroid row)
+    * — the identical left-to-right IEEE op sequence, so distances
+    * equal the ArrayData form bit-for-bit. */
+  def sqDistArr(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** The P nearest centroids of `v` by (dist, cid) lexicographic
+    * order — ONE in-row loop over the bound centroid matrix,
+    * replacing P chained min-struct aggregation rounds that each
+    * streamed corpus × k rows CARRYING THE VECTOR through an
+    * object-hash aggregate (whose sort-based fallback died with
+    * SPILL_OUT_OF_MEMORY at sf100's 2.8B-row × 560 B input). Tie
+    * rule identical to min(struct(dist, cid))): smaller dist wins,
+    * then smaller cid. Returns the cids nearest-first — the same
+    * order the chained rounds appended. */
+  def topCells(v: ArrayData, cids: Array[Int], cents: Array[Array[Double]], p: Int): ArrayData = {
+    val k = cents.length
+    val keep = math.min(p, k)
+    val bd = Array.fill(keep)(Double.PositiveInfinity)
+    val bc = Array.fill(keep)(Int.MaxValue)
+    var c = 0
+    while (c < k) {
+      val d = sqDistArr(v, cents(c))
+      val cid = cids(c)
+      // insertion into the tiny (p <= 4ish) sorted buffer
+      var i = keep - 1
+      if (d < bd(i) || (d == bd(i) && cid < bc(i))) {
+        while (i > 0 && (d < bd(i - 1) || (d == bd(i - 1) && cid < bc(i - 1)))) {
+          bd(i) = bd(i - 1); bc(i) = bc(i - 1); i -= 1
+        }
+        bd(i) = d; bc(i) = cid
+      }
+      c += 1
+    }
+    new GenericArrayData(bc.map(x => x: Any))
+  }
+
   /** Rademacher sign of plane j at dimension d: low bit of
     * xxhash64(j, d), where Spark's two-arg xxhash64 over ints is
     * XXH64.hashInt(d, XXH64.hashInt(j, 42L)). THE one definition of
@@ -126,6 +168,38 @@ case class VecSqDistExpr(left: Expression, right: Expression) extends VectorKern
   override def prettyName: String = "vec_sqdist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDistExpr =
     copy(left = l, right = r)
+}
+
+/** `graft_top_cells(array<double>) → array<int>` — the P nearest
+  * centroid ids in (dist, cid) order, with the centroid matrix BOUND
+  * into the expression (the PpjoinPrefixExpr pattern: it ships with
+  * the task binary, one instance per executor, probed in-loop). */
+case class TopCellsExpr(child: Expression, cids: Array[Int],
+                        cents: Array[Array[Double]], p: Int) extends UnaryExpression {
+  require(p > 0 && cents.length == cids.length, "centroid/cid arity mismatch")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_cells requires an array<double> argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.topCells(input.asInstanceOf[ArrayData], cids, cents, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("graftTopCellsCids", cids, "int[]")
+    val centsRef = ctx.addReferenceObj("graftTopCellsCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.topCells($c, $cidsRef, $centsRef, $p)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCellsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_top_cells"
 }
 
 /** `vec_lsh_sign(array<double>, nbits) → array<int>` — the LSH

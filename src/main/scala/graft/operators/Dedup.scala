@@ -1515,7 +1515,68 @@ object Dedup {
   /** Pigeonhole band join: pairs within hamming <= 3 must agree on
     * at least one of the 4 16-bit bands; exact popcount(xor) filters
     * the candidates. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Block edge for the grouped simhash enumeration: blocks of 64k
+    * signatures (1 MB arrays) keep per-task memory trivial while a
+    * hot band value's m² loop splits into (m/64k)² parallel tasks. */
+  val SimhashBlockSize = 65536
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashBlocked(spark, dir, SimhashBlockSize)
+
+  /** GROUPED, BLOCK-PARALLEL pair enumeration (round 17 — the sf100
+    * lesson, in two measured steps). The band self-join materialized
+    * every same-band candidate as a physical row and ran a
+    * candidate-volume distinct BEFORE the hamming filter could
+    * discard ~all of them — 703 s at 5M docs. Step 1: collect each
+    * band bucket into one array row and loop i<j in a native kernel
+    * ([[graft.functions.PairKernels.simhashPairsBlock]]) emitting
+    * only hamming <= max pairs — candidates become loop iterations,
+    * never rows (703 → 315 s). Step 2: the remaining 315 s was ONE
+    * task's loop — this synthetic corpus's 30-word vocabulary
+    * collapses signatures onto few values, so one band bucket holds
+    * ~10⁵-10⁶ docs and its m² popcounts serialized. Each bucket's
+    * member array therefore SLICES into `blockSize` blocks and
+    * explodes into B(B+1)/2 block-pair rows (triangle when ia == ib,
+    * bipartite otherwise — every unordered pair covered exactly
+    * once), round-robin-repartitioned so each block pair is its own
+    * task. Replication is (B+1)/2 × the member arrays — bounded and
+    * near-1x for normal buckets (B = 1 → one row, zero overhead).
+    * Spec-pinned equal to the join form at the default AND at
+    * blockSize = 4 (forcing multi-block coverage on the test
+    * corpus). */
+  private[graft] def dedupSimhashBlocked(spark: SparkSession, dir: String,
+                                         blockSize: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val p = spark.sparkContext.defaultParallelism
+    val bands = simhashBandsOf(simhashSignatures(Tables.documents(spark, dir)))
+    val members = bands.groupBy(col("band"), col("bits"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("ms"))
+      .withColumn("nb",
+        greatest(ceil(size(col("ms")).cast("double") / lit(blockSize)), lit(1)).cast("int"))
+    val blockRows = members
+      .select(col("ms"), col("nb"),
+        explode(sequence(lit(0), col("nb") - 1)).as("ia"))
+      .select(col("ms"), col("ia"),
+        explode(sequence(col("ia"), col("nb") - 1)).as("ib"))
+      .select(
+        slice(col("ms"), col("ia") * blockSize + 1, lit(blockSize)).as("ma"),
+        slice(col("ms"), col("ib") * blockSize + 1, lit(blockSize)).as("mb"),
+        (col("ia") === col("ib")).as("same"))
+      .repartition(p)
+    // GENERATOR, not explode(kernel(...)): a saturated band value
+    // emits dense blocks whose pair output must stream straight into
+    // the distinct's spillable aggregate, never buffer per task
+    val gen = ColumnBridge.column(graft.functions.SimhashPairsGen(
+      ColumnBridge.expression(col("ma")), ColumnBridge.expression(col("mb")),
+      ColumnBridge.expression(col("same")), HammingMax))
+    blockRows.select(gen)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The pre-r17 band-JOIN form — kept as the spec's reference
+    * implementation for the grouped kernel's equality pin. */
+  private[graft] def dedupSimhashJoinForm(spark: SparkSession, dir: String): DataFrame = {
     val bands = simhashBandsOf(simhashSignatures(Tables.documents(spark, dir)))
     val cand = bands.as("a")
       .join(bands.as("b"),

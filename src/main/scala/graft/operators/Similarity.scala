@@ -311,7 +311,13 @@ object Similarity {
     // Lloyd build to outweigh the exchange they remove. The
     // posexplode form stays.)
     for (_ <- 1 to iters) {
-      val updated = assign(train, centroids)
+      // per-iteration bounded collect (k × dim — the same budget as
+      // the final collect) so the training assign runs the
+      // bound-matrix kernel too: the join+min-struct form streams
+      // train × k rows carrying vectors through an object aggregate,
+      // ~70 GB of sort-fallback pressure at sf100's k (round 17)
+      val localC = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      val updated = assignMultiKernel(train, localC, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
@@ -526,8 +532,14 @@ object Similarity {
     // lands in exactly one task, so the index is ONE parquet file
     // per cid instead of up-to-#tasks files — probe-time planning
     // and open cost scale with probed cells, not with build
-    // parallelism
-    assign(e, centroids).repartition(col("cid"))
+    // parallelism.
+    // Assignment via the bound-matrix kernel (round 17): the
+    // join+min-struct form streams corpus × k rows carrying the
+    // vector through an object-hash aggregate whose sort fallback
+    // needs corpus × k × rowsize of spill at scale — today's sf100
+    // rebuild DIED on disk there. The centroids are already
+    // driver-local (`local`); the kernel is a projection on the scan.
+    assignMultiKernel(e, local, 1).repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     // centroids ride inside the version dir (underscore prefix =
     // invisible to the posting-list scan's file listing), so the
@@ -1366,7 +1378,7 @@ object Similarity {
     * tempting window-over-(vec, cell) form shuffles corpus x k rows
     * — 4096x corpus at the cell cap — which is exactly the
     * non-plan [[assign]]'s docs rule out.) */
-  private def assignMulti(e: DataFrame, centroids: DataFrame, p: Int): DataFrame = {
+  private[graft] def assignMulti(e: DataFrame, centroids: DataFrame, p: Int): DataFrame = {
     var cur = e.select(col("vec_id"), col("v"), col("nrm"),
       array().cast("array<int>").as("cids"))
     for (_ <- 1 to p) {
@@ -1380,6 +1392,29 @@ object Similarity {
           array_append(col("cids"), col("m.cid")).as("cids"))
     }
     cur.select(col("vec_id"), col("v"), col("nrm"), explode(col("cids")).as("cid"))
+  }
+
+  /** KERNEL form of [[assignMulti]] (round 17 — the second half of
+    * the sf100 semantic fix): the chained form streams corpus × k
+    * rows CARRYING THE 520 B VECTOR through an object-hash aggregate
+    * per round — 4 × 2.8 B such rows at sf100, whose sort-based
+    * fallback died with SPILL_OUT_OF_MEMORY at 32 g. The centroid
+    * matrix is driver-local anyway (idx.centroids — the bounded
+    * collect the IVF family already budgets), so the top-P cells are
+    * ONE in-row loop over the bound matrix
+    * ([[graft.functions.TopCellsExpr]], the PpjoinPrefixExpr
+    * bound-object pattern): no corpus × k rows, no aggregation, no
+    * shuffle — a projection on the scan. Identical (dist, cid) tie
+    * rule, nearest-first order — spec-pinned equal to the chained
+    * form row-for-row. */
+  private[graft] def assignMultiKernel(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+                                       p: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val cells = ColumnBridge.column(graft.functions.TopCellsExpr(
+      ColumnBridge.expression(col("v")), cids, mat, math.min(p, cents.size)))
+    e.select(col("vec_id"), col("v"), col("nrm"), explode(cells).as("cid"))
   }
 
   /** The SCALE PATH for embedding near-dup detection, after SemDeDup
@@ -1450,38 +1485,48 @@ object Similarity {
 
   private val stagedMulti = new graft.StagedVersion[(String, Int)]
 
-  private def persistedMulti(spark: SparkSession, e: DataFrame, centroids: DataFrame,
+  private def persistedMulti(spark: SparkSession, e: DataFrame,
                              idx: IvfIndex, p: Int): DataFrame = {
     stagedMulti((idx.listsPath, p)) {
-      assignMulti(e, centroids, p).write.mode("overwrite").parquet(SemanticMultiStagePath)
+      assignMultiKernel(e, idx.centroids, p)
+        .write.mode("overwrite").parquet(SemanticMultiStagePath)
     }
     spark.read.parquet(SemanticMultiStagePath)
   }
 
   private def dedupSemanticPairs(spark: SparkSession, dir: String,
-                                 bRestrict: Option[Column]): DataFrame = {
+                                 bRestrict: Option[Column]): DataFrame =
+    dedupSemanticPairsImpl(spark, dir, bRestrict, grouped = bRestrict.isEmpty)
+
+  /** `grouped = false` forces the pre-r17 bucket-JOIN enumeration —
+    * the spec's reference for the grouped kernel's equality pin. The
+    * incremental sweep keeps the join form regardless: its b side is
+    * slice-sized, so candidate volume is slice×cell, not Σ cell². */
+  private[graft] def dedupSemanticPairsImpl(spark: SparkSession, dir: String,
+                                            bRestrict: Option[Column],
+                                            grouped: Boolean): DataFrame = {
     val idx = ivfIndex(spark, dir)
     stageCentroids(spark, idx)
-    import spark.implicits._
     val e = Dedup.embeddingsWithNorm(spark, dir)
-    val centroids = idx.centroids.toDF("cid", "cv")
     // cap with the REAL centroid count, not the requested cell count:
     // kmeansCentroids seeds from train.limit(k), so a degenerate corpus
     // (< SemanticAssign embeddings) yields fewer centroids than
-    // idx.cells — an extra assignMulti round would then exclude every
-    // centroid, empty the frame, and return zero rows while the DuckDB
-    // twin's least(P, count(c)) still emits pairs
+    // idx.cells — the kernel caps its keep-count the same way so the
+    // DuckDB twin's least(P, count(c)) still agrees
     val p = math.min(SemanticAssign, idx.centroids.size)
     // the full sweep times the fused pipeline (both sides from ONE
     // live multi relation, shared stages); the incremental sweep is
     // the steady-state regime — corpus side read from the persisted
-    // multi-assignment, slice side assigned live
-    val multi = bRestrict.fold(assignMulti(e, centroids, p))(_ =>
-      persistedMulti(spark, e, centroids, idx, p))
+    // multi-assignment, slice side assigned live. Assignment is the
+    // in-row top-P kernel over the bound centroid matrix
+    // ([[assignMultiKernel]]) — the chained aggregate form died at
+    // sf100 (see its doc).
+    val multi = bRestrict.fold(assignMultiKernel(e, idx.centroids, p))(_ =>
+      persistedMulti(spark, e, idx, p))
     // the incremental b side assigns ONLY the slice — the filter sits
     // below the assignment pipeline and pushes to the b-side scan;
     // per-row independence makes this equal to filtering `multi`
-    val multiB = bRestrict.fold(multi)(r => assignMulti(e.filter(r), centroids, p))
+    val multiB = bRestrict.fold(multi)(r => assignMultiKernel(e.filter(r), idx.centroids, p))
     // Vectors ride THROUGH the bucket join so the exact cosine +
     // threshold run INSIDE the joined stream (codegen-pipelined, no
     // materialization of the candidate pair set): the only shuffles
@@ -1495,17 +1540,43 @@ object Similarity {
     // 21.9 s at sf1 vs 369 s DuckDB brute; this form drops the
     // entry to ~1.6 s. Duplicated candidates pay a redundant dot,
     // bit-identical, collapsed by the final distinct.)
-    val a = multi.select(col("cid"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = multiB.select(col("cid"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cid"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", Dedup.cosine("va", "vb", col("na"), col("nb")))
-      .filter(col("cos") >= SemanticThreshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
-      .distinct()
-      .orderBy(col("vec_a"), col("vec_b"))
+    require(!grouped || bRestrict.isEmpty,
+      "grouped enumeration implements the full sweep only — the incremental slice keeps the join form")
+    if (grouped) {
+      // GROUPED pair enumeration (round 17 — the sf100 lesson): the
+      // within-cell self-join carried two 520-byte vectors through
+      // every candidate row — ~2×10¹⁰ rows at 2M vectors × 4-way
+      // assignment — and the SMJ sort died with SPILL_OUT_OF_MEMORY
+      // at 32 g. Each cell now collects into one array row (~cell ×
+      // 520 B, low MBs) and a native loop
+      // ([[graft.functions.PairKernels.cellPairs]]) emits only
+      // threshold-passing pairs: candidates are loop iterations,
+      // never rows, and the distinct sees the near-dup-sized
+      // survivor set. Arithmetic is bit-identical to the join form
+      // (same dot/divide/round ops) — spec-pinned equal.
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val members = multi.groupBy(col("cid"))
+        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+      val pairs = ColumnBridge.column(graft.functions.CellPairsExpr(
+        ColumnBridge.expression(col("ms")), SemanticThreshold))
+      members.select(explode(pairs).as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          col("p.cosine").as("cosine"))
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    } else {
+      val a = multi.select(col("cid"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = multiB.select(col("cid"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cid"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Dedup.cosine("va", "vb", col("na"), col("nb")))
+        .filter(col("cos") >= SemanticThreshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .distinct()
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
   }
 
   /** DuckDB twin over the staged centroids: top-P cell assignment

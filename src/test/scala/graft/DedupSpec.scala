@@ -105,6 +105,18 @@ class DedupSpec extends AnyFunSuite {
     assert(staged == live)
   }
 
+  test("grouped simhash pair kernel equals the band-join form row for row") {
+    val grouped = Dedup.dedupSimhash(spark, dir).collect().map(_.toString).toSeq
+    val joined = Dedup.dedupSimhashJoinForm(spark, dir).collect().map(_.toString).toSeq
+    assert(grouped.nonEmpty && grouped == joined)
+    // multi-block coverage: blockSize 4 forces every bucket above 4
+    // members through the bipartite block path; union across block
+    // pairs must reproduce the single-triangle result exactly
+    val blocked = Dedup.dedupSimhashBlocked(spark, dir, blockSize = 4)
+      .collect().map(_.toString).toSeq
+    assert(blocked == joined)
+  }
+
   test("simhash incremental is exactly the full pair set restricted to new doc_b") {
     import org.apache.spark.sql.functions.max
     val full = Dedup.dedupSimhash(spark, dir).collect()

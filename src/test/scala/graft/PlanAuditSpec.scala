@@ -272,35 +272,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pq encode floated above the query join (re-encoded per query):\n$plan")
   }
 
-  test("dedup_semantic at scale: pair join shuffles on cid, no cartesian, no corpus x k window") {
-    import org.apache.spark.sql.catalyst.optimizer.BuildRight
-    import org.apache.spark.sql.execution.LocalTableScanExec
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  test("dedup_semantic at scale: grouped cell kernel, assignment is a projection — no candidate join at all") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
       val sp = operators.Similarity.dedupSemantic(spark, dir).queryExecution.sparkPlan
       val plan = sp.toString
-      // the corpus-vs-corpus pair join must key on cid — an unkeyed
-      // all-pairs product here is the brute plan this entry exists
-      // to avoid
+      // round 17: candidates are loop iterations inside the grouped
+      // cell kernel — the corpus pair path has NO join of any kind
+      // (the cid-keyed join form OOM'd at sf100 carrying vectors
+      // through ~2e10 candidate rows)
       assert(!plan.contains("CartesianProduct"),
         s"semantic dedup degenerates to a cartesian product at scale:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+        s"the grouped kernel path must not plan a join:\n$plan")
+      assert(plan.contains("graft_cell_pairs"),
+        s"pair enumeration is not the grouped cell kernel:\n$plan")
       assert(plan.linesIterator.exists(l =>
-        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("cid")),
-        s"pair join is not a cid-keyed shuffle join:\n$plan")
-      // BroadcastNestedLoopJoins DO appear — the exclusion rounds of
-      // the chained argmin are non-equi joins — but each must build
-      // on the bounded k x dim centroid LocalTableScan, never a
-      // corpus-sized side
-      sp.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
-        val build = if (j.buildSide == BuildRight) j.right else j.left
-        assert(build.collectLeaves().forall(_.isInstanceOf[LocalTableScanExec]),
-          s"a BroadcastNestedLoopJoin builds on a non-local (corpus-sized) side:\n$plan")
-      }
-      // top-P assignment must stay the chained partial-aggregated
-      // argmin — a Window here means a corpus x k shuffle
+        l.contains("ObjectHashAggregate") && l.contains("collect_list")),
+        s"cell members are not gathered by the grouped aggregate:\n$plan")
+      // top-P assignment must be the bound-matrix kernel — neither a
+      // corpus x k window nor the chained object-aggregate rounds
+      // (whose sort fallback died at sf100)
+      assert(plan.contains("graft_top_cells"),
+        s"assignment is not the bound-matrix kernel:\n$plan")
       assert(!plan.contains("Window"), s"multi-assignment plans a window:\n$plan")
     } finally spark.conf.set(key, old)
   }

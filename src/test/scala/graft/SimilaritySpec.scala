@@ -132,6 +132,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= Similarity.RecallFloorIvf, s"ivf recall at sf0.1 $recall < ${Similarity.RecallFloorIvf}")
   }
 
+  test("single-cell assignment kernel equals the join+min-struct form") {
+    import spark.implicits._
+    val idx = Similarity.ivfIndex(spark, dir)
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val kern = Similarity.assignMultiKernel(e, idx.centroids, 1)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val joined = Similarity.assignCells(e, idx.centroids.toDF("cid", "cv"))
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(kern.nonEmpty && kern == joined)
+  }
+
+  test("top-cells assignment kernel equals the chained min-struct rounds") {
+    import spark.implicits._
+    val idx = Similarity.ivfIndex(spark, dir)
+    val e = operators.Dedup.embeddingsWithNorm(spark, dir)
+    val p = math.min(Similarity.SemanticAssign, idx.centroids.size)
+    val kern = Similarity.assignMultiKernel(e, idx.centroids, p)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val chained = Similarity.assignMulti(e, idx.centroids.toDF("cid", "cv"), p)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(kern.nonEmpty && kern == chained)
+  }
+
+  test("grouped cell-pair kernel equals the within-cell join form row for row") {
+    val grouped = Similarity.dedupSemantic(spark, dir).collect().map(_.toString).toSeq
+    val joined = Similarity.dedupSemanticPairsImpl(spark, dir, None, grouped = false)
+      .collect().map(_.toString).toSeq
+    assert(grouped.nonEmpty && grouped == joined)
+  }
+
   test("semantic dedup: every emitted pair is exact, and multi-assign recall clears the floor") {
     val brute = operators.Dedup.dedupEmbedding(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
