@@ -16,6 +16,9 @@ REPLICA = {
     "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_append", "ann_ivf_probe",
     "ann_pq", "ann_recall", "ann_topk_brute", "ann_topk_lsh",
     "dedup_embedding", "dedup_semantic", "dedup_semantic_incremental",
+    # round 17: the vector-takedown probe shares the ann_ivf_probe
+    # replica-SQL oracle — same fairness class
+    "retract_vectors",
 }
 STREAMS = {
     "stream_curate_gate", "stream_dedup", "stream_dedup_docs",

@@ -624,4 +624,39 @@ class PlanAuditSpec extends AnyFunSuite {
     // one reducer at any scale
     assert(plan.contains("__salt"), s"salt column absent from the static plan:\n$plan")
   }
+
+  test("retract_docs: repaired state from parquet, only the fresh slice's text scan survives") {
+    val plan = formatted(operators.Retract.retractDocs(spark, dir))
+    // the repaired term counts arrive as a parquet scan of the
+    // retract_* state table — not a re-tokenization of old text
+    assert(plan.contains("retract_tfidf_tf"),
+      s"retract_docs does not read the repaired term-count state:\n$plan")
+    // the only text-bearing documents scan is the fresh slice's,
+    // carrying the pushed split predicate (the md5 takedown half is
+    // not stats-pushable; the range half is)
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")).toSeq
+    assert(docScans.nonEmpty,
+      s"fresh-slice scan without a pushed split predicate:\n$plan")
+  }
+
+  test("retract_substring_profile: repaired window totals from parquet, slice-only kernel") {
+    val plan = formatted(operators.Retract.retractSubstringProfile(spark, dir))
+    assert(plan.contains("retract_substring_windows"),
+      s"profile does not read the repaired window-total state:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      s"slice restriction not pushed to the documents scan:\n$plan")
+  }
+
+  test("retract_clusters: label propagation sees pair-graph relations only (no text, no corpus scan)") {
+    val plan = formatted(operators.Retract.retractClusters(spark, dir))
+    // every parquet input is either the staged pair list, the staged
+    // full labels, or the documents scan pruned to doc_id (for the
+    // takedown set) — text must never enter the closure
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text"),
+      s"retract_clusters reads document text:\n$plan")
+    assert(plan.contains("ngram_pairs") && plan.contains("cluster_labels_full"),
+      s"expected the staged pair list + full labels as inputs:\n$plan")
+  }
 }
