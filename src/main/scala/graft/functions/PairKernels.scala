@@ -48,7 +48,10 @@ object PairKernels {
     * so the kernel and any future caller cannot drift from the SQL
     * function the join forms used. */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Spark's RoundBase passes NaN/Infinity through unchanged
+    // (BigDecimal.valueOf would throw on them)
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** All i<j pairs of `ms` = array<struct<id:long, v:array<double>,
     * nrm:double>> with cosine >= threshold, emitted as
@@ -74,7 +77,11 @@ object PairKernels {
         // dot and (na*nb) are bit-commutative, so enumeration order
         // cannot change the value the join form computed
         val cos = VectorOps.dot(vs(a), vs(b)) / (nrm(a) * nrm(b))
-        if (cos >= threshold && ids(a) != ids(b)) {
+        // NaN contract (zero-norm vector -> 0/0): match the pinned
+        // join form exactly — Spark SQL `>=` orders NaN above every
+        // value, so NaN passes the threshold there; Java `>=` is
+        // false for NaN and would silently drop those pairs
+        if ((cos >= threshold || cos.isNaN) && ids(a) != ids(b)) {
           val (x, y) = if (ids(a) < ids(b)) (a, b) else (b, a)
           out += new GenericInternalRow(Array[Any](ids(x), ids(y), round6(cos)))
         }

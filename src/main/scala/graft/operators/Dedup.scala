@@ -1529,7 +1529,7 @@ object Dedup {
     * candidate-volume distinct BEFORE the hamming filter could
     * discard ~all of them — 703 s at 5M docs. Step 1: collect each
     * band bucket into one array row and loop i<j in a native kernel
-    * ([[graft.functions.PairKernels.simhashPairsBlock]]) emitting
+    * ([[graft.functions.PairKernels.simhashPairsIter]]) emitting
     * only hamming <= max pairs — candidates become loop iterations,
     * never rows (703 → 315 s). Step 2: the remaining 315 s was ONE
     * task's loop — this synthetic corpus's 30-word vocabulary

@@ -216,9 +216,14 @@ object Retract {
     }
 
   /** The cluster-repair decomposition shared by [[repairedState]]
-    * and the `retract_clusters` entry. */
+    * and the `retract_clusters` entry. `touchedEdges` is the
+    * PRE-checkpoint edge relation handed to connectedComponents —
+    * the auditable lineage proving the closure's input is bounded by
+    * the staged pair graph (connectedComponents eagerly
+    * localCheckpoints, so the final plan cannot show it). */
   private[graft] final case class RelabelParts(
-      touchedRoots: DataFrame, members: DataFrame, newLabels: DataFrame)
+      touchedRoots: DataFrame, members: DataFrame, newLabels: DataFrame,
+      touchedEdges: DataFrame)
 
   /** Given full-corpus labels, the staged pair list, and the
     * takedown id list, compute: the roots of TOUCHED components
@@ -240,7 +245,7 @@ object Retract {
     val newLabels = Curation.connectedComponents(
         touchedEdges.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
-    RelabelParts(touched, members, newLabels)
+    RelabelParts(touched, members, newLabels, touchedEdges)
   }
 
   // ---- retract_docs: tf-idf through the repaired term counts ----

@@ -1769,18 +1769,17 @@ object Similarity {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (rewritten.nonEmpty) {
       val vals = rewritten.map(_._1)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try table
+      // dynamic overwrite scoped to THIS write via the writer option
+      // (not the session conf — a concurrent overwrite in the same
+      // session must not silently inherit dynamic semantics)
+      table
         .filter(col(partCol).cast("long").isin(vals: _*))
         .join(broadcast(retv), Seq("vec_id"), "left_anti")
         .repartition(col(partCol))
         .sortWithinPartitions(col(partCol), col("vec_id"))
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
     }
     emptied.foreach { case (v, _) =>
       fs.delete(new Path(path, s"$partCol=$v"), true)

@@ -76,6 +76,12 @@ object ZOrder {
       min(col(xCol).cast("double")).as("xlo"), max(col(xCol).cast("double")).as("xhi"),
       min(col(yCol).cast("double")).as("ylo"), max(col(yCol).cast("double")).as("yhi"))
       .head()
+    // Empty input (a plausible steady-state nightly slice): the
+    // bounded agg returns a single all-null row. The clustered form
+    // of an empty frame is the empty frame — short-circuit instead
+    // of dereferencing null mins (appendZOrdered then no-ops: an
+    // append write of zero rows adds no files).
+    if (bounds.isNullAt(0)) return df.limit(0)
     val z = interleave(
       gridRank(col(xCol).cast("double"), lit(bounds.getDouble(0)), lit(bounds.getDouble(1))),
       gridRank(col(yCol).cast("double"), lit(bounds.getDouble(2)), lit(bounds.getDouble(3))))
@@ -109,9 +115,13 @@ object ZOrder {
 
   /** Full re-cluster of an appended-to table — the periodic
     * OPTIMIZE that folds append batches back into one global curve.
-    * Corpus-sized (the same one shuffle as publish) but ATOMIC for
-    * readers: the rewrite lands in a sibling tmp dir, a
+    * Corpus-sized (the same one shuffle as publish) but CRASH-SAFE
+    * and recoverable: the rewrite lands in a sibling tmp dir, a
     * row-preservation gate checks it, and two renames swap it in —
+    * note the swap is two renames, not one atomic move, so a reader
+    * racing the instant between them sees a missing canonical dir
+    * (the same brief gap Warehouse.compact inherits); recovery
+    * handles crashes, not concurrent readers —
     * the [[Warehouse.compact]] directory-swap pattern (see its
     * recovery matrix; here every intermediate is derived data, so
     * recovery is simply: old present without the canonical dir →

@@ -650,13 +650,32 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("retract_clusters: label propagation sees pair-graph relations only (no text, no corpus scan)") {
+    // Final-plan half: connectedComponents eagerly localCheckpoints
+    // its edge relation (lineage truncates to Scan ExistingRDD), so
+    // the staged inputs are audited on the PRE-checkpoint edge plan
+    // below; here we pin only what survives the checkpoint — the
+    // full-label scan and the absence of any text-bearing read.
     val plan = formatted(operators.Retract.retractClusters(spark, dir))
-    // every parquet input is either the staged pair list, the staged
-    // full labels, or the documents scan pruned to doc_id (for the
-    // takedown set) — text must never enter the closure
     assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text"),
       s"retract_clusters reads document text:\n$plan")
-    assert(plan.contains("ngram_pairs") && plan.contains("cluster_labels_full"),
-      s"expected the staged pair list + full labels as inputs:\n$plan")
+    assert(plan.contains("cluster_labels_full"),
+      s"expected the staged full labels as an input:\n$plan")
+
+    // Pre-checkpoint half: the edge relation handed to the closure
+    // must derive from the staged pair list + full labels + a
+    // doc_id-pruned documents scan — never document text. This is
+    // the pair-graph-only property at the lineage point where it is
+    // structurally visible.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val ret = docs.filter(operators.Retract.takedownPred).select(col("doc_id"))
+    val parts = operators.Retract.touchedRelabel(
+      operators.Retract.fullClusterLabels(spark, dir),
+      operators.Dedup.ngramPairsStaged(spark, dir), ret)
+    val edgePlan = formatted(parts.touchedEdges)
+    assert(edgePlan.contains("ngram_pairs") && edgePlan.contains("cluster_labels_full"),
+      s"closure input does not derive from the staged pair list + full labels:\n$edgePlan")
+    assert(!edgePlan.contains("ReadSchema: struct<doc_id:bigint,text"),
+      s"closure input reads document text:\n$edgePlan")
   }
 }

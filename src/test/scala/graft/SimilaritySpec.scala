@@ -159,6 +159,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kern.nonEmpty && kern == chained)
   }
 
+  test("cell-pair kernel NaN contract: zero-norm vectors pass the threshold like Spark SQL >=") {
+    // a zero-norm vector makes cos = 0/0 = NaN; the pinned join form
+    // uses Spark SQL `>=`, which orders NaN above every value, so
+    // the kernel must emit the pair too (Java `>=` alone would drop
+    // it) and round6 must pass NaN through like Spark's round
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def m(id: Long, v: Array[Double]): GenericInternalRow = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      new GenericInternalRow(Array[Any](id, new GenericArrayData(v.map(x => x: Any)), nrm))
+    }
+    val ms = new GenericArrayData(Array[Any](
+      m(1L, Array(1.0, 0.0)), m(2L, Array(0.0, 0.0))))
+    val out = functions.PairKernels.cellPairs(ms, 0.9)
+    assert(out.numElements() == 1)
+    val r = out.getStruct(0, 3)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2).isNaN)
+    assert(functions.PairKernels.round6(Double.NaN).isNaN)
+    // and the Spark-side ground truth the contract mirrors
+    val sql = spark.sql("SELECT CAST('NaN' AS DOUBLE) >= 0.9").collect()(0).getBoolean(0)
+    assert(sql, "Spark SQL NaN >= ordering changed — revisit the kernel contract")
+  }
+
   test("grouped cell-pair kernel equals the within-cell join form row for row") {
     val grouped = Similarity.dedupSemantic(spark, dir).collect().map(_.toString).toSeq
     val joined = Similarity.dedupSemanticPairsImpl(spark, dir, None, grouped = false)
