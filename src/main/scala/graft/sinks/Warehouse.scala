@@ -370,6 +370,162 @@ object Warehouse {
       .sum
   }
 
+  final case class RetractResult(partitionsRewritten: Seq[String],
+                                 partitionsDropped: Seq[String],
+                                 rowsRetracted: Long)
+
+  /** Takedown for the compounds warehouse (round 18 — the
+    * reference-surface symmetry of [[graft.operators.Retract]]):
+    * delete a CID set from the published partitioned table and
+    * repair the ingest manifest's per-file spans, WITHOUT touching
+    * any partition the set does not hit.
+    *
+    * The takedown batch is a bounded, human-generated list
+    * (thousands at most), so it rides as a broadcast relation. Work
+    * is scoped by the same index the point lookup uses — the
+    * manifest's [lowest_cid, highest_cid] spans: a broadcast range
+    * join of the span table (file-count-sized) against the CID set
+    * names the candidate source files, the scan prunes statically to
+    * those partitions, and ONE pass over them yields, per file, the
+    * retracted count and the survivors' new span. At 100 TB the data
+    * read is O(partitions hit), never O(corpus).
+    *
+    * Repairs, in crash-safe order under the shared writer lease:
+    *  1. partitions with survivors rewrite via dynamic partition
+    *     overwrite (per-write option — untouched partitions keep
+    *     their files byte for byte), gated by a delete-only row
+    *     count check BEFORE the write is planned from the stats;
+    *  2. partitions emptied by the takedown are deleted outright;
+    *  3. the manifest rewrites through a tmp + two-rename swap (the
+    *     [[compact]] pattern): affected files keep their row and
+    *     date_added but carry the survivors' lowest/highest span
+    *     (null when emptied) and n_compounds — the row STAYS even at
+    *     n_compounds = 0, because manifest presence is what makes
+    *     re-ingest skip the file (the reference's own all-filtered
+    *     semantics, utils.py:272); dropping it would resurrect the
+    *     retracted rows on the next ingest run.
+    * A crash between 1/2 and 3 leaves stale (wider) spans over
+    * repaired data: lookups stay correct (spans are a prune, the pk
+    * filter decides membership) and re-running retract converges —
+    * including for a partition deleted before its manifest row was
+    * repaired (the re-run detects the missing directory and repairs
+    * the row to n_compounds = 0). */
+  def retract(spark: SparkSession, warehouseDir: String, cids: Seq[Long],
+              layout: LayoutSpec = LayoutSpec.default): RetractResult =
+    withWriterLease(spark, warehouseDir)(retractLocked(spark, warehouseDir, cids, layout))
+
+  private def retractLocked(spark: SparkSession, warehouseDir: String, cids: Seq[Long],
+                            layout: LayoutSpec): RetractResult = {
+    import spark.implicits._
+    val pk = layout.columns.find(_.primaryKey).map(_.name)
+      .getOrElse(layout.columns.head.name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new Path(compoundsDir(warehouseDir))
+    val fs = dataDir.getFileSystem(conf)
+    recoverManifestSwap(fs, warehouseDir)
+    val m = manifest(spark, warehouseDir)
+    if (!m.columns.contains("filename") || cids.isEmpty)
+      return RetractResult(Nil, Nil, 0L)
+    val ret = cids.toDF(pk)
+    // span prune: candidate files, bounded by the manifest
+    val cand = m.join(broadcast(ret),
+        col("lowest_cid") <= col(pk) && col("highest_cid") >= col(pk), "left_semi")
+      .select("filename").distinct().as[String].collect().toSeq
+    if (cand.isEmpty) return RetractResult(Nil, Nil, 0L)
+    val part = compounds(spark, warehouseDir)
+      .filter(col("src_filename").isin(cand: _*))
+    // one pass over the candidate partitions: per-file retracted
+    // count + the survivors' replacement span
+    val hitStats = part
+      .join(broadcast(ret.withColumn("__ret", lit(1))), Seq(pk), "left")
+      .groupBy(col("src_filename"))
+      .agg(count(col("__ret")).as("n_ret"),
+        count(when(col("__ret").isNull, 1)).as("n_kept"),
+        min(when(col("__ret").isNull, col(pk))).as("new_lo"),
+        max(when(col("__ret").isNull, col(pk))).as("new_hi"))
+      .filter(col("n_ret") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSeq
+    // convergence for a prior mid-crash: a candidate file whose
+    // manifest row still claims rows but whose partition directory
+    // is GONE was emptied by an interrupted retract — repair its
+    // row now (no data work left to do)
+    val hitNames = hitStats.map(_._1).toSet
+    val staleEmpty = m.filter(col("filename").isin(cand: _*) && col("n_compounds") > 0)
+      .select("filename").as[String].collect().toSeq
+      .filterNot(hitNames)
+      .filterNot { f =>
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f)
+        fs.exists(new Path(dataDir, s"src_filename=$esc"))
+      }
+      .map(f => (f, 0L, 0L, Option.empty[Long], Option.empty[Long]))
+    val stats = hitStats ++ staleEmpty
+    if (stats.isEmpty) return RetractResult(Nil, Nil, 0L)
+    val (rewritten, emptied) = stats.partition(_._3 > 0L)
+      if (rewritten.nonEmpty) {
+        val names = rewritten.map(_._1)
+        part.filter(col("src_filename").isin(names: _*))
+          .join(broadcast(ret), Seq(pk), "left_anti")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("src_filename")
+          .parquet(dataDir.toString)
+        // delete-only gate: the rewrite holds exactly the survivors
+        val after = compounds(spark, warehouseDir)
+          .filter(col("src_filename").isin(names: _*)).count()
+        val want = rewritten.map(_._3).sum
+        require(after == want,
+          s"retract: rewritten partitions hold $after rows, expected $want survivors")
+      }
+      emptied.foreach { case (f, _, _, _, _) =>
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f)
+        fs.delete(new Path(dataDir, s"src_filename=$esc"), true)
+      }
+      // manifest repair through the tmp + swap pattern
+      val repairs = stats.map { case (f, _, kept, lo, hi) =>
+        (f, lo.map(long2Long).orNull, hi.map(long2Long).orNull, long2Long(kept))
+      }.toDF("filename", "rep_lo", "rep_hi", "rep_n")
+      val repaired = m.join(broadcast(repairs), Seq("filename"), "left")
+        .select(col("filename"),
+          when(col("rep_n").isNotNull, col("rep_lo")).otherwise(col("lowest_cid")).as("lowest_cid"),
+          when(col("rep_n").isNotNull, col("rep_hi")).otherwise(col("highest_cid")).as("highest_cid"),
+          col("date_added"),
+          coalesce(col("rep_n"), col("n_compounds")).as("n_compounds"))
+      val mDir = new Path(manifestDir(warehouseDir))
+      val mTmp = new Path(manifestDir(warehouseDir) + ".retract_tmp")
+      val mOld = new Path(manifestDir(warehouseDir) + ".retract_old")
+      fs.delete(mTmp, true)
+      repaired.write.mode("overwrite").parquet(mTmp.toString)
+      require(fs.rename(mDir, mOld), s"retract: could not stage aside $mDir")
+      require(fs.rename(mTmp, mDir), s"retract: could not swap in $mTmp")
+      fs.delete(mOld, true)
+      RetractResult(rewritten.map(_._1), emptied.map(_._1), stats.map(_._2).sum)
+  }
+
+  /** Crash recovery for [[retract]]'s manifest swap, run at entry
+    * under the lease: the manifest rewrite is derived data until the
+    * first rename, so every leftover state resolves mechanically
+    * (the [[graft.sinks.ZOrder.reclusterZOrdered]] matrix — old
+    * without canonical restores, anything else discards leftovers). */
+  private def recoverManifestSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                  warehouseDir: String): Unit = {
+    val mDir = new Path(manifestDir(warehouseDir))
+    val mTmp = new Path(manifestDir(warehouseDir) + ".retract_tmp")
+    val mOld = new Path(manifestDir(warehouseDir) + ".retract_old")
+    if (fs.exists(mOld)) {
+      if (!fs.exists(mDir)) {
+        if (fs.exists(mTmp)) {
+          require(fs.rename(mTmp, mDir), s"retract: recovery could not complete swap $mTmp -> $mDir")
+          fs.delete(mOld, true)
+        } else require(fs.rename(mOld, mDir), s"retract: recovery could not restore $mOld -> $mDir")
+      } else fs.delete(mOld, true)
+    }
+    fs.delete(mTmp, true)
+  }
+
   /** Publish the warehouse compounds as a BUCKETED catalog table:
     * co-locates rows by primary key so key-equi joins and lookups
     * against other tables bucketed the same way need NO shuffle —

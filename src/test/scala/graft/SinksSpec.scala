@@ -33,6 +33,67 @@ class SinksSpec extends AnyFunSuite {
       "cmps_06_07.sdf" -> ((46773L, 46774L, 2L))))
   }
 
+  test("warehouse retract: partition-scoped repair, manifest spans valid, untouched bytes identical") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_retract_spec").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+
+    def partFiles(f: String): Seq[(String, Long, Long)] = {
+      val dir = new org.apache.hadoop.fs.Path(
+        Warehouse.compoundsDir(wh), s"src_filename=$f")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).filter(_.isFile).toSeq
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+        .sortBy(_._1)
+    }
+    val untouchedBefore = partFiles("cmps_00_02.sdf")
+    assert(untouchedBefore.nonEmpty)
+
+    val res = Warehouse.retract(spark, wh, Seq(34516L, 46773L, 46774L))
+    assert(res.partitionsRewritten == Seq("cmps_03_05.sdf"))
+    assert(res.partitionsDropped == Seq("cmps_06_07.sdf"))
+    assert(res.rowsRetracted == 3L)
+
+    // the repaired table is exactly ingest-minus-the-set
+    val left = Warehouse.compounds(spark, wh).select("cid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(31038L, 31039L, 31040L, 34517L, 34518L))
+
+    // untouched partition: byte-identical file set (path, length,
+    // mtime) — dynamic overwrite must never have touched it
+    assert(partFiles("cmps_00_02.sdf") == untouchedBefore,
+      "untouched partition was rewritten")
+    // emptied partition directory is gone
+    assert(partFiles("cmps_06_07.sdf").isEmpty)
+
+    // manifest spans are valid for the surviving data; the emptied
+    // file KEEPS its row at n_compounds = 0 (re-ingest skip)
+    val m = Warehouse.manifest(spark, wh).collect().map(r =>
+      r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)), r.getLong(4)))).toMap
+    assert(m("cmps_00_02.sdf") == ((Some(31038L), Some(31040L), 3L)))
+    assert(m("cmps_03_05.sdf") == ((Some(34517L), Some(34518L), 2L)))
+    assert(m("cmps_06_07.sdf") == ((None, None, 0L)))
+
+    // point lookups over the repaired warehouse
+    assert(Warehouse.lookup(spark, wh, 34516L).isEmpty, "retracted cid still served")
+    assert(Warehouse.lookup(spark, wh, 46774L).isEmpty, "retracted cid still served")
+    val hit = Warehouse.lookup(spark, wh, 34517L).collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("cid") == 34517L)
+
+    // re-ingest is a no-op: manifest presence (even at n = 0) keeps
+    // skipping every file, so retracted rows cannot resurrect
+    val re = Warehouse.ingest(spark, s"$sdfDir/*.sdf", wh)
+    assert(re.filesLoaded.isEmpty)
+    assert(Warehouse.compounds(spark, wh).count() == 5)
+
+    // retract is idempotent: the repaired spans no longer cover the
+    // set, so a re-run is a pure manifest-prune no-op
+    val again = Warehouse.retract(spark, wh, Seq(34516L, 46773L, 46774L))
+    assert(again.rowsRetracted == 0L &&
+      again.partitionsRewritten.isEmpty && again.partitionsDropped.isEmpty)
+  }
+
   test("warehouse point lookup: manifest-span prune, partition + pk filters, miss is empty") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_lookup_spec").toString
@@ -383,6 +444,11 @@ class SinksSpec extends AnyFunSuite {
         s"appended layout touched ${touched(appended, None, yBand)}/64 for a 10% y band")
       assert(touched(appended, xBand, yBand) <= 26,
         s"appended layout touched ${touched(appended, xBand, yBand)}/64 for the 1% box")
+
+      // empty nightly slice (a plausible steady-state event): the
+      // append must no-op, not NPE on the all-null bounds row
+      ZOrder.appendZOrdered(slice.filter(col("id") < 0), "x", "y", dir, files = 6)
+      assert(rowsOf == want, "empty append changed the table")
 
       ZOrder.reclusterZOrdered(spark, dir, "x", "y", files = 64)
       assert(rowsOf == want, "recluster lost or duplicated rows")
