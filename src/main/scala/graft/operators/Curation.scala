@@ -130,7 +130,7 @@ object Curation {
     // reads the same staged parquet). DedupSpec pins staged ==
     // live-pipeline equality, and CurationSpec pins the composed
     // form (live pairs → components) against this entry.
-    val pairs = Dedup.ngramPairsStaged(spark, dir)
+    val pairs = Dedup.clusterPairSignal(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(pairs)
       .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
@@ -143,7 +143,7 @@ object Curation {
   private lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs
@@ -179,7 +179,7 @@ object Curation {
     stagedLabels((dir, Tables.fingerprint(spark, dir, "documents"))) {
       val split = Dedup.incrementalSplit(Tables.documents(spark, dir))
         .getOrElse(Long.MaxValue)
-      val oldPairs = Dedup.ngramPairsStaged(spark, dir)
+      val oldPairs = Dedup.clusterPairSignal(spark, dir)
         .filter(col("doc_b") < lit(split))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       connectedComponents(oldPairs)
@@ -219,7 +219,7 @@ object Curation {
     val split = Dedup.incrementalSplit(Tables.documents(spark, dir))
       .getOrElse(Long.MaxValue)
     val labels = clusterLabelsTable(spark, dir)
-    val slicePairs = Dedup.ngramPairsStaged(spark, dir)
+    val slicePairs = Dedup.clusterPairSignal(spark, dir)
       .filter(col("doc_b") >= lit(split))
       .select(col("doc_a"), col("doc_b"))
     // contract: endpoint -> persisted root (itself when unlabeled).
@@ -254,7 +254,7 @@ object Curation {
   private lazy val dedupClustersIncrementalSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), s AS (SELECT MAX(doc_id) * 9 // 10 AS v FROM documents
        |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1021,7 +1021,7 @@ object Curation {
        |    FROM q) t WHERE rk = 1
        |), pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs
@@ -1063,7 +1063,7 @@ object Curation {
     * or a second engine reproduces the split bit-for-bit. */
   def splitLeakageFree(spark: SparkSession, dir: String): DataFrame = {
     val labels = connectedComponents(
-      Dedup.ngramPairsStaged(spark, dir)
+      Dedup.clusterPairSignal(spark, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("v").as("doc_id"), col("lab").as("root"))
     val withRoot = Tables.documents(spark, dir).select(col("doc_id"))
@@ -1081,7 +1081,7 @@ object Curation {
   private lazy val splitLeakageFreeSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs
@@ -1120,7 +1120,7 @@ object Curation {
       val docs = Tables.documents(spark, dir)
       val split = Dedup.incrementalSplit(docs).getOrElse(Long.MaxValue)
       val oldLabels = connectedComponents(
-        Dedup.ngramPairsStaged(spark, dir).filter(col("doc_b") < lit(split))
+        Dedup.clusterPairSignal(spark, dir).filter(col("doc_b") < lit(split))
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("v").as("doc_id"), col("lab").as("root"))
       val withRoot = docs.filter(col("doc_id") < lit(split)).select(col("doc_id"))
@@ -1154,7 +1154,7 @@ object Curation {
   def splitLeakageFreeIncremental(spark: SparkSession, dir: String): DataFrame = {
     val old = splitSidesTable(spark, dir)
     val labels = connectedComponents(
-      Dedup.ngramPairsStaged(spark, dir)
+      Dedup.clusterPairSignal(spark, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("v").as("doc_id"), col("lab").as("root"))
     val withRoot = Tables.documents(spark, dir).select(col("doc_id"))
@@ -1186,7 +1186,7 @@ object Curation {
   private lazy val splitLeakageFreeIncrementalSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), sym AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs

@@ -1809,6 +1809,92 @@ object Dedup {
     spark.read.parquet(NgramPairStagePath)
   }
 
+  // ---- corpus-adaptive pair signal for the clusters/split family ----
+
+  /** Where the ROUTED cluster signal stages — the one pair list
+    * every downstream component consumer (clusters, splits, retract
+    * relabel) resolves over, and the one path their DuckDB twins
+    * read, whatever source the router picked. */
+  val ClusterSignalStagePath: String =
+    graft.sources.SdfQueries.StagePath.stripSuffix("records.parquet") +
+      "cluster_signal_pairs.parquet"
+
+  private val stagedClusterSignal = new graft.StagedVersion[String]
+
+  /** Last routing decision of [[clusterPairSignal]] — observability
+    * for the routing spec only (specs run serially). */
+  @volatile private[graft] var lastClusterSignalRoute: String = ""
+
+  /** Predicted lower bound on the exact-ngram verify grid's shuffle:
+    * the docs-side (2B−1)-fold replication of the corpus shingle
+    * volume (the candidate pair relation comes ON TOP — at sf10 it
+    * alone is ~25 GB). When even this lower bound exceeds the
+    * shuffle disk budget, the grid is disk-DNF by construction. */
+  private def gridShuffleLowerBoundBytes(spark: SparkSession, vol: Long): Long =
+    (2L * gridB(spark, vol) - 1L) * vol
+
+  /** Shuffle disk this box/cluster can give one job: half the
+    * usable space of the first spark.local.dir (shuffle files,
+    * spills, AND the staged outputs share it — half leaves room).
+    * Override: `graft.clusters.gridShuffleBudgetBytes`. */
+  private def shuffleDiskBudgetBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.clusters.gridShuffleBudgetBytes")
+      .map(_.toLong).getOrElse {
+        val dir = spark.conf.getOption("spark.local.dir")
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(",")(0)
+        new java.io.File(dir).getUsableSpace / 2
+      }
+
+  /** The pair signal the component-resolution family consumes,
+    * routed by the exact-ngram grid's OWN sizing model one level up
+    * (the [[verifyJaccardAuto]] pattern applied to signal choice,
+    * VERDICT r17 item 4): when the grid's predicted replication
+    * shuffle fits the disk budget, the signal is the exact-Jaccard
+    * ngram pair list (the precision choice); when the sizing model
+    * says disk-DNF — sf100 on a 252 GB box: ~12 GB of shingles,
+    * B≈16, a 0.26-0.5 TB docs-side shuffle before the TB-class
+    * candidate relation lands — the signal comes from the minhash
+    * sweep instead, whose banded candidates verify on the sparse
+    * pair join and COMPUTE at that scale. Both sources emit the
+    * same (doc_a, doc_b) shape; the routed list stages once per
+    * corpus (pair-graph-sized write) at ONE path that every
+    * consumer and every DuckDB twin reads, so the engine and the
+    * oracle always resolve components over the same signal.
+    * Force with `graft.clusters.signalRoute` = ngram|minhash (the
+    * routing spec does); the driver corpora are all far below the
+    * budget line, so the gate always exercises the ngram route. */
+  def clusterPairSignal(spark: SparkSession, dir: String): DataFrame = {
+    val route = spark.conf.getOption("graft.clusters.signalRoute").getOrElse {
+      val vol = shingleVolumeBytes(Tables.documents(spark, dir))
+      if (gridShuffleLowerBoundBytes(spark, vol) <= shuffleDiskBudgetBytes(spark))
+        "ngram" else "minhash"
+    }
+    require(route == "ngram" || route == "minhash",
+      s"graft.clusters.signalRoute must be ngram|minhash, got $route")
+    stagedClusterSignal(s"$dir|$route") {
+      lastClusterSignalRoute = route
+      val src =
+        if (route == "ngram") ngramPairsStaged(spark, dir)
+        else minhashPairsStagedOnly(spark, dir)
+      src.select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(ClusterSignalStagePath)
+    }
+    spark.read.parquet(ClusterSignalStagePath)
+  }
+
+  /** The staged minhash pair list WITHOUT re-running the live
+    * pipeline (the signal router only needs the table; the
+    * dedup_minhash_lsh ENTRY keeps returning the live plan so bench
+    * repeats time real work). Shares [[stagedPairs]] with the entry,
+    * so whichever runs first stages for both. */
+  private def minhashPairsStagedOnly(spark: SparkSession, dir: String): DataFrame = {
+    stagedPairs(dir) {
+      dedupMinhashLsh(spark, dir).write.mode("overwrite").parquet(MinhashPairStagePath)
+    }
+    spark.read.parquet(MinhashPairStagePath)
+  }
+
   // stage once per corpus dir (VERDICT r8 item 3: the per-run
   // result write was the one oracle-staging cost left inside a
   // timed path after the r8 StagedVersion sweep)

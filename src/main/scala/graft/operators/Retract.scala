@@ -106,7 +106,7 @@ object Retract {
   def fullClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     stagedFullLabels((dir, Tables.fingerprint(spark, dir, "documents"))) {
       Curation.connectedComponents(
-          Dedup.ngramPairsStaged(spark, dir)
+          Dedup.clusterPairSignal(spark, dir)
             .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
         .write.mode("overwrite").parquet(FullClusterLabelPath)
@@ -208,7 +208,7 @@ object Retract {
       // appear in a surviving pair — survivors that lost every pair
       // leave the table (they are singletons again).
       val full = fullClusterLabels(spark, dir)
-      val parts = touchedRelabel(full, Dedup.ngramPairsStaged(spark, dir), ret)
+      val parts = touchedRelabel(full, Dedup.clusterPairSignal(spark, dir), ret)
       full.join(broadcast(parts.touchedRoots), Seq("cluster_root"), "left_anti")
         .select(col("doc_id"), col("cluster_root"))
         .unionByName(parts.newLabels)
@@ -302,7 +302,7 @@ object Retract {
     val docs = Tables.documents(spark, dir)
     val ret = docs.filter(takedownPred).select(col("doc_id"))
     val parts = touchedRelabel(
-      fullClusterLabels(spark, dir), Dedup.ngramPairsStaged(spark, dir), ret)
+      fullClusterLabels(spark, dir), Dedup.clusterPairSignal(spark, dir), ret)
     parts.members
       .join(broadcast(ret), Seq("doc_id"), "left_anti")
       .join(parts.newLabels.withColumnRenamed("cluster_root", "nroot"),
@@ -314,7 +314,7 @@ object Retract {
   private lazy val retractClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b
-       |  FROM read_parquet('${Dedup.NgramPairStagePath}/*.parquet')
+       |  FROM read_parquet('${Dedup.ClusterSignalStagePath}/*.parquet')
        |), ret AS (
        |  SELECT doc_id FROM documents WHERE $TakedownPredSql
        |), sym AS MATERIALIZED (

@@ -238,8 +238,16 @@ object Similarity {
 
   def ivfCells(n: Long): Int =
     math.max(IvfCellsMin, math.min(IvfCellsMax, math.sqrt(n.toDouble).toInt))
+  /** 2×sqrt(cells) (round 18): the sqrt(cells) policy held the 0.8
+    * recall floor on the CLUSTERED driver distribution, but the
+    * faithful re-anchor (near-uniform unit vectors — no cluster
+    * structure for the cells to exploit, the worst case for any
+    * partition index) measured 0.68 at sf1 (12/141 cells probed).
+    * Doubling nprobe restores the floor with margin while the
+    * probed FRACTION (2/sqrt(cells)) still shrinks with corpus
+    * growth — the index property that matters at scale. */
   def ivfProbes(cells: Int): Int =
-    math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    math.max(4, math.ceil(2 * math.sqrt(cells.toDouble)).toInt)
 
   /** Squared-L2 between two array<double> column refs — unrolled
     * codegen form (see Dedup.dot). */

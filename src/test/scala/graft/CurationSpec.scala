@@ -100,6 +100,33 @@ class CurationSpec extends AnyFunSuite {
     assert(nVal > nDocs / 50 && nVal < nDocs / 4, s"val fraction off: $nVal of $nDocs")
   }
 
+  test("cluster signal routing: ngram below the budget line, minhash above, forced routes honored") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = pairsOf(operators.Dedup.ngramPairsStaged(spark, dir))
+    // default at test scale: the grid's predicted shuffle is far
+    // below any sane disk budget — the signal IS the ngram list
+    assert(pairsOf(operators.Dedup.clusterPairSignal(spark, dir)) == ngram)
+    assert(operators.Dedup.lastClusterSignalRoute == "ngram")
+    try {
+      // sizing model says DNF (budget forced to one byte): the
+      // signal reroutes to the minhash sweep without a force flag
+      spark.conf.set("graft.clusters.gridShuffleBudgetBytes", "1")
+      val rerouted = pairsOf(operators.Dedup.clusterPairSignal(spark, dir))
+      assert(operators.Dedup.lastClusterSignalRoute == "minhash")
+      assert(rerouted == pairsOf(operators.Dedup.dedupMinhashLshStaged(spark, dir)))
+      // forced override wins over the sizing model
+      spark.conf.set("graft.clusters.signalRoute", "ngram")
+      assert(pairsOf(operators.Dedup.clusterPairSignal(spark, dir)) == ngram)
+    } finally {
+      spark.conf.unset("graft.clusters.gridShuffleBudgetBytes")
+      spark.conf.unset("graft.clusters.signalRoute")
+    }
+    // flip-flop back to the default route re-stages (last-version
+    // memo): consumers never read a stale rerouted signal
+    assert(pairsOf(operators.Dedup.clusterPairSignal(spark, dir)) == ngram)
+  }
+
   test("sticky split: old sides kept, fresh clusters md5-ruled, cross-side merge flags flipped") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

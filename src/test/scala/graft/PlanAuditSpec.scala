@@ -671,10 +671,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val ret = docs.filter(operators.Retract.takedownPred).select(col("doc_id"))
     val parts = operators.Retract.touchedRelabel(
       operators.Retract.fullClusterLabels(spark, dir),
-      operators.Dedup.ngramPairsStaged(spark, dir), ret)
+      operators.Dedup.clusterPairSignal(spark, dir), ret)
     val edgePlan = formatted(parts.touchedEdges)
-    assert(edgePlan.contains("ngram_pairs") && edgePlan.contains("cluster_labels_full"),
-      s"closure input does not derive from the staged pair list + full labels:\n$edgePlan")
+    assert(edgePlan.contains("cluster_signal_pairs") && edgePlan.contains("cluster_labels_full"),
+      s"closure input does not derive from the staged pair signal + full labels:\n$edgePlan")
     assert(!edgePlan.contains("ReadSchema: struct<doc_id:bigint,text"),
       s"closure input reads document text:\n$edgePlan")
   }

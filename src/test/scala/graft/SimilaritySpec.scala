@@ -121,7 +121,10 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfProbes(cells).toDouble / cells
     }
     assert(fractions == fractions.sorted.reverse, s"fractions not decreasing: $fractions")
-    assert(fractions.last < 0.02, s"at 1e8 vectors still probing ${fractions.last}")
+    // 2/sqrt(cells) under the r18 2x-probe policy (the faithful
+    // near-uniform re-anchor), cells capped at 4096 to bound the
+    // broadcast centroid table: 128/4096 ≈ 0.031 at 1e8 vectors
+    assert(fractions.last < 0.04, s"at 1e8 vectors still probing ${fractions.last}")
   }
 
   test("ivf recall holds at the larger sf0.1 corpus too (probe policy, not luck)") {
