@@ -114,6 +114,25 @@ object Retract {
     spark.read.parquet(FullClusterLabelPath)
   }
 
+  /** The tombstone REGISTRY — the takedown set persisted as the
+    * small id table a compliance system maintains (round 18, the
+    * streaming gate's static side). The serving gate re-reads it
+    * every micro-batch (stream-static join semantics), so an id
+    * appended here gates every later read without a query restart;
+    * the batch repair ([[repairedState]]) consumes the same set.
+    * Takedown-sized, fingerprint-keyed like every state table. */
+  val TombstonePath: String = stage("takedown_tombstones.parquet")
+
+  private val stagedTombstones = new graft.StagedVersion[(String, String)]
+
+  def tombstoneTable(spark: SparkSession, dir: String): DataFrame = {
+    stagedTombstones((dir, Tables.fingerprint(spark, dir, "documents"))) {
+      Tables.documents(spark, dir).filter(takedownPred).select(col("doc_id"))
+        .write.mode("overwrite").parquet(TombstonePath)
+    }
+    spark.read.parquet(TombstonePath)
+  }
+
   // Repaired state table paths — one per persisted table above.
   val RetTfidfPath: String      = stage("retract_tfidf_tf.parquet")
   val RetNgramFreqPath: String  = stage("retract_ngram_freq.parquet")

