@@ -120,16 +120,17 @@ object Curation {
     * is the step that turns pairwise dedup SIGNALS into the actual
     * keep/drop decision. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // Pair signals come from the MATERIALIZED list (staged once per
-    // corpus by Dedup.ngramPairsStaged), not a recomputation of the
-    // pair pipeline: pair generation is `dedup_ngram_jaccard`'s
-    // priced work, and a pipeline that re-derived every pair inside
-    // each downstream consumer would pay the corpus pass once per
-    // consumer. This entry prices what it adds — component
-    // resolution over the signal list (the oracle's recursive CTE
-    // reads the same staged parquet). DedupSpec pins staged ==
-    // live-pipeline equality, and CurationSpec pins the composed
-    // form (live pairs → components) against this entry.
+    // Pair signals come from the MATERIALIZED routed list (staged
+    // once per corpus by Dedup.clusterPairSignal — exact ngram below
+    // the grid's disk-budget line, the minhash sweep above it), not
+    // a recomputation of the pair pipeline: pair generation is the
+    // generating entry's priced work, and a pipeline that re-derived
+    // every pair inside each downstream consumer would pay the
+    // corpus pass once per consumer. This entry prices what it adds
+    // — component resolution over the signal list (the oracle's
+    // recursive CTE reads the same staged parquet). DedupSpec pins
+    // staged == live-pipeline equality, and CurationSpec pins the
+    // composed form (live pairs → components) against this entry.
     val pairs = Dedup.clusterPairSignal(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(pairs)
