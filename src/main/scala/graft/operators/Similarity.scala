@@ -783,7 +783,7 @@ object Similarity {
        |), c AS (
        |  SELECT cid, cv FROM read_parquet('$centroidPath/*.parquet')
        |), k AS (
-       |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS np FROM c
+       |  SELECT greatest(4, CAST(ceil(2 * sqrt(count(*))) AS INT)) AS np FROM c
        |), ad AS (
        |  SELECT vec_id, v, nrm, cid, ${distFold("v", "cv")} AS dist
        |  FROM n, c$candWhere
@@ -1239,7 +1239,7 @@ object Similarity {
        |), c AS (
        |  SELECT cid, cv FROM read_parquet('$CentroidStagePath/*.parquet')
        |), k AS (
-       |  SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS INT)) AS np FROM c
+       |  SELECT greatest(4, CAST(ceil(2 * sqrt(count(*))) AS INT)) AS np FROM c
        |), ad AS (
        |  SELECT vec_id, v, cid, ${distFold("v", "cv")} AS dist
        |  FROM e, c
