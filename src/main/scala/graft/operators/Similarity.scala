@@ -236,6 +236,22 @@ object Similarity {
   val IvfCellsMax = 4096
   val IvfIters = 2
 
+  /** Cells each CORPUS vector's posting rides in (round 18 —
+    * IVF-A soft assignment, the library's own measured pattern:
+    * [[SemanticAssign]] took semantic-dedup recall 0.20 → 0.97).
+    * Single assignment held the 0.8 recall floor on clustered
+    * distributions but collapsed on the faithful near-uniform
+    * corpus AS N GREW (0.81 at sf1, 0.62 at sf10 — the probed
+    * fraction shrinks by design, and without cluster structure a
+    * neighbor just across a Voronoi boundary is gone). Duplicating
+    * each posting into its 2 nearest cells makes a miss require
+    * BOTH cells to fall outside the probe set — recall
+    * ~1-(1-r)² for 2× list storage and candidate volume, while the
+    * probed fraction keeps shrinking as ~2/sqrt(cells). Candidates
+    * arriving via both cells are deduped before ranking (identical
+    * scores — same arithmetic on the same rows). */
+  val IvfAssign = 2
+
   def ivfCells(n: Long): Int =
     math.max(IvfCellsMin, math.min(IvfCellsMax, math.sqrt(n.toDouble).toInt))
   /** 2×sqrt(cells) (round 18): the sqrt(cells) policy held the 0.8
@@ -367,6 +383,12 @@ object Similarity {
     val scored = probes.join(lists, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+      // IVF-A: a candidate reachable through both of its cells
+      // arrives twice with a BIT-IDENTICAL score (same arithmetic
+      // on the same rows) — dedup before ranking so row_number
+      // counts neighbors, not arrival paths
+      .select(col("q_id"), col("vec_id"), col("score"))
+      .dropDuplicates("q_id", "vec_id")
     topkWindow(scored)
   }
 
@@ -391,7 +413,11 @@ object Similarity {
     // values the plan below broadcasts, so the SQL twin reads the
     // exact doubles this run's output was computed from
     centroids.coalesce(1).write.mode("overwrite").parquet(FreshCentroidStagePath)
-    val lists = assign(e, centroids) // inverted lists: (vec_id, ..., cid)
+    // IVF-A inverted lists: one posting per (vector, top-IvfAssign
+    // cell) — the kernel form (centroids are already bounded/local)
+    import spark.implicits._
+    val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val lists = assignMultiKernel(e, local, math.min(IvfAssign, cells))
     probeLists(e, centroids, lists, cells)
   }
 
@@ -547,7 +573,7 @@ object Similarity {
     // needs corpus × k × rowsize of spill at scale — today's sf100
     // rebuild DIED on disk there. The centroids are already
     // driver-local (`local`); the kernel is a projection on the scan.
-    assignMultiKernel(e, local, 1).repartition(col("cid"))
+    assignMultiKernel(e, local, math.min(IvfAssign, cells)).repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     // centroids ride inside the version dir (underscore prefix =
     // invisible to the posting-list scan's file listing), so the
@@ -567,10 +593,16 @@ object Similarity {
     * temp dir, because Hadoop has no createTempDirectory and a
     * name-collision-free derivation is exactly what the fingerprint
     * already provides. */
-  private def persistedIndex(spark: SparkSession, dir: String, fp: String,
+  private def persistedIndex(spark: SparkSession, dir: String, fp0: String,
                              root: String): IvfIndex = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
+    // the index FORMAT participates in the version identity: a
+    // manifest entry written by a different assignment policy (e.g.
+    // pre-IVF-A single-assign lists) must read as absent, not as
+    // reusable — otherwise a pinned stage root serves stale lists
+    // whose recall contract no longer holds
+    val fp = s"$fp0|a$IvfAssign"
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = ivfRootLocks.getOrElseUpdate(
@@ -757,6 +789,9 @@ object Similarity {
     val scored = lists.join(broadcast(probesDf), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(Dedup.cosine("qv", "v", col("qn"), col("nrm")), 6))
+      // IVF-A dedup before ranking — see probeLists
+      .select(col("q_id"), col("vec_id"), col("score"))
+      .dropDuplicates("q_id", "vec_id")
     topkWindow(scored)
   }
 
@@ -792,7 +827,7 @@ object Similarity {
        |    SELECT vec_id, v, nrm, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM ad) t
-       |  WHERE rn = 1
+       |  WHERE rn <= $IvfAssign
        |), qd AS (
        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid, ${distFold("v", "cv")} AS dist
        |  FROM n, c WHERE vec_id < $QueryCount
@@ -803,7 +838,7 @@ object Similarity {
        |    FROM qd) t
        |  WHERE rn <= (SELECT np FROM k)
        |), sc AS (
-       |  SELECT p.q_id, l.vec_id,
+       |  SELECT DISTINCT p.q_id, l.vec_id,
        |    round(list_reduce(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * l.v[i]),
        |          (x, y) -> x + y) / (p.qn * l.nrm), 6) AS score
        |  FROM probes p JOIN lists l ON p.cid = l.cid AND p.q_id <> l.vec_id
@@ -1205,6 +1240,11 @@ object Similarity {
       .join(broadcast(probesDf), Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adist", round(Dedup.sqDist("qv", "rv"), 6))
+      // IVF-A: both arrival paths carry the same codes, hence a
+      // bit-identical adist — dedup before the rerank-cut window so
+      // a twice-reached candidate doesn't eat two PqRerank slots
+      .select(col("q_id"), col("qv"), col("vec_id"), col("adist"))
+      .dropDuplicates("q_id", "vec_id")
     val cw = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val candidates = scored.withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= PqRerank)
@@ -1212,6 +1252,7 @@ object Similarity {
     val fetch = ivfLists(spark, dir, idx)
       .filter(col("cid").isin(probedCids: _*))
       .select(col("vec_id"), col("v"))
+      .dropDuplicates("vec_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
     candidates.join(fetch, Seq("vec_id"))
       .withColumn("dist", round(Dedup.sqDist("qv", "v"), 6))
@@ -1248,7 +1289,7 @@ object Similarity {
        |    SELECT vec_id, v, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM ad) t
-       |  WHERE rn = 1
+       |  WHERE rn <= $IvfAssign
        |), qd AS (
        |  SELECT vec_id AS q_id, v AS qv, cid, ${distFold("v", "cv")} AS dist
        |  FROM e, c WHERE vec_id < $QueryCount
@@ -1265,7 +1306,7 @@ object Similarity {
        |  SELECT j, cid, cv FROM read_parquet('$IvfPqCodebookStagePath/*.parquet')
        |), cdist AS (
        |  SELECT l.vec_id, cb.j, cb.cid AS code, ${distFold(sub, "cb.cv")} AS dist
-       |  FROM pl l, cbook cb
+       |  FROM (SELECT DISTINCT vec_id, v FROM pl) l, cbook cb
        |), codes AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT vec_id, j, code,
@@ -1278,7 +1319,7 @@ object Similarity {
        |             JOIN pl ON pl.vec_id = codes.vec_id
        |  GROUP BY codes.vec_id, pl.cid
        |), sc AS (
-       |  SELECT p.q_id, p.qv, r.vec_id,
+       |  SELECT DISTINCT p.q_id, p.qv, r.vec_id,
        |    round(${distFold("p.qv", "r.rv")}, 6) AS adist
        |  FROM probes p JOIN recon r ON p.cid = r.cid AND p.q_id <> r.vec_id
        |), cand AS (
@@ -1322,8 +1363,9 @@ object Similarity {
     import spark.implicits._
     val starts = pqStarts(idx.centroids.head._2.length)
     val cbs = readIvfPqCodebooks(spark)
-    val centDf = idx.centroids.toDF("cid", "cv")
-    assign(Dedup.embeddingsWithNorm(spark, dir).filter(col("vec_id") >= lit(split)), centDf)
+    assignMultiKernel(
+        Dedup.embeddingsWithNorm(spark, dir).filter(col("vec_id") >= lit(split)),
+        idx.centroids, math.min(IvfAssign, idx.cells))
       .select(col("cid"), col("vec_id"), pqCodesExpr(cbs, starts).as("codes"))
   }
 

@@ -81,16 +81,18 @@ class SimilaritySpec extends AnyFunSuite {
 
     val split = Tables.embeddings(spark, dir)
       .agg(max(col("vec_id"))).head.getLong(0) * 9 / 10
+    // sort by (vec_id, cid): IVF-A gives each vector one code row
+    // PER assigned cell, so vec_id alone is not a total order
     val key = (df: org.apache.spark.sql.DataFrame) =>
       df.select(col("vec_id"), col("codes"), col("cid"))
-        .as[(Long, Seq[Int], Int)].collect().sortBy(_._1).toSeq
+        .as[(Long, Seq[Int], Int)].collect().sortBy(t => (t._1, t._3)).toSeq
     val full = key(spark.read.parquet(Similarity.IvfPqCodesStagePath))
     val idx = Similarity.ivfIndex(spark, dir)
     val slice = Similarity.ivfPqSliceCodes(spark, dir, idx, split)
     assert(slice.count() > 0, "slice must be non-empty for the test to mean anything")
     // per-row determinism: base ∪ slice-encode == full re-encode
     val base = key(spark.read.parquet(Similarity.IvfPqCodesBasePath))
-    assert((base ++ key(slice.toDF())).sortBy(_._1) == full)
+    assert((base ++ key(slice.toDF())).sortBy(t => (t._1, t._3)) == full)
 
     // physical append mechanics: mode("append") into the grouped pg
     // partitions (the production codes layout) reproduces the full
