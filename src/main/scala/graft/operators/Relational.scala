@@ -625,6 +625,21 @@ object Relational {
     * (AQE's skew split handles a hot price point). The spec pins the
     * plan: an equi shuffle join, no nested-loop/cartesian operator. */
   def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // candidate-free kernel path (round 18) with the bin-join form
+    // as the dense-data fallback and the spec's reference — see
+    // graft.operators.Band for the algorithm and the equality
+    // argument (identical IEEE comparisons, bit-identical output)
+    Band.selfBandProfile(spark, ord, "o_orderkey", "o_totalprice", BandEps,
+        qBandJoinJoinForm(spark, dir))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The 3-bin equi-join composition — [[Band.selfBandProfile]]'s
+    * dense-data fallback and the kernel's row-for-row spec
+    * reference. */
+  private[graft] def qBandJoinJoinForm(spark: SparkSession, dir: String): DataFrame = {
     val binW = 2 * BandEps
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))

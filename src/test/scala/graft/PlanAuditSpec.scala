@@ -602,19 +602,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpruned documents scan: $readSchema")
   }
 
-  test("q_band_join: bin bucketing makes the band join an equi join, never a nested loop") {
+  test("q_band_join: candidate-free kernel plan — one bucket shuffle, no join, no nested loop") {
     val plan = formatted(operators.Relational.qBandJoin(spark, dir))
-    // the whole point of the 3-bin replication: a non-equi band
-    // predicate alone plans as BroadcastNestedLoopJoin (O(n²)
-    // compares, driver-sized broadcast — fatal at 100 TB)
+    // a non-equi band predicate alone plans as
+    // BroadcastNestedLoopJoin (O(n²) compares, driver-sized
+    // broadcast — fatal at 100 TB); the kernel path must not
+    // contain ANY join — candidates never exist as rows
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"band join degenerated to a nested loop:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin"), s"no equi join found:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"band kernel path absent (no MapPartitions):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"kernel path still contains a join — candidate rows exist:\n$plan")
+    // the join FORM remains the dense-data fallback: it must keep
+    // planning as an equi join, never a nested loop
+    val fb = formatted(operators.Relational.qBandJoinJoinForm(spark, dir))
+    assert(!fb.contains("BroadcastNestedLoopJoin") && !fb.contains("CartesianProduct"),
+      s"fallback band join degenerated to a nested loop:\n$fb")
+    assert(fb.contains("SortMergeJoin") || fb.contains("ShuffledHashJoin") ||
+      fb.contains("BroadcastHashJoin"), s"no equi join in the fallback:\n$fb")
     // the ±eps predicate must filter pairs INSIDE the join (join
     // condition), not in a post-join filter over the 3x candidates
-    assert(plan.contains("Join") && plan.toLowerCase.contains("abs"),
-      s"band predicate not attached to the join:\n$plan")
+    assert(fb.contains("Join") && fb.toLowerCase.contains("abs"),
+      s"band predicate not attached to the fallback join:\n$fb")
   }
 
   test("q_skew_join: the fact side salts before the join (no unsalted hot-key shuffle)") {

@@ -149,6 +149,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("band kernel equals the bin-join form row for row, and dense data falls back") {
+    // the candidate-free two-pointer kernel must reproduce the
+    // 3-bin equi-join composition exactly — same IEEE BETWEEN
+    // membership, same counts, same nearest-neighbor gaps
+    val big = "/root/testdata/sf0.01"
+    val kern = operators.Relational.qBandJoin(spark, big).collect().map(_.toString).toSeq
+    assert(operators.Band.lastRoute == "kernel")
+    val join = operators.Relational.qBandJoinJoinForm(spark, big)
+      .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+    assert(kern.nonEmpty && kern == join)
+    // sizing fallback: a one-row-per-bucket ceiling routes to the
+    // join form (the kernel is a fast path, never a dependency)
+    try {
+      spark.conf.set("graft.band.maxKernelRowsPerBucket", "1")
+      val fb = operators.Relational.qBandJoin(spark, big).collect().map(_.toString).toSeq
+      assert(operators.Band.lastRoute == "join")
+      assert(fb == kern)
+    } finally spark.conf.unset("graft.band.maxKernelRowsPerBucket")
+  }
+
   test("q_skew_join equals the unsalted plain join") {
     val got = operators.Relational.qSkewJoin(spark, dir).collect().map(_.toString).toSeq
     val li = Tables.lineitem(spark, dir)
