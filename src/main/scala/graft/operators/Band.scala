@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BAND SELF-JOIN profile — the candidate-free form of
-  * `q_band_join` (round 18).
+  * `q_band_join` (round 18; skew-safe routing + bounded kernel
+  * memory round 19).
   *
   * The bin-join composition (bucket both sides at 2x band width,
   * 3-bin replicate, equi-join, BETWEEN filter) is scalable but pays
@@ -37,19 +38,30 @@ import org.apache.spark.sql.functions._
   * the bucket id, an in-partition sort, a linear scan. The output is
   * profile-sized (one row per key with any match), never pair-sized.
   *
-  * Sizing contract: bucket count is bounded above by range/(4*eps)
-  * (the one-level-ghost invariant) — on data so DENSE that
-  * n / maxBuckets rows cannot sit in one task's memory, the
-  * candidate-free kernel is the wrong trade and [[selfBandProfile]]
-  * FALLS BACK to the caller-supplied join form (the bin composition
-  * keeps working at any density; the kernel is the fast path, not a
-  * correctness dependency). The fallback line is
+  * Sizing contract (round 19 — the r18 mean gate was skew-blind):
+  * buckets are equal-WIDTH, so a value-skewed corpus (a hot price
+  * point) can drop nearly every row into ONE bucket while the mean
+  * n/nb stays tiny. The route therefore gates on the MAX staged
+  * rows in any single bucket — ghosts included, measured by one
+  * bounded aggregate over the bucketed projection (an nb-row
+  * map-combined shuffle, paid only after the cheap mean check
+  * passes). The kernel buffers exactly ONE bucket at a time (the
+  * staged iterator arrives sorted by bucket id, so buckets are
+  * consecutive runs), making the gated statistic the actual
+  * per-task memory ceiling — independent of how many buckets hash
+  * into one task. On data so dense that a single bucket exceeds
+  * the ceiling, [[selfBandProfile]] FALLS BACK to the
+  * caller-supplied join form (the bin composition keeps working at
+  * any density; the kernel is the fast path, not a correctness
+  * dependency). The fallback line is
   * `graft.band.maxKernelRowsPerBucket` (default 8M rows/bucket).
   */
 object Band {
 
-  /** Max mean rows per bucket before the kernel path declines in
-    * favor of the join form (a bucket must sort + scan in one task).
+  /** Max rows the kernel may buffer for one bucket (a bucket must
+    * sort + scan in one task). The route gates the measured MAX
+    * staged bucket size against this, so it is a hard per-task
+    * memory ceiling, not an average.
     * Override: `graft.band.maxKernelRowsPerBucket`. */
   val MaxKernelRowsPerBucket: Long = 8L * 1000 * 1000
 
@@ -77,16 +89,26 @@ object Band {
     val nb = math.min(math.max(parts.toLong, 1L), maxB).toInt
     val maxPerBucket = spark.conf.getOption("graft.band.maxKernelRowsPerBucket")
       .map(_.toLong).getOrElse(MaxKernelRowsPerBucket)
+    // cheap short-circuit: if even the MEAN breaches the ceiling the
+    // max must too — skip the bucketed count entirely
     if (n / nb > maxPerBucket) { lastRoute = "join"; return joinForm }
-    lastRoute = "kernel"
     val w = (hi - lo) / nb
     def bucketOf(v: org.apache.spark.sql.Column) =
       least(greatest(floor((v - lit(lo)) / lit(w)), lit(0.0)), lit((nb - 1).toDouble))
         .cast("int")
+    // Ghost threshold widened by a few ulps of the corpus magnitude
+    // (ADVICE r18): fl(p±eps) carries ~0.5 ulp of rounding and
+    // bucketOf rounds again, so a neighbor whose band edge coincides
+    // with a bucket boundary could compute its ghost bucket from a
+    // rounding that disagrees with the emit row's membership test by
+    // 1 ulp. Widening ONLY the replication test closes that window:
+    // membership comparisons stay exactly the join form's, and an
+    // extra ghost never emits and never duplicates within a bucket.
+    val epsG = eps + 4 * math.ulp(math.max(math.abs(lo), math.abs(hi)) + eps)
     val base = df.select(col(keyCol).cast("long").as("k"), col(valCol).cast("double").as("p"))
       .withColumn("b", bucketOf(col("p")))
-      .withColumn("bl", bucketOf(col("p") - lit(eps)))
-      .withColumn("bh", bucketOf(col("p") + lit(eps)))
+      .withColumn("bl", bucketOf(col("p") - lit(epsG)))
+      .withColumn("bh", bucketOf(col("p") + lit(epsG)))
     // home copy always; ghost copies only when the band actually
     // crosses the boundary (bl/bh clamp to b at the range edges)
     val exploded = base.select(col("k"), col("p"), explode(filter(array(
@@ -94,44 +116,68 @@ object Band {
         struct(col("bl").as("pid"), lit(false).as("emit")),
         struct(col("bh").as("pid"), lit(false).as("emit"))),
       c => c("emit") || c("pid") =!= col("b"))).as("c"))
-    val staged = exploded
       .select(col("c.pid").as("pid"), col("c.emit").as("emit"), col("k"), col("p"))
+    // skew gate (round 19): the routing statistic is the MAX staged
+    // bucket — the quantity the kernel actually buffers — not the
+    // mean. One bounded aggregate over the bucketed projection; its
+    // shuffle carries nb partially-aggregated rows, not the corpus.
+    val maxStaged = exploded.groupBy(col("pid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (maxStaged > maxPerBucket) { lastRoute = "join"; return joinForm }
+    lastRoute = "kernel"
+    val staged = exploded
       .repartition(nb.min(parts * 4), col("pid"))
       .sortWithinPartitions(col("pid"), col("p"), col("k"))
       .as[(Int, Boolean, Long, Double)]
     staged.mapPartitions { it =>
-      val all = it.toArray
-      val out = Iterator.unfold(0) { start =>
-        if (start >= all.length) None
-        else {
-          var end = start
-          val pid = all(start)._1
-          while (end < all.length && all(end)._1 == pid) end += 1
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var loI = start
-          var hiI = start
-          var i = start
-          while (i < end) {
-            val p = all(i)._4
-            if (all(i)._2) {
-              // identical IEEE bounds to the join form's BETWEEN
-              while (all(loI)._4 < p - eps) loI += 1
-              if (hiI < i) hiI = i
-              while (hiI < end && all(hiI)._4 <= p + eps) hiI += 1
-              val cnt = (hiI - loI - 1).toLong
-              if (cnt > 0) {
-                var gap = Double.MaxValue
-                if (i - 1 >= loI) gap = math.min(gap, p - all(i - 1)._4)
-                if (i + 1 < hiI) gap = math.min(gap, all(i + 1)._4 - p)
-                buf += ((all(i)._3, cnt, gap))
-              }
-            }
-            i += 1
+      // one bucket buffered at a time: rows arrive sorted by
+      // (pid, p), so buckets are consecutive runs — per-task memory
+      // is bounded by the max staged bucket (gated above), no matter
+      // how many buckets hash into this task
+      val in = it.buffered
+      new Iterator[(Long, Long, Double)] {
+        private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && in.hasNext) {
+            val pid = in.head._1
+            val bucket = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean, Long, Double)]
+            while (in.hasNext && in.head._1 == pid) bucket += in.next()
+            cur = profileBucket(bucket, eps)
           }
-          Some((buf, end))
+        override def hasNext: Boolean = { advance(); cur.hasNext }
+        override def next(): (Long, Long, Double) = { advance(); cur.next() }
+      }
+    }.toDF(outCols: _*)
+  }
+
+  /** Two-pointer scan over ONE sorted bucket: per emit row, the
+    * in-band neighbor count and nearest gap — identical IEEE bounds
+    * to the join form's BETWEEN. */
+  private def profileBucket(
+      all: scala.collection.mutable.ArrayBuffer[(Int, Boolean, Long, Double)],
+      eps: Double): Iterator[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val end = all.length
+    var loI = 0
+    var hiI = 0
+    var i = 0
+    while (i < end) {
+      val p = all(i)._4
+      if (all(i)._2) {
+        // identical IEEE bounds to the join form's BETWEEN
+        while (all(loI)._4 < p - eps) loI += 1
+        if (hiI < i) hiI = i
+        while (hiI < end && all(hiI)._4 <= p + eps) hiI += 1
+        val cnt = (hiI - loI - 1).toLong
+        if (cnt > 0) {
+          var gap = Double.MaxValue
+          if (i - 1 >= loI) gap = math.min(gap, p - all(i - 1)._4)
+          if (i + 1 < hiI) gap = math.min(gap, all(i + 1)._4 - p)
+          out += ((all(i)._3, cnt, gap))
         }
       }
-      out.flatten
-    }.toDF(outCols: _*)
+      i += 1
+    }
+    out.iterator
   }
 }

@@ -1825,6 +1825,11 @@ object Dedup {
     * for the routing spec only (specs run serially). */
   @volatile private[graft] var lastClusterSignalRoute: String = ""
 
+  /** One DERIVED route per corpus dir per session (ADVICE r18: the
+    * disk-budget input is live, the decision must not be). */
+  private val signalRouteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** Predicted lower bound on the exact-ngram verify grid's shuffle:
     * the docs-side (2B−1)-fold replication of the corpus shingle
     * volume (the candidate pair relation comes ON TOP — at sf10 it
@@ -1866,9 +1871,23 @@ object Dedup {
     * budget line, so the gate always exercises the ngram route. */
   def clusterPairSignal(spark: SparkSession, dir: String): DataFrame = {
     val route = spark.conf.getOption("graft.clusters.signalRoute").getOrElse {
-      val vol = shingleVolumeBytes(Tables.documents(spark, dir))
-      if (gridShuffleLowerBoundBytes(spark, vol) <= shuffleDiskBudgetBytes(spark))
-        "ngram" else "minhash"
+      // memoized per corpus dir (ADVICE r18): getUsableSpace is live
+      // state, so near the budget line the AUTO-derived route could
+      // flip MID-SESSION between calls — and label tables staged
+      // under the earlier route would then join against slice pairs
+      // from the other. One session resolves every consumer over one
+      // signal. Only the live-disk derivation memoizes: an EXPLICIT
+      // budget conf is deterministic (no disk-state input) and
+      // setting it mid-session is a deliberate re-route, like the
+      // force flag — both re-stage coherently through the
+      // route-keyed staging version below.
+      def derive() = {
+        val vol = shingleVolumeBytes(Tables.documents(spark, dir))
+        if (gridShuffleLowerBoundBytes(spark, vol) <= shuffleDiskBudgetBytes(spark))
+          "ngram" else "minhash"
+      }
+      if (spark.conf.getOption("graft.clusters.gridShuffleBudgetBytes").isDefined) derive()
+      else signalRouteMemo.computeIfAbsent(dir, _ => derive())
     }
     require(route == "ngram" || route == "minhash",
       s"graft.clusters.signalRoute must be ngram|minhash, got $route")

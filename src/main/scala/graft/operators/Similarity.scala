@@ -244,13 +244,48 @@ object Similarity {
     * corpus AS N GREW (0.81 at sf1, 0.62 at sf10 — the probed
     * fraction shrinks by design, and without cluster structure a
     * neighbor just across a Voronoi boundary is gone). Duplicating
-    * each posting into its 2 nearest cells makes a miss require
-    * BOTH cells to fall outside the probe set — recall
-    * ~1-(1-r)² for 2× list storage and candidate volume, while the
+    * each posting into its A nearest cells makes a miss require
+    * ALL A cells to fall outside the probe set — recall
+    * ~1-(1-r)^A for A× list storage and candidate volume, while the
     * probed fraction keeps shrinking as ~2/sqrt(cells). Candidates
-    * arriving via both cells are deduped before ranking (identical
-    * scores — same arithmetic on the same rows). */
-  val IvfAssign = 2
+    * arriving via multiple cells are deduped before ranking
+    * (identical scores — same arithmetic on the same rows).
+    *
+    * Round 19: A SCALES WITH THE CORPUS. The fixed A=2 of r18 has
+    * the same defect the fixed probe count had a round earlier —
+    * the per-posting hit rate r falls as the probed fraction
+    * shrinks (measured single-assign ladder on the faithful
+    * corpus: 0.806 at 141 cells, 0.619 at 447; the fit
+    * r ≈ 2√2/cells^(1/4) tracks both within ±0.015, and follows
+    * from r ≈ 2√f with f = probes/cells = 2/√cells), so ANY fixed
+    * A eventually drops below the floor — A=2's margin was already
+    * spent at sf10 (0.806 vs the 0.80 floor). Choosing the
+    * smallest A with (1-r)^A ≤ 0.1 (target recall 0.9 = floor +
+    * engineering margin) gives integer THRESHOLDS on the cell
+    * count — the boundaries where ln(0.1)/ln(1-r(cells)) crosses
+    * 2, 3, 4, 5: cells ≥ 292 → A=3, ≥ 777 → A=4, ≥ 1743 → A=5,
+    * ≥ 3449 → A=6, frozen alongside the frozen probe fraction at
+    * the 4096-cell cap. Storage grows ~one posting per decade
+    * (log-like), the probe policy is untouched, so the probed
+    * FRACTION keeps shrinking — the index property that matters.
+    * The thresholds are integers compared to an integer count in
+    * BOTH the Scala policy and the SQL twins, so the twins cannot
+    * drift by a floating-point ulp (the r18 lesson). */
+  val IvfAssignBase = 2
+  val IvfAssignCellThresholds: Seq[Int] = Seq(292, 777, 1743, 3449)
+
+  /** Postings per vector at this index size — see
+    * [[IvfAssignCellThresholds]]. */
+  def ivfAssign(cells: Int): Int =
+    IvfAssignBase + IvfAssignCellThresholds.count(cells >= _)
+
+  /** The same derivation in SQL, from the staged centroid table's
+    * row count (the twin's only view of `cells`) — integer
+    * comparisons only. */
+  private def ivfAssignSqlFrom(cTable: String): String =
+    s"SELECT $IvfAssignBase " +
+      IvfAssignCellThresholds.map(t => s"+ (CASE WHEN count(*) >= $t THEN 1 ELSE 0 END)")
+        .mkString(" ") + s" AS na FROM $cTable"
 
   def ivfCells(n: Long): Int =
     math.max(IvfCellsMin, math.min(IvfCellsMax, math.sqrt(n.toDouble).toInt))
@@ -413,11 +448,12 @@ object Similarity {
     // values the plan below broadcasts, so the SQL twin reads the
     // exact doubles this run's output was computed from
     centroids.coalesce(1).write.mode("overwrite").parquet(FreshCentroidStagePath)
-    // IVF-A inverted lists: one posting per (vector, top-IvfAssign
-    // cell) — the kernel form (centroids are already bounded/local)
+    // IVF-A inverted lists: one posting per (vector, top-A cell),
+    // A scaled to the index size — the kernel form (centroids are
+    // already bounded/local)
     import spark.implicits._
     val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-    val lists = assignMultiKernel(e, local, math.min(IvfAssign, cells))
+    val lists = assignMultiKernel(e, local, math.min(ivfAssign(cells), cells))
     probeLists(e, centroids, lists, cells)
   }
 
@@ -573,7 +609,7 @@ object Similarity {
     // needs corpus × k × rowsize of spill at scale — today's sf100
     // rebuild DIED on disk there. The centroids are already
     // driver-local (`local`); the kernel is a projection on the scan.
-    assignMultiKernel(e, local, math.min(IvfAssign, cells)).repartition(col("cid"))
+    assignMultiKernel(e, local, math.min(ivfAssign(cells), cells)).repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     // centroids ride inside the version dir (underscore prefix =
     // invisible to the posting-list scan's file listing), so the
@@ -602,7 +638,10 @@ object Similarity {
     // pre-IVF-A single-assign lists) must read as absent, not as
     // reusable — otherwise a pinned stage root serves stale lists
     // whose recall contract no longer holds
-    val fp = s"$fp0|a$IvfAssign"
+    // policy tag, not a single A value: the r19 scale-adaptive
+    // ladder must invalidate every fixed-A index (`|a2`), and any
+    // future threshold change must invalidate ladder-built ones
+    val fp = s"$fp0|aT${IvfAssignBase}_${IvfAssignCellThresholds.mkString("_")}"
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = ivfRootLocks.getOrElseUpdate(
@@ -819,6 +858,8 @@ object Similarity {
        |  SELECT cid, cv FROM read_parquet('$centroidPath/*.parquet')
        |), k AS (
        |  SELECT greatest(4, CAST(ceil(2 * sqrt(count(*))) AS INT)) AS np FROM c
+       |), a AS (
+       |  ${ivfAssignSqlFrom("c")}
        |), ad AS (
        |  SELECT vec_id, v, nrm, cid, ${distFold("v", "cv")} AS dist
        |  FROM n, c$candWhere
@@ -827,7 +868,7 @@ object Similarity {
        |    SELECT vec_id, v, nrm, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM ad) t
-       |  WHERE rn <= $IvfAssign
+       |  WHERE rn <= (SELECT na FROM a)
        |), qd AS (
        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid, ${distFold("v", "cv")} AS dist
        |  FROM n, c WHERE vec_id < $QueryCount
@@ -1281,6 +1322,8 @@ object Similarity {
        |  SELECT cid, cv FROM read_parquet('$CentroidStagePath/*.parquet')
        |), k AS (
        |  SELECT greatest(4, CAST(ceil(2 * sqrt(count(*))) AS INT)) AS np FROM c
+       |), a AS (
+       |  ${ivfAssignSqlFrom("c")}
        |), ad AS (
        |  SELECT vec_id, v, cid, ${distFold("v", "cv")} AS dist
        |  FROM e, c
@@ -1289,7 +1332,7 @@ object Similarity {
        |    SELECT vec_id, v, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM ad) t
-       |  WHERE rn <= $IvfAssign
+       |  WHERE rn <= (SELECT na FROM a)
        |), qd AS (
        |  SELECT vec_id AS q_id, v AS qv, cid, ${distFold("v", "cv")} AS dist
        |  FROM e, c WHERE vec_id < $QueryCount
@@ -1365,7 +1408,7 @@ object Similarity {
     val cbs = readIvfPqCodebooks(spark)
     assignMultiKernel(
         Dedup.embeddingsWithNorm(spark, dir).filter(col("vec_id") >= lit(split)),
-        idx.centroids, math.min(IvfAssign, idx.cells))
+        idx.centroids, math.min(ivfAssign(idx.cells), idx.cells))
       .select(col("cid"), col("vec_id"), pqCodesExpr(cbs, starts).as("codes"))
   }
 

@@ -186,12 +186,72 @@ object Warehouse {
     }
   }
 
+  /** Streaming twin of [[ingest]] (round 19, VERDICT r18 item 7):
+    * SDF file ARRIVAL drives the warehouse — `readStream.text` with
+    * the `$$$$` record delimiter watches the glob, and each
+    * micro-batch lands through the SAME per-file transaction the
+    * batch path uses, under `Trigger.AvailableNow` (drain what has
+    * arrived, then stop — the nightly-ingest shape; a `new File
+    * every N minutes` deployment just swaps the trigger).
+    *
+    * The manifest skip-set stays the source of truth, NOT the
+    * stream's checkpoint: inside the writer lease each batch's file
+    * list passes through [[pendingFiles]] before any write, so a
+    * FRESH checkpoint over already-ingested files is a no-op (the
+    * reference's own re-run semantics, utils.py:272) and a batch
+    * ingest interleaved with streaming cannot double-load. The file
+    * source schedules whole files per micro-batch, so the per-file
+    * manifest rows (span + count) are computed from complete record
+    * sets — the same single-pass stats as the batch path.
+    *
+    * Scale shape: identical to N successive [[ingest]] calls — the
+    * stream adds arrival tracking, not a new write path. Returns
+    * the files loaded across all micro-batches. */
+  def ingestStream(spark: SparkSession, glob: String, warehouseDir: String,
+                   checkpoint: String,
+                   layout: LayoutSpec = LayoutSpec.default): Seq[String] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val records = Sdf.records(
+      spark.readStream.option("lineSep", "$$$$").text(glob))
+    val q = records.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // distinct file list of this batch: bounded by files-per-
+        // trigger, the unit the source schedules
+        val files = batch.select(col("src_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (files.nonEmpty) withWriterLease(spark, warehouseDir) {
+          val todo = pendingFiles(spark, warehouseDir, files)
+          if (todo.nonEmpty) {
+            val r = ingestFrame(spark,
+              batch.filter(col("src_file").isin(todo: _*)), todo,
+              warehouseDir, layout)
+            loaded.synchronized { loaded ++= r.filesLoaded }
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    loaded.toSeq
+  }
+
   private def ingestFiles(spark: SparkSession, todo: Seq[String], warehouseDir: String,
-                          layout: LayoutSpec): IngestResult = {
+                          layout: LayoutSpec): IngestResult =
     // One distributed read over exactly the pending files. Keeping
     // src_file through extraction lets both the manifest stats and
     // the append happen in a single pass over the data.
-    val read = Sdf.read(spark, todo)
+    ingestFrame(spark, Sdf.read(spark, todo), todo, warehouseDir, layout)
+
+  /** Core of one ingest transaction over an already-read record
+    * frame (sdf, src_file, cid rows covering exactly `todo`) —
+    * shared by the batch path (which reads the pending files
+    * itself) and the streaming path (whose micro-batch already
+    * holds the records). Caller holds the writer lease. */
+  private def ingestFrame(spark: SparkSession, read: DataFrame, todo: Seq[String],
+                          warehouseDir: String, layout: LayoutSpec): IngestResult = {
     val extracted = Sdf.filterNotNull(
       read.select(Seq(col("src_file")) ++
         layout.columns.map(c => Sdf.extractColumn(col("sdf"), c)): _*),
@@ -391,10 +451,13 @@ object Warehouse {
     * read is O(partitions hit), never O(corpus).
     *
     * Repairs, in crash-safe order under the shared writer lease:
-    *  1. partitions with survivors rewrite via dynamic partition
-    *     overwrite (per-write option — untouched partitions keep
-    *     their files byte for byte), gated by a delete-only row
-    *     count check BEFORE the write is planned from the stats;
+    *  1. partitions with survivors STAGE to a sibling tmp dir,
+    *     where a delete-only row-count gate verifies the survivors
+    *     before any live byte changes (round 19 — the r18 form
+    *     checked after the commit, which detects but cannot
+    *     prevent); only the verified staged bytes then commit via
+    *     dynamic partition overwrite (per-write option — untouched
+    *     partitions keep their files byte for byte);
     *  2. partitions emptied by the takedown are deleted outright;
     *  3. the manifest rewrites through a tmp + two-rename swap (the
     *     [[compact]] pattern): affected files keep their row and
@@ -467,18 +530,38 @@ object Warehouse {
     val (rewritten, emptied) = stats.partition(_._3 > 0L)
       if (rewritten.nonEmpty) {
         val names = rewritten.map(_._1)
+        // delete-only gate, BEFORE anything live changes (ADVICE
+        // r18: the r18 form verified after the dynamic overwrite
+        // had committed — detect, not prevent). Survivors stage to
+        // a sibling tmp dir first; the count check runs against the
+        // staged bytes, and only a verified stage is committed (the
+        // commit re-reads the STAGED files, so the bytes that land
+        // live are the bytes that passed the gate — and the
+        // overwrite never reads the directory it rewrites). A crash
+        // after the gate leaves either the old partitions (commit
+        // not reached) or the verified survivors (idempotent
+        // re-run); the tmp dir is derived data, deleted on entry.
+        val stage = new Path(dataDir.toString + ".retract_stage")
+        fs.delete(stage, true)
         part.filter(col("src_filename").isin(names: _*))
           .join(broadcast(ret), Seq(pk), "left_anti")
           .write.mode("overwrite")
+          .partitionBy("src_filename")
+          .parquet(stage.toString)
+        // partition-column inference could narrow an all-digit
+        // filename to a numeric type on read-back — pin it to the
+        // manifest's string type before the commit write
+        val stagedDf = spark.read.parquet(stage.toString)
+          .withColumn("src_filename", col("src_filename").cast("string"))
+        val after = stagedDf.count()
+        val want = rewritten.map(_._3).sum
+        require(after == want,
+          s"retract: staged rewrite holds $after rows, expected $want survivors — live data untouched")
+        stagedDf.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("src_filename")
           .parquet(dataDir.toString)
-        // delete-only gate: the rewrite holds exactly the survivors
-        val after = compounds(spark, warehouseDir)
-          .filter(col("src_filename").isin(names: _*)).count()
-        val want = rewritten.map(_._3).sum
-        require(after == want,
-          s"retract: rewritten partitions hold $after rows, expected $want survivors")
+        fs.delete(stage, true)
       }
       emptied.foreach { case (f, _, _, _, _) =>
         val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(f)

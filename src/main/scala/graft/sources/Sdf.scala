@@ -40,8 +40,15 @@ object Sdf {
     read(spark, Seq(path))
 
   /** Multi-path variant (e.g. the warehouse's pending-file list). */
-  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val raw = spark.read.option("lineSep", "$$$$").text(paths: _*)
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+    records(spark.read.option("lineSep", "$$$$").text(paths: _*))
+
+  /** Record normalization over an already-opened `$$$$`-delimited
+    * text frame — shared by the batch read and the streaming ingest
+    * ([[graft.sinks.Warehouse.ingestStream]]), so both paths parse
+    * byte-identically. Works on batch and streaming frames alike
+    * (pure narrow projections). */
+  def records(raw: DataFrame): DataFrame =
     raw.select(
         regexp_replace(
           regexp_replace(
@@ -51,7 +58,6 @@ object Sdf {
         input_file_name().as("src_file"))
       .withColumn("cid", cidOf(col("sdf")))
       .filter(col("cid").isNotNull)
-  }
 
   /** CID extraction — the reference's record-identifying regex
     * (utils.py:265: `<PUBCHEM_COMPOUND_CID>\n([0-9]+)`). */

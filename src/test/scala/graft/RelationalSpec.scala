@@ -169,6 +169,44 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.band.maxKernelRowsPerBucket")
   }
 
+  test("band route gates on MAX bucket occupancy, not the mean (skew hole, r18 ADVICE)") {
+    // equal-width buckets + a hot value: nearly every row lands in
+    // ONE bucket while the mean rows/bucket stays far under the
+    // ceiling — the r18 mean gate would take the kernel route and
+    // buffer the whole corpus in one task. The max gate must route
+    // to the join form; with the ceiling lifted, the kernel must
+    // still equal the join form on the same skewed data.
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_band_skew")
+    try {
+      val tmp = tmpDir.toString
+      val hot = (1L to 900L).map(k => (k, 100.0 + (k % 7) * 0.5))
+      val spread = (901L to 1000L).map(k => (k, (k - 900L) * 1000.0))
+      spark.createDataFrame(hot ++ spread)
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val join = operators.Relational.qBandJoinJoinForm(spark, tmp)
+        .orderBy(col("o_orderkey")).collect().map(_.toString).toSeq
+      try {
+        // mean = 1000/nb << 100, but the hot bucket holds 900+ rows
+        spark.conf.set("graft.band.maxKernelRowsPerBucket", "100")
+        val gated = operators.Relational.qBandJoin(spark, tmp)
+          .collect().map(_.toString).toSeq
+        assert(operators.Band.lastRoute == "join",
+          "skewed corpus must fall back to the join form under a max-bucket ceiling")
+        assert(gated == join)
+      } finally spark.conf.unset("graft.band.maxKernelRowsPerBucket")
+      val kern = operators.Relational.qBandJoin(spark, tmp)
+        .collect().map(_.toString).toSeq
+      assert(operators.Band.lastRoute == "kernel")
+      assert(kern.nonEmpty && kern == join)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q_skew_join equals the unsalted plain join") {
     val got = operators.Relational.qSkewJoin(spark, dir).collect().map(_.toString).toSeq
     val li = Tables.lineitem(spark, dir)

@@ -129,6 +129,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fractions.last < 0.04, s"at 1e8 vectors still probing ${fractions.last}")
   }
 
+  test("IVF-A assignment ladder: postings scale with index size on integer thresholds") {
+    import operators.Similarity.ivfAssign
+    // driver scales unchanged (sf0.01 = 44 cells, sf1 = 141): the
+    // r18 A=2 configuration and its sf1 oracle dumps stand
+    assert(ivfAssign(16) == 2 && ivfAssign(44) == 2 && ivfAssign(141) == 2)
+    // exact integer boundaries — the SQL twins compare the same
+    // integers to the same centroid counts
+    assert(ivfAssign(291) == 2 && ivfAssign(292) == 3)
+    assert(ivfAssign(776) == 3 && ivfAssign(777) == 4)
+    assert(ivfAssign(447) == 3)  // sf10 (200k vectors)
+    assert(ivfAssign(1414) == 4) // sf100 (2M vectors)
+    assert(ivfAssign(4096) == 6) // frozen at the cells cap
+  }
+
   test("ivf recall holds at the larger sf0.1 corpus too (probe policy, not luck)") {
     val big = "/root/testdata/sf0.1"
     val bruteBig = pairs(Similarity.annTopkBrute(spark, big))

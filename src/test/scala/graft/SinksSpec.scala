@@ -33,6 +33,34 @@ class SinksSpec extends AnyFunSuite {
       "cmps_06_07.sdf" -> ((46773L, 46774L, 2L))))
   }
 
+  test("streaming SDF ingest == batch ingest; fresh-checkpoint re-run and mixed batch/stream are manifest no-ops") {
+    import org.apache.spark.sql.functions.col
+    def ck() = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val whB = java.nio.file.Files.createTempDirectory("graft_wh_b").toString
+    val whS = java.nio.file.Files.createTempDirectory("graft_wh_s").toString
+    Warehouse.ingest(spark, s"$sdfDir/*.sdf", whB)
+    val loaded = Warehouse.ingestStream(spark, s"$sdfDir/*.sdf", whS, ck())
+    assert(loaded.sorted == Seq("cmps_00_02.sdf", "cmps_03_05.sdf", "cmps_06_07.sdf"))
+    // same rows, file for file (src_filename partition included)
+    def rows(wh: String) = Warehouse.compounds(spark, wh)
+      .orderBy(col("cid")).collect().map(_.toString).toSeq
+    assert(rows(whS) == rows(whB) && rows(whS).nonEmpty)
+    def mani(wh: String) = Warehouse.manifest(spark, wh)
+      .select("filename", "lowest_cid", "highest_cid", "n_compounds")
+      .orderBy(col("filename")).collect().map(_.toString).toSeq
+    assert(mani(whS) == mani(whB))
+    // fresh checkpoint: the manifest, not stream state, de-dupes
+    assert(Warehouse.ingestStream(spark, s"$sdfDir/*.sdf", whS, ck()).isEmpty)
+    assert(rows(whS) == rows(whB))
+    // mixed lifecycle: batch-ingest one file, stream the full glob —
+    // the stream must load exactly the two files the manifest lacks
+    val whM = java.nio.file.Files.createTempDirectory("graft_wh_m").toString
+    Warehouse.ingest(spark, s"$sdfDir/cmps_00_02.sdf", whM)
+    val mixed = Warehouse.ingestStream(spark, s"$sdfDir/*.sdf", whM, ck())
+    assert(mixed.sorted == Seq("cmps_03_05.sdf", "cmps_06_07.sdf"))
+    assert(rows(whM) == rows(whB))
+  }
+
   test("warehouse retract: partition-scoped repair, manifest spans valid, untouched bytes identical") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_retract_spec").toString
