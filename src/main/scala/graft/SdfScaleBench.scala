@@ -155,6 +155,28 @@ object SdfScaleBench {
     val rows = spark.read.parquet(s"$wh/compounds").count()
     println(s"[sdfscale] final_rows=$rows expected=$total")
     assert(rows == total)
+
+    // retraction decade evidence (round 19, VERDICT r18 item 4):
+    // takedown cost must scale with partitions HIT, never corpus —
+    // 8 CIDs spanning exactly 2 of the nFiles partitions, timed
+    // against the full-corpus ingest above
+    val span = molsPerFile.toLong
+    val retractSet = (0L until 5L).map(span / 2 + _) ++ (0L until 3L).map(5 * span + 7 + _)
+    val rr = timed("retract_8cids_2files")(
+      sinks.Warehouse.retract(spark, wh, retractSet))
+    println(s"[sdfscale] retract rewritten=${rr.partitionsRewritten.length} " +
+      s"dropped=${rr.partitionsDropped.length} rows=${rr.rowsRetracted}")
+    assert(rr.rowsRetracted == 8 && rr.partitionsRewritten.length == 2
+      && rr.partitionsDropped.isEmpty)
+    // survivors still served, retracted keys gone, count repaired
+    timed("lookup_post_retract")(assert(
+      sinks.Warehouse.lookup(spark, wh, total / 2 + 1).collect().length == 1))
+    timed("lookup_retracted_miss")(assert(
+      sinks.Warehouse.lookup(spark, wh, span / 2).collect().isEmpty))
+    timed("retract_noop_rerun")(assert(
+      sinks.Warehouse.retract(spark, wh, retractSet).rowsRetracted == 0))
+    val afterRetract = spark.read.parquet(s"$wh/compounds").count()
+    assert(afterRetract == total - 8, s"$afterRetract != ${total - 8}")
     spark.stop()
   }
 }
