@@ -35,7 +35,7 @@ def compare_one(sf_dir, out_dir, name, sql, q, threads=None):
         # to the temp dir instead, and a genuine can't-fit lands as
         # an OutOfMemory error classified DNF-MEM below.
         con.execute(f"SET threads={threads}")
-        con.execute("SET memory_limit='18GB'")
+        con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '18GB')}'")
         # spill dir must be PER CHILD: DuckDB wipes its temp dir on
         # close, so a shared dir lets a finishing child delete a
         # running sibling's spill blocks mid-query
@@ -45,7 +45,8 @@ def compare_one(sf_dir, out_dir, name, sql, q, threads=None):
         # and bound the spill too: four concurrent ANN replica
         # oracles filled a 49 GB disk to 100% on the r19 sf10 sweep;
         # a child that cannot fit in cap+spill is the DNF class
-        con.execute("SET max_temp_directory_size='10GB'")
+        con.execute(f"SET max_temp_directory_size="
+                    f"'{os.environ.get('DUCK_SPILL', '10GB')}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
