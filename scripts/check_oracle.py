@@ -122,34 +122,55 @@ def main():
                      if n not in resumed and n not in skip)
     running = []  # (name, proc, queue, deadline)
 
-    def reap(slot):
+    def classify(name, status, msg):
         nonlocal fails, oks
-        name, proc, q, deadline = slot
-        if proc.is_alive():
-            if timeout is not None and time.monotonic() >= deadline:
-                proc.terminate(); proc.join()
-                print(f"DNF  {name}: oracle exceeded {timeout:.0f}s (documented, not a failure)",
-                      flush=True)
-                dnfs.append(name)
-                return True
-            return False
-        proc.join()
-        try:
-            _, status, msg = q.get_nowait()
-        except Exception:
-            # no verdict = the child was killed (kernel OOM at scale),
-            # not a value mismatch — resource-DNF class; rerun solo
-            # with jobs=1 to confirm before trusting the entry
-            print(f"DNF  {name}: oracle process died without a verdict "
-                  f"(resource-killed — rerun solo to confirm)", flush=True)
-            dnfs.append(name)
-            return True
         if status == "OK":
             print(f"OK   {name} ({msg})", flush=True); oks += 1
         elif status == "DNF":
             print(f"DNF  {name}: {msg}", flush=True); dnfs.append(name)
         else:
             print(f"FAIL {name}: {msg}", flush=True); fails += 1
+
+    def drain(q, wait):
+        # mp.Queue hands results over a pipe a feeder thread flushes
+        # asynchronously — poll briefly rather than get_nowait, which
+        # can race the flush and miss a verdict the child DID write
+        try:
+            return q.get(timeout=wait)
+        except Exception:
+            return None
+
+    def reap(slot):
+        name, proc, q, deadline = slot
+        if proc.is_alive():
+            if timeout is not None and time.monotonic() >= deadline:
+                # a verdict may already be queued (the child can finish
+                # its put and then block — e.g. a FAIL whose diff text
+                # exceeds the pipe buffer stalls the feeder thread);
+                # honor it instead of masking a real mismatch as DNF
+                v = drain(q, 0.1)
+                proc.terminate(); proc.join()
+                if v is None:
+                    v = drain(q, 1.0)
+                if v is not None:
+                    classify(name, v[1], v[2])
+                else:
+                    print(f"DNF  {name}: oracle exceeded {timeout:.0f}s "
+                          f"(documented, not a failure)", flush=True)
+                    dnfs.append(name)
+                return True
+            return False
+        proc.join()
+        v = drain(q, 1.0)
+        if v is None:
+            # no verdict = the child was killed (kernel OOM at scale),
+            # not a value mismatch — resource-DNF class; rerun solo
+            # with jobs=1 to confirm before trusting the entry
+            print(f"DNF  {name}: oracle process died without a verdict "
+                  f"(resource-killed — rerun solo to confirm)", flush=True)
+            dnfs.append(name)
+        else:
+            classify(name, v[1], v[2])
         return True
 
     while pending or running:

@@ -204,9 +204,24 @@ object Warehouse {
     * manifest rows (span + count) are computed from complete record
     * sets — the same single-pass stats as the batch path.
     *
+    * A file the micro-batches cannot SEE still needs its manifest
+    * row (ADVICE r19): the batch list is derived from the record
+    * frame, which is post-cid-filter — an SDF file with zero
+    * parseable CIDs (or zero bytes) contributes no rows to any
+    * batch, so the foreachBatch loop alone would never manifest it
+    * and every fresh-checkpoint run would re-read it, diverging
+    * from the batch path's "every PROCESSED file gets a manifest
+    * row" guarantee. After the stream drains, a catch-up sweep
+    * re-lists the glob and runs the ordinary batch transaction over
+    * whatever is still unmanifested — on the normal path that
+    * pending set is empty (one bounded manifest probe, no data
+    * read), and on the degenerate path it lands the n_compounds=0
+    * rows exactly as batch ingest would.
+    *
     * Scale shape: identical to N successive [[ingest]] calls — the
     * stream adds arrival tracking, not a new write path. Returns
-    * the files loaded across all micro-batches. */
+    * the files loaded across all micro-batches plus the catch-up
+    * sweep. */
   def ingestStream(spark: SparkSession, glob: String, warehouseDir: String,
                    checkpoint: String,
                    layout: LayoutSpec = LayoutSpec.default): Seq[String] = {
@@ -235,7 +250,11 @@ object Warehouse {
       }
       .start()
     q.awaitTermination()
-    loaded.toSeq
+    // catch-up sweep for record-less files (see scaladoc): the same
+    // batch transaction, a no-op when the micro-batches manifested
+    // everything the glob matches
+    val swept = ingest(spark, glob, warehouseDir, layout)
+    loaded.toSeq ++ swept.filesLoaded
   }
 
   private def ingestFiles(spark: SparkSession, todo: Seq[String], warehouseDir: String,
@@ -291,8 +310,24 @@ object Warehouse {
     } finally extracted.unpersist()
   }
 
-  def compounds(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read.parquet(compoundsDir(warehouseDir))
+  /** The live compounds table. src_filename is pinned to string at
+    * the source: partition-column type inference would narrow an
+    * all-digit filename corpus to a numeric type, and every consumer
+    * that round-trips partition VALUES back into partition PATHS
+    * (retract's staged rewrite, compact's sizing join) needs the
+    * lexical form preserved ('00123', not 123). The pin costs a
+    * second relation resolution only in the degenerate all-digit
+    * case — real SDF names carry '.sdf' and infer string, so the
+    * guard is a schema check on the already-resolved read. */
+  def compounds(spark: SparkSession, warehouseDir: String): DataFrame = {
+    val df = spark.read.parquet(compoundsDir(warehouseDir))
+    val needsPin = df.schema.exists(f =>
+      f.name == "src_filename" && f.dataType != org.apache.spark.sql.types.StringType)
+    if (!needsPin) df
+    else spark.read.schema(org.apache.spark.sql.types.StructType(df.schema.map(f =>
+      if (f.name == "src_filename") f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))).parquet(compoundsDir(warehouseDir))
+  }
 
   /** Drop-and-recreate semantics of the reference's
     * `initialize_db(reset=True)` (utils.py:217-219): removes the
@@ -548,11 +583,19 @@ object Warehouse {
           .write.mode("overwrite")
           .partitionBy("src_filename")
           .parquet(stage.toString)
-        // partition-column inference could narrow an all-digit
-        // filename to a numeric type on read-back — pin it to the
-        // manifest's string type before the commit write
-        val stagedDf = spark.read.parquet(stage.toString)
-          .withColumn("src_filename", col("src_filename").cast("string"))
+        // partition-column inference on the read-back could narrow
+        // an all-digit filename to a numeric type, and a post-hoc
+        // cast cannot restore the lexical form inference already
+        // lost ('00123' infers as 123, casts back to '123' — the
+        // commit would then write a NEW partition and leave the
+        // retracted rows live in 'src_filename=00123'). An explicit
+        // schema declaring src_filename string makes the partition
+        // value round-trip byte-identically (ADVICE r19).
+        val stageSchema = org.apache.spark.sql.types.StructType(part.schema.map(f =>
+          if (f.name == "src_filename")
+            f.copy(dataType = org.apache.spark.sql.types.StringType)
+          else f))
+        val stagedDf = spark.read.schema(stageSchema).parquet(stage.toString)
         val after = stagedDf.count()
         val want = rewritten.map(_._3).sum
         require(after == want,

@@ -61,6 +61,67 @@ class SinksSpec extends AnyFunSuite {
     assert(rows(whM) == rows(whB))
   }
 
+  test("streaming ingest manifests a file no micro-batch can see (zero parseable CIDs)") {
+    // ADVICE r19 (medium): the stream's per-batch file list derives
+    // from the record frame, which is post-cid-filter — a file whose
+    // records carry no CID contributes no rows to ANY batch, so
+    // without the drain-time catch-up sweep it would never get its
+    // n_compounds = 0 manifest row and every fresh-checkpoint run
+    // would re-read it, breaking stream == batch manifest equality.
+    import org.apache.spark.sql.functions.col
+    def ck() = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_cidless_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sdfDir/cmps_00_02.sdf"), src.resolve("cmps_00_02.sdf"))
+    java.nio.file.Files.write(src.resolve("no_cids.sdf"),
+      "mol-without-cid\n\n\nM  END\n$$$$\n".getBytes("UTF-8"))
+    val whB = java.nio.file.Files.createTempDirectory("graft_wh_cidless_b").toString
+    val whS = java.nio.file.Files.createTempDirectory("graft_wh_cidless_s").toString
+    Warehouse.ingest(spark, s"$src/*.sdf", whB)
+    val loaded = Warehouse.ingestStream(spark, s"$src/*.sdf", whS, ck())
+    assert(loaded.sorted == Seq("cmps_00_02.sdf", "no_cids.sdf"))
+    def mani(wh: String) = Warehouse.manifest(spark, wh)
+      .select("filename", "lowest_cid", "highest_cid", "n_compounds")
+      .orderBy(col("filename")).collect().map(_.toString).toSeq
+    assert(mani(whS) == mani(whB))
+    assert(mani(whS).exists(_.contains("no_cids.sdf")), "cid-less file missing from manifest")
+    // the contract the manifest row exists for: a fresh checkpoint
+    // must re-read NOTHING, including the record-less file
+    assert(Warehouse.ingestStream(spark, s"$src/*.sdf", whS, ck()).isEmpty)
+  }
+
+  test("retract round-trips an all-digit src_filename byte-identically (no ghost partition)") {
+    // ADVICE r19: partition-column type inference narrows '00123' to
+    // int 123 on read-back, and a post-hoc cast cannot restore the
+    // leading zero — the commit would then write a NEW partition
+    // 'src_filename=123' and leave the retracted rows live in
+    // 'src_filename=00123'. The explicit-schema stage read (and the
+    // pinned compounds() read) must keep the lexical form.
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("graft_digit_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sdfDir/cmps_00_02.sdf"), src.resolve("00123"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sdfDir/cmps_03_05.sdf"), src.resolve("00999"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_digit_spec").toString
+    Warehouse.ingest(spark, s"$src/*", wh)
+    val res = Warehouse.retract(spark, wh, Seq(31038L))
+    assert(res.partitionsRewritten == Seq("00123") && res.rowsRetracted == 1L)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(Warehouse.compoundsDir(wh))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dataDir, "src_filename=00123")),
+      "survivors' partition lost its lexical name")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir, "src_filename=123")),
+      "ghost partition written under the inference-narrowed name")
+    assert(Warehouse.lookup(spark, wh, 31038L).isEmpty, "retracted cid still served")
+    val left = Warehouse.compounds(spark, wh)
+      .filter(col("src_filename") === "00123")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(31039L, 31040L))
+    assert(Warehouse.compounds(spark, wh).count() == 5)
+  }
+
   test("warehouse retract: partition-scoped repair, manifest spans valid, untouched bytes identical") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_retract_spec").toString
