@@ -13,11 +13,37 @@ object BenchOne {
     // same session shape or single-query timings don't transfer
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark: SparkSession = GraftSession.local(cpus)
+    // GRAFT_BENCH_JOBS=1: print per-job wall times for the BEST run
+    // (guide §1 — find WHERE an entry's seconds go before touching
+    // it; with the UI off this listener is the job-level profile)
+    val profileJobs = sys.env.get("GRAFT_BENCH_JOBS").contains("1")
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (profileJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null) jobLog.add(
+            f"job ${je.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  ${s._2}")
+        }
+        // stage-level: wall vs summed task run time vs GC — separates
+        // compute from scheduling stall from memory pressure
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield (a - b) / 1e3).getOrElse(-1.0)
+          jobLog.add(f"    stage ${si.stageId}%3d wall=$wall%6.2f run=${m.executorRunTime / 1e3}%7.2f cpu=${m.executorCpuTime / 1e9}%7.2f deser=${m.executorDeserializeTime / 1e3}%6.2f gc=${m.jvmGCTime / 1e3}%5.2f tasks=${si.numTasks}%4d ${si.name.take(60)}")
+        }
+      })
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
         spark.catalog.clearCache()
+        if (profileJobs && i == 3) jobLog.clear()
         val t0 = System.nanoTime()
         // toRdd.count, not df.count — see Bench.scala: df.count lets
         // Catalyst prune projection-shaped entries to a scan count
@@ -25,6 +51,22 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $name%-24s best=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (profileJobs) {
+        println(s"[benchone] job breakdown of run 3 (${name}):")
+        var (jobs, stages, run, cpu) = (0, 0, 0.0, 0.0)
+        jobLog.forEach { l =>
+          println(s"  $l")
+          if (l.trim.startsWith("job ")) jobs += 1
+          else {
+            stages += 1
+            val rm = "run=\\s*([0-9.]+)".r.findFirstMatchIn(l)
+            val cm = "cpu=\\s*([0-9.]+)".r.findFirstMatchIn(l)
+            run += rm.map(_.group(1).toDouble).getOrElse(0.0)
+            cpu += cm.map(_.group(1).toDouble).getOrElse(0.0)
+          }
+        }
+        println(f"[benchone] $name totals: jobs=$jobs stages=$stages sum_run=$run%.2f sum_cpu=$cpu%.2f")
+      }
     }
     spark.stop()
   }

@@ -119,13 +119,27 @@ object Band {
       .select(col("c.pid").as("pid"), col("c.emit").as("emit"), col("k"), col("p"))
     // skew gate (round 19): the routing statistic is the MAX staged
     // bucket — the quantity the kernel actually buffers — not the
-    // mean. One bounded aggregate over the bucketed projection; its
-    // shuffle carries nb partially-aggregated rows, not the corpus.
-    val maxStaged = exploded.groupBy(col("pid")).count()
+    // mean. Round 20 folds the gate's pass into the kernel's: the
+    // bucketed projection is persisted (lazy — the gate aggregate is
+    // the action that fills the cache), so the kernel's shuffle
+    // consumes the cached narrow (pid, emit, k, p) rows instead of
+    // re-running scan+explode. The r19 form paid that corpus pass
+    // twice (guide §1.2/§2.4: remove duplicate passes before tuning
+    // anything else). An eager localCheckpoint was measured first
+    // and rejected: its dedicated materialization job cost more at
+    // bench scale than the rescan it saved (2.4-3.6 s vs 1.7-1.8 s
+    // at sf0.1). The gate statistic and route decision are
+    // unchanged; on the join route the cache is dropped before the
+    // fallback runs.
+    val staged0 = exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxStaged = staged0.groupBy(col("pid")).count()
       .agg(max(col("count"))).head().getLong(0)
-    if (maxStaged > maxPerBucket) { lastRoute = "join"; return joinForm }
+    if (maxStaged > maxPerBucket) {
+      staged0.unpersist(blocking = false)
+      lastRoute = "join"; return joinForm
+    }
     lastRoute = "kernel"
-    val staged = exploded
+    val staged = staged0
       .repartition(nb.min(parts * 4), col("pid"))
       .sortWithinPartitions(col("pid"), col("p"), col("k"))
       .as[(Int, Boolean, Long, Double)]

@@ -361,46 +361,45 @@ object Similarity {
     // seeds = first k sampled vectors in vec_id order — NOT
     // `vec_id < k`, which silently yields fewer (or zero) centroids
     // on sparse or offset id spaces.
-    var centroids = train.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("cv"))
     // (Measured, round 5: rewriting this update as `dim` avg()
     // aggregate columns in one groupBy — saving the (cid, pos)
     // exchange and the explode volume — was 15-20% SLOWER end to
     // end: 64 two-buffer avg aggregates generate enough code per
     // Lloyd build to outweigh the exchange they remove. The
     // posexplode form stays.)
+    //
+    // Round 20: the Lloyd STATE lives on the driver as a k × dim
+    // array (the SAME bounded collect budget as before — the r19
+    // loop already collected the centroids every round for the
+    // bound-matrix assign). The r19 loop additionally kept the state
+    // as a DataFrame (`centroids.join(updated).select(coalesce…)`)
+    // and re-collected THROUGH that growing join lineage, so each
+    // round's collect re-ran the seed subplan plus every earlier
+    // round's merge join as extra AQE stages — measured as the two
+    // heaviest jobs of ann_ivf at sf0.1 (~2 s of a ~4.5 s
+    // steady-state run, stage profile in OPTIMIZATION_r20.md).
+    // Merging the k-row update into the local array is driver-side
+    // O(k·dim) on data already collected; each round's distributed
+    // work is now exactly ONE job (assign + update aggregate), and
+    // the final collect disappears (the state is already local).
+    // Arithmetic is unchanged: same seeds, same assign kernel, same
+    // avg() update, and getOrElse == the old left-join coalesce (a
+    // cell with no assigned training vectors keeps its previous
+    // centroid — the update must never shrink the centroid count).
+    var localC: Array[(Int, Seq[Double])] = train.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("cv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
     for (_ <- 1 to iters) {
-      // per-iteration bounded collect (k × dim — the same budget as
-      // the final collect) so the training assign runs the
-      // bound-matrix kernel too: the join+min-struct form streams
-      // train × k rows carrying vectors through an object aggregate,
-      // ~70 GB of sort-fallback pressure at sf100's k (round 17)
-      val localC = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-      val updated = assignMultiKernel(train, localC, 1)
+      val updated = assignMultiKernel(train, localC.toSeq, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, p -> p.m)").as("ucv"))
-      // a cell with no assigned training vectors keeps its previous
-      // centroid — the update must never shrink the centroid count.
-      // Per-round checkpointing only for DEEP loops: each round
-      // references the previous centroids twice (assign + the join),
-      // so an unbounded loop doubles the plan per iteration (the
-      // connectedComponents trap) — but at the default IvfIters=2
-      // the worst duplication is 4 references to the tiny seed
-      // subplan, cheaper to recompute executor-side inside the
-      // single collect job than to pay a scheduling barrier per
-      // round (the r3 per-round checkpoint was also
-      // contention-sensitive — the judge measured 3.35 s vs the
-      // builder's 2.2-2.4 s on the same code).
-      centroids = centroids.join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv"))
-      if (iters > 2) centroids = centroids.localCheckpoint(true)
+        .as[(Int, Seq[Double])].collect().toMap
+      localC = localC.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
     }
-    val finalCentroids = centroids.select(col("cid"), col("cv"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
-    finalCentroids.toSeq.toDF("cid", "cv")
+    localC.toSeq.toDF("cid", "cv")
   }
 
   /** Probe side, shared by `ann_ivf` (fresh in-memory lists) and
