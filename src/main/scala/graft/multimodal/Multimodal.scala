@@ -554,10 +554,18 @@ object Multimodal {
 
   /** Deterministic synthetic media table (the driver testdata has no
     * media column; payload generation is part of the operator's
-    * contract). */
-  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    * contract). `partitions <= 0` sizes to the session's default
+    * parallelism: the codec work downstream is the expensive part
+    * (PNG/WAV/JPEG encode+decode per row), and the r20 profile showed
+    * the old fixed 8 leaving 24 of 32 cores idle for the entry's
+    * whole 1.6 s decode stage (guide §2.5 input-parallelism). Rows
+    * are a pure function of the id, so the partition count cannot
+    * change any value (spec-pinned partition-independence). */
+  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(r => StubCodec.synthetic(r))
+    val p = if (partitions > 0) partitions
+            else math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
+    spark.range(0, n, 1, p).map(r => StubCodec.synthetic(r))
   }
 
   /** Decode + feature-extract, one codec pass per PARTITION — the

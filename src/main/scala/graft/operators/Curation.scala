@@ -913,9 +913,25 @@ object Curation {
         explode(col("ghs")).as("gh"))
     val bench = hashed.filter(col("doc_id") >= lit(split))
       .select(explode(col("ghs")).as("gh")).distinct()
-    // The bench side is bounded by design (eval suites, not corpora):
-    // one eager count sizes the bloom honestly instead of guessing.
-    val nBench = math.max(bench.count(), 1L)
+    // The bench side is bounded by design (eval suites, not corpora).
+    // Size the bloom from an UPPER BOUND derived from column metadata
+    // — Σ max(n_chars - N + 1, 0) over bench docs is the total window
+    // count, and distinct shingles can only be fewer — instead of an
+    // exact distinct count: the exact count was a full extra pass
+    // through the shingle kernel + distinct exchange per run (r20
+    // profile: 2 of the entry's 7 heavy stages) for a number the
+    // filter only needs as a capacity floor. Over-sizing a bloom
+    // cannot change output (expectedNumItems high ⇒ fpp LOWER than
+    // the 1% target; false positives were already removed by the
+    // exact confirm join below; false negatives are impossible
+    // either way) — it only costs bits: ~10 bits per window instead
+    // of per distinct shingle, still metadata-sized vs the corpus.
+    // The bound scans just (doc_id, n_chars) — no text, no kernel.
+    val nBench = math.max(docs
+      .filter(col("doc_id") >= lit(split))
+      .agg(coalesce(sum(greatest(col("n_chars") - lit(Dedup.ShingleN - 1), lit(0L))),
+        lit(0L)).as("n"))
+      .collect()(0).getLong(0), 1L)
     val bloom = bench.stat.bloomFilter("gh", nBench, 0.01)
     corpus.filter(bloomProbe(bloom, col("gh")))
       .join(broadcast(bench), Seq("gh"), "left_semi")

@@ -933,6 +933,27 @@ object Similarity {
   private def vecLitSql(xs: Seq[Double]): String =
     xs.map(x => s"${x}D").mkString("array(", ", ", ")")
 
+  /** Column-level twins of the old `expr("vec_sqdist(...)")` string
+    * forms (r20): the encoder builds m x k of these per plan, each
+    * carrying a subdim-double literal, and generating + re-PARSING
+    * those SQL strings on every plan construction was driver time
+    * inside the timed region (the parse also built k x subdim
+    * CreateArray nodes for the optimizer to re-fold per call).
+    * Constructing the Catalyst nodes directly yields the same
+    * operators over the same literal values — `typedlit` emits
+    * exactly the folded ArrayType(Double) literal the parsed
+    * `array(aD, bD…)` collapses to — so every emitted value is
+    * unchanged; only plan-construction cost moves. */
+  private def sqDistCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VecSqDistExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** One literal Column per codeword list — built once per plan and
+    * shared across the m x k encoder terms. */
+  private def vecLit(xs: Seq[Double]): Column = typedlit(xs)
+
   /** All [[PqM]] subspace codebooks from ONE bounded sample collect
     * + driver-local Lloyd. Unlike IVF (whose training sample scales
     * with its sqrt(n) cell count, up to ~64*4096 x dim — Lloyd must
@@ -1037,19 +1058,17 @@ object Similarity {
     // break to the lowest cid (array_position returns the FIRST
     // match of the min — the SQL twin's ORDER BY (dist, cid))
     def codeExpr(j: Int): Column = {
-      val ds = array(codebooks(j).map { case (_, cv) =>
-        expr(s"vec_sqdist(slice(v, ${starts(j) + 1}, ${starts(j + 1) - starts(j)}), ${vecLitSql(cv)})")
-      }: _*)
+      val sub = slice(col("v"), starts(j) + 1, starts(j + 1) - starts(j))
+      val ds = array(codebooks(j).map { case (_, cv) => sqDistCol(sub, vecLit(cv)) }: _*)
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }
     val coded = e.select(col("vec_id"), col("v"),
       array((0 until PqM).map(codeExpr): _*).as("codes"))
     // probe: reconstruct from codes + broadcast codebook literal
     // (the warehouse stores only `codes`), then native-kernel ADC
-    val cbLit = codebooks.map(cb => cb.map(_._2).map(vecLitSql)
-      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    val recon = expr(
-      s"flatten(transform(codes, (c, j) -> element_at(element_at($cbLit, j + 1), c + 1)))")
+    val cbLit = typedlit(codebooks.map(_.map(_._2)))
+    val recon = flatten(transform(col("codes"),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
     // v rides along only as the re-rank fetch (the warehouse stores
     // codes; candidates' full vectors are fetched by id)
     val scored = coded.withColumn("rv", recon)
@@ -1235,9 +1254,8 @@ object Similarity {
     * the min, the SQL twin's ORDER BY (dist, code)). */
   private def pqCodesExpr(codebooks: Seq[Seq[Seq[Double]]], starts: Seq[Int]): Column = {
     def codeExpr(j: Int): Column = {
-      val ds = array(codebooks(j).map { cv =>
-        expr(s"vec_sqdist(slice(v, ${starts(j) + 1}, ${starts(j + 1) - starts(j)}), ${vecLitSql(cv)})")
-      }: _*)
+      val sub = slice(col("v"), starts(j) + 1, starts(j + 1) - starts(j))
+      val ds = array(codebooks(j).map(cv => sqDistCol(sub, vecLit(cv))): _*)
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }
     array((0 until PqM).map(codeExpr): _*)
@@ -1263,10 +1281,9 @@ object Similarity {
     }
     val probedCids = probes.map(_._3).distinct.sorted
     val probesDf = probes.toDF("q_id", "qv", "cid")
-    val cbLit = cbRead.map(cb => cb.map(vecLitSql)
-      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    val recon = expr(
-      s"flatten(transform(codes, (c, j) -> element_at(element_at($cbLit, j + 1), c + 1)))")
+    val cbLit = typedlit(cbRead)
+    val recon = flatten(transform(col("codes"),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
     // two literal pruning layers on the codes side: pg prunes
     // directories, cid prunes row groups inside the sorted files
     // (and stays the exact row filter). A codes relation without pg
@@ -1798,9 +1815,22 @@ object Similarity {
           f"($matched of $total brute top-k pairs recovered)")
       (method, matched, total, recall)
     }
-    Seq(
-      leg("ivf", annIvfProbe(spark, dir), RecallFloorIvf),
-      leg("lsh", annTopkLsh(spark, dir), RecallFloorLsh))
+    // The two legs are INDEPENDENT given the checkpointed brute frame
+    // (separate plans, separate counts) and the entry's wall time was
+    // the serial sum of two multi-job pipelines — overlap them from
+    // driver threads so each leg's straggler tail back-fills the
+    // other's idle cores (guide §2.6). Results are order-pinned by
+    // construction (fixed Seq order, then the presentation sort), and
+    // a floor violation in either leg still fails the entry (Await
+    // rethrows). annIvfProbe's index staging is memo-guarded
+    // (StagedVersion/TrieMap) and annTopkLsh is a pure lazy plan, so
+    // the two threads share no mutable state.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val ivfLeg = Future(leg("ivf", annIvfProbe(spark, dir), RecallFloorIvf))
+    val lshLeg = Future(leg("lsh", annTopkLsh(spark, dir), RecallFloorLsh))
+    Seq(Await.result(ivfLeg, Duration.Inf), Await.result(lshLeg, Duration.Inf))
       .toDF("method", "matched", "total", "recall").orderBy(col("method"))
   }
 

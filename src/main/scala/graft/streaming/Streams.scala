@@ -130,7 +130,18 @@ object Streams {
       }
       try q.awaitTermination() finally q.stop()
     } finally deleteRecursively(ckpt)
-    spark.table(name)
+    // coalesce(1): the sink table is driver-local rows (harness-
+    // bounded by construction — see the memory-sink note above), but
+    // its LocalTableScan still fans the downstream presentation sort
+    // into a full range exchange: one sampling job plus 32 sort tasks
+    // each deserializing the whole local relation from the task
+    // binary (r20 profile: 13.7 s of summed task run for a
+    // bucket-count-sized table). SinglePartition satisfies the sort's
+    // required distribution outright, so the entries' orderBy becomes
+    // one local sort — no sampling job, no exchange, the rows
+    // serialized once. Every entry's presentation sort is over a
+    // unique key set, so the row set AND final order are unchanged.
+    spark.table(name).coalesce(1)
   }
 
   // ---- stream twin of q_events_tumbling ----
@@ -795,6 +806,7 @@ object Streams {
       try q.awaitTermination() finally q.stop()
     } finally deleteRecursively(ckpt)
     spark.table("graft_stream_sessionize")
+      .coalesce(1) // same single-partition presentation-sort move as runToMemory
       .filter(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_id"), col("n_events"),
         timestamp_micros(col("start_us")).as("session_start"),
