@@ -36,8 +36,10 @@ object Tables {
       .sorted.mkString("|")
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  /** `spark.read.parquet(path)` with the schema memo above. For
+    * UNPARTITIONED paths only — a partitioned table's inferred schema
+    * carries partition-column type inference that must stay live. */
+  def parquetCached(spark: SparkSession, path: String): DataFrame = {
     val key = listingKey(spark, path)
     schemaCache.get(path) match {
       case Some((`key`, schema)) => spark.read.schema(schema).parquet(path)
@@ -47,6 +49,9 @@ object Tables {
         df
     }
   }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    parquetCached(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -360,7 +360,13 @@ object Relational {
 
   // ---- q_cube_rollup: rollup with grouping sets ----
   def qCubeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // same serial-scan spread as q1_agg (r20): rollup EXPANDs each
+    // row into 3 grouping-set rows before the partial aggregate, so
+    // the one-row-group scan stage carries 3x the per-row decimal
+    // work on one core (profiled: the entry was one 0.72 s 3-task
+    // stage). Scale-adaptive — no-op when the scan already
+    // parallelizes; rollup sums are order-independent.
+    val li = spreadIfNarrow(Tables.lineitem(spark, dir), col("l_orderkey"))
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
       .select(

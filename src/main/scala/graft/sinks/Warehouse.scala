@@ -48,7 +48,11 @@ object Warehouse {
   def manifest(spark: SparkSession, warehouseDir: String): DataFrame = {
     val path = new Path(manifestDir(warehouseDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(path.toString)
+    // schema memo (r20): the manifest is a flat unpartitioned dir and
+    // every warehouse entry re-reads it several times per run — the
+    // bare read re-paid a footer-inference job each time. The memo
+    // keys on the file listing, so an appended manifest re-infers.
+    if (fs.exists(path)) graft.Tables.parquetCached(spark, path.toString)
     else spark.emptyDataFrame
   }
 

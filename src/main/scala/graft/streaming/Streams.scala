@@ -23,8 +23,9 @@ object Streams {
     * file actually carries (ns-as-long, µs NTZ, or µs TZ) — see
     * [[graft.Tables.normalizeEventsTs]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // schema via the Tables memo — a bare spark.read.parquet here
+    // re-paid the footer-inference job on every stream entry run
+    val schema = graft.Tables.table(spark, dir, "events").schema
     // the file-stream source requires a directory: stream the parent
     // dir filtered down to the events table file
     graft.Tables.normalizeEventsTs(
