@@ -168,7 +168,7 @@ object Bpe {
         .toDF("rank", "lhs", "rhs")
         .coalesce(1).write.mode("overwrite").parquet(BpeMergesStagePath)
     }
-    spark.read.parquet(BpeMergesStagePath)
+    graft.Tables.parquetCached(spark, BpeMergesStagePath)
   }
 
   /** The staged merges as a rank-ordered driver-side list — ≤

@@ -187,7 +187,7 @@ object Curation {
         .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
         .write.mode("overwrite").parquet(ClusterLabelStagePath)
     }
-    spark.read.parquet(ClusterLabelStagePath)
+    graft.Tables.parquetCached(spark, ClusterLabelStagePath)
   }
 
   /** Incremental cluster maintenance (VERDICT r11 item 3): fold the
@@ -539,7 +539,7 @@ object Curation {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .write.mode("overwrite").parquet(TfidfStatePath)
     }
-    spark.read.parquet(TfidfStatePath)
+    graft.Tables.parquetCached(spark, TfidfStatePath)
   }
 
   /** Corpus DRIFT monitor — the release-gating signal a pipeline
@@ -911,8 +911,20 @@ object Curation {
     val corpus = hashed.filter(col("doc_id") < lit(split))
       .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
         explode(col("ghs")).as("gh"))
+    // eager checkpoint (the connectedComponents idiom): the bench
+    // shingle set has TWO consumers in different ACTIONS — the bloom
+    // build below and the confirm join's broadcast build — and
+    // exchange reuse cannot share across actions, so the un-
+    // materialized form re-ran the bench-side shingle kernel +
+    // distinct once per consumer (r20 profile: two of the entry's
+    // heavy stages were that second pass). The materialization is the
+    // distinct-shingle relation — bounded by the eval suite's size,
+    // the same class as the broadcast it feeds — and it is fully
+    // materialized by the bloom action BEFORE the confirm join's
+    // broadcast thread plans over it (the r4 lazy-persist trap).
     val bench = hashed.filter(col("doc_id") >= lit(split))
       .select(explode(col("ghs")).as("gh")).distinct()
+      .localCheckpoint(true)
     // The bench side is bounded by design (eval suites, not corpora).
     // Size the bloom from an UPPER BOUND derived from column metadata
     // — Σ max(n_chars - N + 1, 0) over bench docs is the total window
@@ -1148,7 +1160,7 @@ object Curation {
         .select(col("doc_id"), when(prefix % 10 < 9, "train").otherwise("val").as("side"))
         .write.mode("overwrite").parquet(SplitSidesPath)
     }
-    spark.read.parquet(SplitSidesPath)
+    graft.Tables.parquetCached(spark, SplitSidesPath)
   }
 
   /** STICKY split maintenance for a grown corpus — the release-time

@@ -1284,7 +1284,7 @@ object Dedup {
         .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(CorpusHashPath)
     }
-    spark.read.parquet(CorpusHashPath)
+    graft.Tables.parquetCached(spark, CorpusHashPath)
   }
 
   /** The corpus shingle-rarity count-min sketch, persisted next to
@@ -1311,13 +1311,13 @@ object Dedup {
       // counts (the staged rows ARE the pipeline's output), and the
       // aggregate's input is a parquet scan instead of a second
       // kernel pass
-      val cms = spark.read.parquet(MinhashSketchPath)
+      val cms = graft.Tables.parquetCached(spark, MinhashSketchPath)
         .select(explode(col("ghs")).as("gh"))
         .select(expr(s"count_min_sketch(gh, ${CmsParams._1}d, ${CmsParams._2}d, ${CmsParams._3})"))
         .head.getAs[Array[Byte]](0)
       java.nio.file.Files.write(java.nio.file.Paths.get(ShingleCmsPath), cms)
     }
-    spark.read.parquet(MinhashSketchPath)
+    graft.Tables.parquetCached(spark, MinhashSketchPath)
   }
 
   /** Candidate pairs from banded buckets, verified with EXACT
@@ -1612,7 +1612,7 @@ object Dedup {
       simhashSignatures(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(SimhashSigPath)
     }
-    spark.read.parquet(SimhashSigPath)
+    graft.Tables.parquetCached(spark, SimhashSigPath)
   }
 
   /** The pigeonhole band relation of a (doc_id, sim) signature frame
@@ -1806,7 +1806,7 @@ object Dedup {
       dedupNgramJaccardPairs(spark, dir)
         .write.mode("overwrite").parquet(NgramPairStagePath)
     }
-    spark.read.parquet(NgramPairStagePath)
+    graft.Tables.parquetCached(spark, NgramPairStagePath)
   }
 
   // ---- corpus-adaptive pair signal for the clusters/split family ----
@@ -1899,7 +1899,7 @@ object Dedup {
       src.select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(ClusterSignalStagePath)
     }
-    spark.read.parquet(ClusterSignalStagePath)
+    graft.Tables.parquetCached(spark, ClusterSignalStagePath)
   }
 
   /** The staged minhash pair list WITHOUT re-running the live
@@ -1911,7 +1911,7 @@ object Dedup {
     stagedPairs(dir) {
       dedupMinhashLsh(spark, dir).write.mode("overwrite").parquet(MinhashPairStagePath)
     }
-    spark.read.parquet(MinhashPairStagePath)
+    graft.Tables.parquetCached(spark, MinhashPairStagePath)
   }
 
   // stage once per corpus dir (VERDICT r8 item 3: the per-run
@@ -2101,7 +2101,7 @@ object Dedup {
         .groupBy(col("wh")).agg(count(lit(1)).as("total"))
         .write.mode("overwrite").parquet(SubstringTablePath)
     }
-    spark.read.parquet(SubstringTablePath)
+    graft.Tables.parquetCached(spark, SubstringTablePath)
   }
 
   /** Fresh-crawl form of the substring profile: the per-doc

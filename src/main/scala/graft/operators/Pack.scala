@@ -323,7 +323,7 @@ object Pack {
         element_at(expr("graft_text_stats(text)"), 1).as("n_tokens"))
         .write.mode("overwrite").parquet(ShardMeasurePath)
     }
-    spark.read.parquet(ShardMeasurePath)
+    graft.Tables.parquetCached(spark, ShardMeasurePath)
   }
 
   /** Steady-state shard placement for a GROWN corpus — the

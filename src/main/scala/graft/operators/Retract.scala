@@ -111,7 +111,7 @@ object Retract {
         .select(col("v").as("doc_id"), col("lab").as("cluster_root"))
         .write.mode("overwrite").parquet(FullClusterLabelPath)
     }
-    spark.read.parquet(FullClusterLabelPath)
+    graft.Tables.parquetCached(spark, FullClusterLabelPath)
   }
 
   /** The tombstone REGISTRY — the takedown set persisted as the
@@ -130,7 +130,7 @@ object Retract {
       Tables.documents(spark, dir).filter(takedownPred).select(col("doc_id"))
         .write.mode("overwrite").parquet(TombstonePath)
     }
-    spark.read.parquet(TombstonePath)
+    graft.Tables.parquetCached(spark, TombstonePath)
   }
 
   // Repaired state table paths — one per persisted table above.
@@ -178,7 +178,7 @@ object Retract {
 
       // CMS: rebuilt from the repaired sketch table's arrays — a
       // state-table scan (no text), same aggregate as the builder
-      val cms = spark.read.parquet(RetSketchPath)
+      val cms = graft.Tables.parquetCached(spark, RetSketchPath)
         .select(explode(col("ghs")).as("gh"))
         .select(expr(s"count_min_sketch(gh, ${Dedup.CmsParams._1}d, " +
           s"${Dedup.CmsParams._2}d, ${Dedup.CmsParams._3})"))
@@ -284,7 +284,7 @@ object Retract {
     val freshTf = TextOps.whitespaceTokens(kept.filter(col("doc_id") >= lit(split)))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     Curation.tfidfFrom(
-      spark.read.parquet(RetTfidfPath).unionByName(freshTf), kept)
+      graft.Tables.parquetCached(spark, RetTfidfPath).unionByName(freshTf), kept)
   }
 
   private lazy val retractDocsSql: String =
@@ -384,7 +384,7 @@ object Retract {
       .getOrElse(lit(false))
     Dedup.sliceProfileAgainst(
       docs.filter(col("n_chars") >= Dedup.SubstringK && restrict && !takedownPred),
-      spark.read.parquet(RetWindowPath))
+      graft.Tables.parquetCached(spark, RetWindowPath))
   }
 
   private lazy val retractSubstringProfileSql: String =

@@ -1242,7 +1242,7 @@ object Similarity {
     * m x k x subdim doubles, the bounded-collect class. */
   private def readIvfPqCodebooks(spark: SparkSession): Seq[Seq[Seq[Double]]] = {
     import spark.implicits._
-    spark.read.parquet(IvfPqCodebookStagePath)
+    graft.Tables.parquetCached(spark, IvfPqCodebookStagePath)
       .as[(Int, Int, Seq[Double])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
@@ -1600,7 +1600,7 @@ object Similarity {
       assignMultiKernel(e, idx.centroids, p)
         .write.mode("overwrite").parquet(SemanticMultiStagePath)
     }
-    spark.read.parquet(SemanticMultiStagePath)
+    graft.Tables.parquetCached(spark, SemanticMultiStagePath)
   }
 
   private def dedupSemanticPairs(spark: SparkSession, dir: String,

@@ -312,7 +312,7 @@ object TextOps {
         .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
         .write.mode("overwrite").parquet(NgramFreqStatePath)
     }
-    spark.read.parquet(NgramFreqStatePath)
+    graft.Tables.parquetCached(spark, NgramFreqStatePath)
   }
 
   /** Steady-state n-gram census for a grown corpus: old docs'
