@@ -17,10 +17,37 @@ import org.apache.spark.sql.SparkSession
   *    global-conf mutation.
   */
 object GraftSession {
+  /** Shuffle/spill scratch root (spark.local.dir). Thread dumps of the
+    * r21 bench at local[32] showed the suite FILESYSTEM-bound, not
+    * CPU-bound: in one sample 30/32 task threads sat BLOCKED on the
+    * single IndexShuffleBlockResolver lock (whose critical section
+    * does index/checksum file writes + renames on disk), and the
+    * "running" remainder were inside FileOutputStream.open /
+    * FileChannel mmap/unmap syscalls on /tmp — 3 files per map task x
+    * 32 concurrent tasks serializing on the root fs. That is why the
+    * 8-core suite outran the 32-core one (VERDICT r20 item 2). tmpfs
+    * removes the media latency from the commit critical section; the
+    * same move the streaming checkpoints made in round 5. A cluster
+    * deployment instead points spark.local.dir at per-node fast local
+    * disks (guide §2.1 — shuffle files must outlive executors there
+    * and can exceed RAM); locally the sf0.1–sf10 shuffle volume is
+    * MB-sized, and a bigger local scale run can set
+    * GRAFT_LOCAL_DIR=/tmp (or any disk path) to opt out. */
+  private def localScratchDir: String =
+    sys.env.get("GRAFT_LOCAL_DIR").getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val d = shm.resolve("graft_spark_local")
+        try java.nio.file.Files.createDirectories(d) catch { case _: Exception => }
+        d.toString
+      } else System.getProperty("java.io.tmpdir")
+    }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.local.dir", localScratchDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
