@@ -67,12 +67,33 @@ object Streams {
 
   /** Start `f`'s streaming query with the harness state sizing, then
     * restore the session conf (the running query keeps the value it
-    * started with). */
-  private def withHarnessStateSizing[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, harnessStatePartitions(spark).toString)
-    try f finally spark.conf.set(key, old)
+    * started with — StreamExecution clones the session at start).
+    *
+    * `noDataBatches = false` additionally skips the trailing no-data
+    * micro-batch for queries whose OUTPUT cannot depend on it: every
+    * [[runToMemory]] entry either re-emits the full result per data
+    * batch (Complete-mode aggregates) or emits each row the moment it
+    * is computable (Append-mode inner stream-stream join,
+    * dropDuplicates, stateless joins — none of them hold rows back
+    * for a watermark), so the extra batch only evicts state and
+    * re-pays planning + WAL + state commit for zero rows — measured
+    * 0.74 s of stream_join's 2.64 s (batch 1: rows=0,
+    * triggerExecution=738 ms). [[streamSessionize]] KEEPS the
+    * no-data batch: its event-time timeouts fire there — that batch
+    * is what flushes the final sessions. A continuous deployment
+    * keeps the default too (state eviction and watermark-driven
+    * emission are the point of no-data batches there); this is the
+    * one-shot harness stating that nothing downstream waits on a
+    * watermark. */
+  private def withHarnessStateSizing[A](spark: SparkSession,
+                                        noDataBatches: Boolean = true)(f: => A): A = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldP = spark.conf.get(pKey)
+    val oldN = spark.conf.get(nKey)
+    spark.conf.set(pKey, harnessStatePartitions(spark).toString)
+    spark.conf.set(nKey, noDataBatches.toString)
+    try f finally { spark.conf.set(pKey, oldP); spark.conf.set(nKey, oldN) }
   }
 
   /** Ephemeral checkpoint dir for the one-shot harness runs. The
@@ -124,7 +145,7 @@ object Streams {
     // wait-then-stop polling (VERDICT r4 item 5)
     val ckpt = ephemeralCheckpoint()
     try {
-      val q = withHarnessStateSizing(spark) {
+      val q = withHarnessStateSizing(spark, noDataBatches = false) {
         df.writeStream.format("memory").queryName(name).outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
