@@ -1205,7 +1205,7 @@ object Dedup {
     * Matters most at scale on band-collision-heavy corpora: the
     * synthetic 30-word vocabulary makes unrelated same-band docs
     * common, and a length mismatch is the cheapest disqualifier. */
-  private def lshLengthFilter: Column =
+  private[graft] def lshLengthFilter: Column =
     least(col("a.n"), col("b.n")) >=
       lit(JaccardThreshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9)
 

@@ -370,7 +370,11 @@ object Streams {
     // corpus version (fingerprint-keyed) — reading it here is what
     // makes the gate affordable: no full-corpus re-sketch per batch
     val sk = Dedup.minhashSketchTable(spark, dir)
-    val corpusBands = Dedup.lshBandsOf(sk.select(col("doc_id"), col("sig")), p)
+    // carry `n` so the band join can apply the batch path's length
+    // prefilter (J <= min(n)/max(n): a length mismatch disqualifies a
+    // pair before the array_intersect verify ever runs on it)
+    val corpusBands = Dedup.lshBandsOf(sk.select(col("doc_id"), col("n"), col("sig")), p,
+      carry = Seq("n"))
     val c = carry.map(col)
     val sigs = fresh
       // shingle-less docs out on the RAW column, before the kernel —
@@ -385,7 +389,7 @@ object Streams {
     val cand = corpusBands.as("a")
       .join(freshBands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && Dedup.lshLengthFilter)
       .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
         col("b.ghs").as("ghs_b") +: col("b.n").as("n_b") +: carry.map(n => col(s"b.$n")): _*)
     cand
