@@ -39,16 +39,32 @@ object BenchOne {
         }
       })
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
+    // GRAFT_BENCH_PHASES=1: per-run Catalyst phase wall (analysis /
+    // optimization / planning, from QueryPlanningTracker) plus the
+    // codegen COMPILE time delta (CodegenMetrics, cumulative JVM-wide
+    // histogram) — separates driver plan work from executor work when
+    // job walls don't add up to the entry's seconds (guide §1).
+    val profilePhases = sys.env.get("GRAFT_BENCH_PHASES").contains("1")
+    def compileMs(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { i =>
         spark.catalog.clearCache()
         if (profileJobs && i == 3) jobLog.clear()
+        val c0 = if (profilePhases) compileMs() else 0L
         val t0 = System.nanoTime()
         // toRdd.count, not df.count — see Bench.scala: df.count lets
         // Catalyst prune projection-shaped entries to a scan count
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val qe = fn(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (profilePhases) {
+          val ph = qe.tracker.phases.map { case (p, s) =>
+            f"$p=${(s.endTimeMs - s.startTimeMs) / 1e3}%.3f" }.mkString(" ")
+          println(f"  run $i $dt%.3f s  $ph  codegenNewClasses=${compileMs() - c0}")
+        }
+        dt
       }
       println(f"[benchone] $name%-24s best=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
       if (profileJobs) {

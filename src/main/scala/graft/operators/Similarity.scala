@@ -347,6 +347,17 @@ object Similarity {
   def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int,
                       totalCount: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    kmeansCentroidsLocal(spark, e, k, iters, totalCount).toDF("cid", "cv")
+  }
+
+  /** [[kmeansCentroids]]'s driver-local form: the Lloyd state already
+    * lives on the driver (round 20), so consumers that need the bound
+    * k x dim ARRAY (the kernel assigns, the staging writes) take it
+    * directly instead of round-tripping through a toDF + collect —
+    * one less job + plan per index build (guide §5, driver work). */
+  def kmeansCentroidsLocal(spark: SparkSession, e: DataFrame, k: Int, iters: Int,
+                           totalCount: Option[Long] = None): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
     val n = totalCount.getOrElse(e.count())
     val target = IvfTrainPerCell.toLong * k
     val train =
@@ -399,7 +410,7 @@ object Similarity {
         .as[(Int, Seq[Double])].collect().toMap
       localC = localC.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
     }
-    localC.toSeq.toDF("cid", "cv")
+    localC.toSeq
   }
 
   /** Probe side, shared by `ann_ivf` (fresh in-memory lists) and
@@ -442,16 +453,16 @@ object Similarity {
     val e = Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
     val cells = ivfCells(n)
-    val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
-    // kmeansCentroids already collected: the staged values ARE the
-    // values the plan below broadcasts, so the SQL twin reads the
+    import spark.implicits._
+    val local = kmeansCentroidsLocal(spark, e, cells, IvfIters, Some(n))
+    val centroids = local.toDF("cid", "cv")
+    // the Lloyd state is already driver-local: the staged values ARE
+    // the values the plan below broadcasts, so the SQL twin reads the
     // exact doubles this run's output was computed from
     centroids.coalesce(1).write.mode("overwrite").parquet(FreshCentroidStagePath)
     // IVF-A inverted lists: one posting per (vector, top-A cell),
     // A scaled to the index size — the kernel form (centroids are
     // already bounded/local)
-    import spark.implicits._
-    val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     val lists = assignMultiKernel(e, local, math.min(ivfAssign(cells), cells))
     probeLists(e, centroids, lists, cells)
   }
@@ -595,8 +606,7 @@ object Similarity {
     val e = Dedup.embeddingsWithNorm(spark, dir)
     val n = e.count()
     val cells = ivfCells(n)
-    val centroids = kmeansCentroids(spark, e, cells, IvfIters, Some(n))
-    val local = centroids.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val local = kmeansCentroidsLocal(spark, e, cells, IvfIters, Some(n))
     // repartition by cid before the partitioned write: every cell
     // lands in exactly one task, so the index is ONE parquet file
     // per cid instead of up-to-#tasks files — probe-time planning
@@ -704,6 +714,8 @@ object Similarity {
   private[graft] def dropInMemoryIndexState(): Unit = {
     ivfIndexCache.clear()
     ivfListsCache.clear()
+    ivfPqBaseCache.clear()
+    pqCodebookCache.clear()
   }
 
   def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
@@ -1210,7 +1222,7 @@ object Similarity {
     val idx = ivfIndex(spark, dir)
     stageCentroids(spark, idx)
     ensureIvfPqArtifacts(spark, dir, idx)
-    ivfPqProbe(spark, dir, idx, readIvfPqCodebooks(spark),
+    ivfPqProbe(spark, dir, idx, readIvfPqCodebooksCached(spark, idx.listsPath),
       spark.read.parquet(IvfPqCodesStagePath))
   }
 
@@ -1247,6 +1259,21 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
   }
+
+  // collected codebooks per index VERSION (idx.listsPath — the same
+  // key the codes staging uses): the bytes are deterministic per
+  // version, so steady-state probe runs skip the re-collect job +
+  // plan. Bounded (m x k x subdim doubles), pure driver data — not a
+  // DataFrame, so no session binding needed; superseded versions are
+  // dropped so the map never grows past live indexes.
+  private val pqCodebookCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]
+
+  private def readIvfPqCodebooksCached(spark: SparkSession, version: String): Seq[Seq[Seq[Double]]] =
+    pqCodebookCache.getOrElseUpdate(version, {
+      pqCodebookCache.clear() // superseded versions never probe again
+      readIvfPqCodebooks(spark)
+    })
 
   /** The PQ encoder as one codegen'd projection over a `v` vector
     * column: per subspace, argmin over the codeword literals (ties
@@ -1410,6 +1437,25 @@ object Similarity {
 
   private val stagedIvfPqBase = new graft.StagedVersion[String]
 
+  // the resolved base-codes DataFrame per (session, index version) —
+  // partition discovery + footer reads over the CodesPartGroups
+  // directories are driver metadata work that would otherwise be
+  // re-paid on EVERY append run (the same steady-state cost the
+  // ivfListsCache removes for the posting lists; same deterministic
+  // session-keyed eviction, ADVICE r5)
+  private val ivfPqBaseCache = new scala.collection.concurrent.TrieMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def ivfPqBaseCodes(spark: SparkSession, version: String): DataFrame = {
+    ivfPqBaseCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+    val perSession = ivfPqBaseCache.getOrElseUpdate(spark,
+      new scala.collection.concurrent.TrieMap[String, DataFrame])
+    perSession.getOrElseUpdate(version, {
+      perSession.clear() // superseded versions never probe again
+      spark.read.parquet(IvfPqCodesBasePath)
+    })
+  }
+
   /** Encode ONLY the fresh slice against the persisted artifacts:
     * assignment by the broadcast-centroid argmin (the posting lists'
     * own tie rule), codes by the shared [[pqCodesExpr]] encoder over
@@ -1421,7 +1467,7 @@ object Similarity {
                                      idx: IvfIndex, split: Long): DataFrame = {
     import spark.implicits._
     val starts = pqStarts(idx.centroids.head._2.length)
-    val cbs = readIvfPqCodebooks(spark)
+    val cbs = readIvfPqCodebooksCached(spark, idx.listsPath)
     assignMultiKernel(
         Dedup.embeddingsWithNorm(spark, dir).filter(col("vec_id") >= lit(split)),
         idx.centroids, math.min(ivfAssign(idx.cells), idx.cells))
@@ -1454,12 +1500,12 @@ object Similarity {
       writeCodes(spark.read.parquet(IvfPqCodesStagePath)
         .filter(col("vec_id") < lit(split)), IvfPqCodesBasePath)
     }
-    val codes = spark.read.parquet(IvfPqCodesBasePath)
+    val codes = ivfPqBaseCodes(spark, idx.listsPath)
       .select(col("vec_id"), col("codes"), col("cid"), col("pg"))
       .unionByName(ivfPqSliceCodes(spark, dir, idx, split)
         .select(col("vec_id"), col("codes"), col("cid"))
         .withColumn("pg", pmod(col("cid"), lit(CodesPartGroups))))
-    ivfPqProbe(spark, dir, idx, readIvfPqCodebooks(spark), codes)
+    ivfPqProbe(spark, dir, idx, readIvfPqCodebooksCached(spark, idx.listsPath), codes)
   }
 
   // ---- dedup_semantic: SemDeDup-style clustered embedding dedup ----
