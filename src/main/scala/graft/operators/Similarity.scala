@@ -397,17 +397,27 @@ object Similarity {
     // avg() update, and getOrElse == the old left-join coalesce (a
     // cell with no assigned training vectors keeps its previous
     // centroid — the update must never shrink the centroid count).
+    // Round 21: the final per-cid ARRAY ASSEMBLY moved to the driver.
+    // Seed cids are positions in vec_id order — the k collected rows
+    // sorted locally give the same numbering as the row_number window
+    // (one less exchange+sort on a k-row frame); the update collects
+    // the (cid, pos, m) rows the first aggregate already produces —
+    // k x dim rows, the SAME bounded bytes the assembled arrays held —
+    // and sorts each cell's positions locally, dropping the second
+    // groupBy (collect_list + array_sort + transform) exchange and its
+    // extra AQE stage round-trip per Lloyd iteration. The avg() that
+    // defines every coordinate still runs distributed, unchanged.
     var localC: Array[(Int, Seq[Double])] = train.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("cv"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), cid) => (cid, v) }
     for (_ <- 1 to iters) {
       val updated = assignMultiKernel(train, localC.toSeq, 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, p -> p.m)").as("ucv"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq }
       localC = localC.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
     }
     localC.toSeq
