@@ -24,29 +24,71 @@ object Tables {
   private val schemaCache = new scala.collection.concurrent.TrieMap[
     String, (String, org.apache.spark.sql.types.StructType)]
 
-  /** Cheap listing key for one table path (driver metadata op). */
-  private def listingKey(spark: SparkSession, path: String): String = {
+  /** One level of the path's file listing (driver metadata op). */
+  private def listDir(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*"))
-    val listing =
-      if (stats == null || stats.isEmpty) Seq(fs.getFileStatus(p))
-      else stats.toSeq
+    if (stats == null || stats.isEmpty) Seq(fs.getFileStatus(p))
+    else stats.toSeq
+  }
+
+  /** Cheap listing key for one table path (driver metadata op). */
+  private def listingKey(listing: Seq[org.apache.hadoop.fs.FileStatus]): String =
     listing.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
-  }
 
   /** `spark.read.parquet(path)` with the schema memo above. For
     * UNPARTITIONED paths only — a partitioned table's inferred schema
-    * carries partition-column type inference that must stay live. */
+    * carries partition-column type inference that must stay live.
+    * That contract is enforced at runtime, not just by this comment
+    * (ADVICE r20): a listing containing `key=value` subdirectories
+    * bypasses the memo entirely, so a future call site on a
+    * partitioned dir gets live inference instead of a silently pinned
+    * partition-column type (directory entries also carry len 0 and
+    * unreliable mtimes, which would poison the key). Known residual
+    * accepted: a NON-Spark writer replacing a file in-place with the
+    * same name+length within mtime granularity could serve a stale
+    * schema — all writers here are Spark (new part-UUID filenames per
+    * write), so the listing key always moves. */
   def parquetCached(spark: SparkSession, path: String): DataFrame = {
-    val key = listingKey(spark, path)
+    val listing = listDir(spark, path)
+    if (listing.exists(s => s.isDirectory && s.getPath.getName.contains("=")))
+      return spark.read.parquet(path)
+    val key = listingKey(listing)
     schemaCache.get(path) match {
       case Some((`key`, schema)) => spark.read.schema(schema).parquet(path)
       case _ =>
         val df = spark.read.parquet(path)
         schemaCache.put(path, (key, df.schema))
         df
+    }
+  }
+
+  /** Row-group count of one parquet file — parquet's REAL scan
+    * concurrency unit (a byte-ranged split over a row group it does
+    * not start cannot produce rows). Footer-only read on the driver,
+    * memoized on len:mtime so repeat bench invocations pay a single
+    * `getFileStatus` (the same class of metadata op every scan's
+    * file listing already does). Used by the scale-adaptive spreads
+    * to decide whether a scan can occupy the machine; call sites
+    * bound the number of files they probe by `defaultParallelism`,
+    * so at warehouse scale (file count >= cores) no footer is ever
+    * read. */
+  private val rowGroupMemo = new scala.collection.concurrent.TrieMap[String, (String, Int)]
+  def rowGroupCount(spark: SparkSession, file: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    val key = s"${st.getLen}:${st.getModificationTime}"
+    rowGroupMemo.get(file) match {
+      case Some((`key`, n)) => n
+      case _ =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try reader.getRowGroups.size finally reader.close()
+        rowGroupMemo.put(file, (key, n))
+        n
     }
   }
 

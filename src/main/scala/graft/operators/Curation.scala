@@ -939,6 +939,10 @@ object Curation {
     // either way) — it only costs bits: ~10 bits per window instead
     // of per distinct shingle, still metadata-sized vs the corpus.
     // The bound scans just (doc_id, n_chars) — no text, no kernel.
+    // It assumes n_chars == length(text) (what the kernel shingles);
+    // TablesSpec pins that invariant against the generated corpus
+    // (ADVICE r21), since a divergence would silently degrade the
+    // prefilter's selectivity (never its correctness — see above).
     val nBench = math.max(docs
       .filter(col("doc_id") >= lit(split))
       .agg(coalesce(sum(greatest(col("n_chars") - lit(Dedup.ShingleN - 1), lit(0L))),

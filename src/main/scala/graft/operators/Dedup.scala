@@ -300,7 +300,9 @@ object Dedup {
     * stored n_chars (each doc yields max(0, n_chars - N + 1) distinct
     * shingles at most). One tiny single-column aggregate — deliberately
     * NOT computed from the shingle relation itself, which would
-    * re-run the kernel as a sizing pre-pass. */
+    * re-run the kernel as a sizing pre-pass. Assumes the stored
+    * n_chars == length(text) the kernel runs on — pinned against the
+    * generated corpus in TablesSpec (ADVICE r21). */
   private def shingleVolumeBytes(docs: DataFrame): Long = {
     val row = docs.agg(sum(greatest(col("n_chars") - lit(ShingleN - 1), lit(0L)))).head
     if (row.isNullAt(0)) 0L else 8L * row.getLong(0)

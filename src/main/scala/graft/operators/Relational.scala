@@ -44,8 +44,23 @@ object Relational {
     * order-independent, so the result is bit-identical (the
     * partition-order-independence spec pins this).  */
   private def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Width = ROW GROUPS, not planned splits, and no `df.rdd` probe
+    // (ADVICE r20): df.rdd forced a second full analysis + physical
+    // planning + file-listing pass per invocation, and split count
+    // overstates concurrency anyway — a single-row-group file larger
+    // than maxPartitionBytes plans >= p byte-ranged splits with only
+    // ONE that produces rows, so the old guard failed to fire in
+    // exactly the 1-working-task case it targets. `inputFiles` reads
+    // the already-cached FileIndex off the analyzed plan (no physical
+    // planning, no job); footers are probed only when file count < p,
+    // so at warehouse scale this is a listing lookup and nothing else.
+    val files = df.inputFiles
+    val width =
+      if (files.length >= p) files.length
+      else files.iterator.map(Tables.rowGroupCount(spark, _)).sum
+    if (width < p) df.repartition(p, key) else df
   }
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame =

@@ -1877,17 +1877,43 @@ object Similarity {
     // driver threads so each leg's straggler tail back-fills the
     // other's idle cores (guide §2.6). Results are order-pinned by
     // construction (fixed Seq order, then the presentation sort), and
-    // a floor violation in either leg still fails the entry (Await
-    // rethrows). annIvfProbe's index staging is memo-guarded
-    // (StagedVersion/TrieMap) and annTopkLsh is a pure lazy plan, so
-    // the two threads share no mutable state.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // a floor violation in either leg still fails the entry.
+    // annIvfProbe's index staging is memo-guarded (StagedVersion/
+    // TrieMap) and annTopkLsh is a pure lazy plan, so the two threads
+    // share no mutable state. A DEDICATED 2-thread pool, not the
+    // global ForkJoinPool (ADVICE r20): both worker threads are
+    // created during the submit calls ON THIS THREAD, so the
+    // SparkSession/SQLConf InheritableThreadLocals are guaranteed to
+    // flow (the global pool spawns workers lazily from arbitrary
+    // parents); setActiveSession makes it explicit. Both legs run
+    // under one job group, and a failed first leg CANCELS the
+    // sibling's jobs and awaits it before rethrowing, so no stray
+    // jobs overlap the next harness entry's timing.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val ivfLeg = Future(leg("ivf", annIvfProbe(spark, dir), RecallFloorIvf))
-    val lshLeg = Future(leg("lsh", annTopkLsh(spark, dir), RecallFloorLsh))
-    Seq(Await.result(ivfLeg, Duration.Inf), Await.result(lshLeg, Duration.Inf))
-      .toDF("method", "matched", "total", "recall").orderBy(col("method"))
+    import scala.util.{Failure, Success, Try}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val group = s"ann_recall_legs_${System.nanoTime()}"
+    def spawn(method: String, approx: => DataFrame, floor: Double) = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      spark.sparkContext.setJobGroup(group, s"ann_recall $method leg", interruptOnCancel = true)
+      try leg(method, approx, floor)
+      finally spark.sparkContext.clearJobGroup()
+    }
+    try {
+      val ivfLeg = spawn("ivf", annIvfProbe(spark, dir), RecallFloorIvf)
+      val lshLeg = spawn("lsh", annTopkLsh(spark, dir), RecallFloorLsh)
+      val first = Try(Await.result(ivfLeg, Duration.Inf))
+      if (first.isFailure) spark.sparkContext.cancelJobGroup(group)
+      val second = Try(Await.result(lshLeg, Duration.Inf))
+      (first, second) match {
+        case (Success(a), Success(b)) =>
+          Seq(a, b).toDF("method", "matched", "total", "recall").orderBy(col("method"))
+        case _ =>
+          throw first.failed.getOrElse(second.failed.get)
+      }
+    } finally pool.shutdown()
   }
 
   // ---- retract_vectors: takedown through the vector warehouse ----

@@ -74,4 +74,23 @@ class TablesSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     assert(a.toSeq == b.toSeq && a.map(_._2).toSeq == rows.map(_._2))
   }
+
+  test("documents data contract: n_chars == length(text) in the generated corpus") {
+    // Two metadata-derived capacity bounds depend on this invariant
+    // (ADVICE r20): Dedup.shingleVolumeBytes (verify-grid sizing) and
+    // decontaminateBloom's filter capacity — both compute
+    // Σ max(n_chars - N + 1, 0) INSTEAD of re-running the shingle
+    // kernel, which is only a valid upper bound on window counts if
+    // the stored column equals the length of the text the kernel
+    // actually shingles. Output would stay correct if they diverged
+    // (exact confirm joins remove bloom false positives; the grid
+    // ceiling is a safety margin), but the prefilter's selectivity
+    // and the sizing margin would silently degrade — so pin the
+    // invariant against the generated corpus itself.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = Tables.documents(spark, d)
+        .filter(col("n_chars") =!= length(col("text")).cast(LongType)).count()
+      assert(bad == 0L, s"$d: $bad documents violate n_chars == length(text)")
+    }
+  }
 }
